@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "tiles_per_sec": ...}
+
+The headline metric follows BASELINE.json: unmixed tiles/sec for the FCLS
+abundance pipeline (pages -> geocode -> rasterize -> FCLS). Scaling
+evidence (local[8] vs local[32]) is produced by scripts/scaling_bench.py
+into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_fcls_tiles",
+    "q_fcls_abundance",
+    "q_cell_raster",
+    "q_composite_reducers",
+    "q_minhash_lsh_pairs",
+    "q_ann_cosine_topk",
+    "q_point_in_polygon",
+    "q_knn_cells",
+    "q_tasseled_cap",
+    "q_dedup_latest_crawl",
+]
+
+
+def main() -> None:
+    from unmixing_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark(app_name="unmixing-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = ent.queries()
+
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_tiles = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        cnt = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "q_fcls_tiles":
+            n_tiles = cnt
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline suite wall time (FCLS tiling + dedup + ANN + spatial joins)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "tiles": n_tiles,
+        "tiles_per_sec": round(n_tiles / timings["q_fcls_tiles"], 2) if n_tiles else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs each ``queries()`` entry under Spark and its ``oracle_sql()`` under
+DuckDB on the same parquet, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted, floats to
+near-exact tolerance).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame,
+            rtol: float = 1e-9, atol: float = 1e-9) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [f"schema mismatch: {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"]
+    if len(spark_df) != len(duck_df):
+        return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
+    a, b = normalize(spark_df), normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+            x = av.astype(float).to_numpy()
+            y = bv.astype(float).to_numpy()
+            mask = ~(np.isnan(x) & np.isnan(y))
+            if not np.allclose(x[mask], y[mask], rtol=rtol, atol=atol, equal_nan=True):
+                worst = np.nanmax(np.abs(x[mask] - y[mask]))
+                problems.append(f"col {c}: max |Δ| = {worst}")
+        else:
+            neq = (av.astype(str) != bv.astype(str))
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(f"col {c}: {neq.sum()} diffs, e.g. {av[i]!r} vs {bv[i]!r}")
+    return problems
+
+
+def run_all(sf_dir: str, only: list[str] | None = None,
+            spark=None) -> dict[str, list[str]]:
+    import __spark_entry__ as ent
+    from unmixing_spark.session import get_spark
+
+    spark = spark or get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    qs, os_ = ent.queries(), ent.oracle_sql()
+    results: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"SPARK ERROR: {e}"]
+            continue
+        if name not in os_:
+            results[name] = [] if len(sdf) >= 0 else ["no rows"]
+            results[name].append(f"(rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.sql(os_[name]).df()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"DUCKDB ERROR: {str(e)[:300]}"]
+            continue
+        results[name] = compare(sdf, ddf)
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    res = run_all(sf, only)
+    bad = 0
+    for name, probs in sorted(res.items()):
+        real = [p for p in probs if not p.startswith("(rows-only")]
+        status = "OK" if not real else "FAIL"
+        extra = next((p for p in probs if p.startswith("(rows-only")), "")
+        if real:
+            bad += 1
+        print(f"{status:4} {name} {extra}")
+        for p in real:
+            print(f"      {p}")
+    print(f"\n{len(res) - bad}/{len(res)} passing")
+    sys.exit(1 if bad else 0)

@@ -1,0 +1,95 @@
+"""Portable-SQL fragments rendered for either Spark SQL or DuckDB.
+
+The engine's relational operators are written ONCE as SQL templates; the
+Spark path executes the 'spark' rendering via ``spark.sql`` (full Catalyst
+optimization) and the driver's DuckDB oracle executes the 'duckdb'
+rendering. This guarantees the two sides compute the same logical function
+— the correctness gate then checks the engines agree numerically.
+
+Only a handful of scalar functions differ between the dialects; everything
+else (md5, ||, floor, least/greatest, CASE, window functions, GROUP BY) is
+shared ANSI SQL.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+
+def hex2int(expr: str, dialect: str) -> str:
+    """First-8-hex-chars of an expr → bigint in [0, 2^32)."""
+    if dialect == SPARK:
+        return f"cast(conv({expr}, 16, 10) as bigint)"
+    return f"('0x' || ({expr}))::bigint"
+
+
+def md5_slice(col: str, start: int, dialect: str) -> str:
+    """bigint from hex digits [start, start+8) of md5(col); 1-indexed."""
+    return hex2int(f"substr(md5({col}), {start}, 8)", dialect)
+
+
+def to_str(expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"cast({expr} as string)"
+    return f"cast({expr} as varchar)"
+
+
+def epoch_to_ts(expr: str, dialect: str) -> str:
+    """Epoch seconds (bigint) → TIMESTAMP (UTC, no tz)."""
+    if dialect == SPARK:
+        return f"timestamp_seconds({expr})"
+    return f"make_timestamp(cast({expr} as bigint) * 1000000)"
+
+
+def ts_to_epoch(expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"unix_timestamp({expr})"
+    return f"cast(epoch({expr}) as bigint)"
+
+
+def to_binary(expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"cast({expr} as binary)"
+    return f"encode({expr})"
+
+
+def binary_len(expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"length({expr})"
+    return f"octet_length({expr})"
+
+
+def regexp_count(expr: str, pattern: str, dialect: str) -> str:
+    """Number of matches of ``pattern`` in ``expr`` (pattern is a SQL string
+    literal, single-quoted by the caller)."""
+    if dialect == SPARK:
+        return f"regexp_count({expr}, {pattern})"
+    return f"len(regexp_extract_all({expr}, {pattern}))"
+
+
+def idiv(a: str, b: str) -> str:
+    """Portable non-negative integer division (inputs < 2^52)."""
+    return f"cast(floor(({a}) / ({b})) as bigint)"
+
+
+def sha256_(expr: str, dialect: str) -> str:
+    """Lowercase hex SHA-256 of a string expr."""
+    if dialect == SPARK:
+        return f"sha2({expr}, 256)"
+    return f"sha256({expr})"
+
+
+def dbl(x: float) -> str:
+    """A float literal that is DOUBLE in both dialects. Bare ``0.5``-style
+    literals parse as DECIMAL in both Spark and DuckDB, whose division
+    rounding differs at the last ulp — enough to break value-hash parity."""
+    return f"cast({x!r} as double)"
+
+
+def median_(expr: str, dialect: str) -> str:
+    """Interpolated median over doubles (Spark ``median`` == DuckDB
+    ``quantile_cont(0.5)``; DuckDB's own ``median`` truncates DECIMALs)."""
+    if dialect == SPARK:
+        return f"median(cast({expr} as double))"
+    return f"quantile_cont(cast({expr} as double), 0.5)"

@@ -1,0 +1,127 @@
+"""Fully constrained least squares (FCLS) spectral unmixing — batched.
+
+Re-implemented from the published algorithms the reference wraps (it calls
+``pysptools.abundance_maps.amaps.FCLS``, lsma.py:150; we re-derive from the
+papers, per SURVEY.md §7.0):
+
+- Heinz & Chang (2001), "Fully constrained least squares linear spectral
+  mixture analysis": enforce the abundance sum-to-one constraint (ASC) by
+  augmenting the signature matrix with a constant row whose weight is large
+  relative to δ-scaled data rows, then solve non-negative least squares
+  (ANC) on the augmented system.
+- Van Benthem & Keenan (2004), "Fast algorithm for the solution of
+  large-scale non-negativity-constrained least squares problems"
+  (FC-NNLS): solve NNLS for MANY right-hand sides sharing one Gram matrix
+  by grouping columns with identical passive sets — this is what makes the
+  per-pixel loop a handful of vectorized BLAS calls per iteration instead
+  of a Python loop over pixels.
+
+This module is deliberately pure NumPy with no Spark imports: it is the
+kernel that ``lsma.mapper`` ships to executors inside Arrow-batched pandas
+UDFs. Determinism: the solve is per-pixel independent and iteration order
+is data-independent, so results are invariant to partitioning — the
+property pinned by the reference's 1-vs-2-process test (test/tests.py:62-82)
+and by our local[8]-vs-local[32] scaling test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_OUTER = 50
+_MAX_INNER = 100
+
+
+def _cssls(AtA: np.ndarray, AtB: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Combinatorial subspace least squares: solve the unconstrained normal
+    equations restricted to each column's passive set, grouping columns
+    that share a passive set (Benthem & Keenan eq. 2.4)."""
+    q, n = AtB.shape
+    X = np.zeros((q, n))
+    codes = (P.astype(np.int64) * (1 << np.arange(q, dtype=np.int64))[:, None]).sum(axis=0)
+    for code in np.unique(codes):
+        if code == 0:
+            continue
+        cols = np.flatnonzero(codes == code)
+        rows = np.flatnonzero(P[:, cols[0]])
+        sub = np.linalg.solve(AtA[np.ix_(rows, rows)], AtB[np.ix_(rows, cols)])
+        X[np.ix_(rows, cols)] = sub
+    return X
+
+
+def nnls_multiple(AtA: np.ndarray, AtB: np.ndarray) -> np.ndarray:
+    """min ||A x_j - b_j||_2  s.t. x_j >= 0, for every column j, given the
+    shared Gram matrix AtA = AᵀA and cross products AtB = AᵀB.
+
+    Returns X of shape (q, n). Fast-combinatorial active-set method."""
+    q, n = AtB.shape
+    X = np.linalg.solve(AtA, AtB)
+    P = X > 0.0
+    X[~P] = 0.0
+    feasible = P.all(axis=0)
+    X[:, ~feasible] = 0.0
+
+    todo = np.flatnonzero(~feasible)
+    outer = 0
+    while todo.size and outer < _MAX_OUTER:
+        outer += 1
+        Xw = _cssls(AtA, AtB[:, todo], P[:, todo])
+        # inner loop: walk back columns that went infeasible
+        inner = 0
+        neg = (Xw < 0.0) & P[:, todo]
+        while neg.any() and inner < _MAX_INNER:
+            inner += 1
+            bad = np.flatnonzero(neg.any(axis=0))
+            for j in bad:  # small: only columns still infeasible
+                col = todo[j]
+                xw = Xw[:, j]
+                xo = X[:, col]
+                mask = (xw < 0.0) & P[:, col]
+                alpha = np.min(xo[mask] / (xo[mask] - xw[mask]))
+                xo = xo + alpha * (xw - xo)
+                P[np.abs(xo) < 1e-12, col] = False
+                xo[~P[:, col]] = 0.0
+                X[:, col] = xo
+            Xw = _cssls(AtA, AtB[:, todo], P[:, todo])
+            neg = (Xw < 0.0) & P[:, todo]
+        X[:, todo] = np.where(P[:, todo], Xw, 0.0)
+        # optimality: gradient w = Aᵀb - AᵀA x must be <= 0 on active set
+        W = AtB[:, todo] - AtA @ X[:, todo]
+        W[P[:, todo]] = -np.inf
+        improvable = W.max(axis=0) > 1e-10
+        if not improvable.any():
+            break
+        grow = np.flatnonzero(improvable)
+        P[W.argmax(axis=0)[grow], todo[grow]] = True
+        todo = todo[grow]
+    return X
+
+
+def fcls_abundance(X: np.ndarray, E: np.ndarray, delta: float | None = None) -> np.ndarray:
+    """FCLS abundances for pixels X (N, p) against endmembers E (q, p).
+
+    Returns (N, q) with a_i >= 0 and sum_i a_i ≈ 1 (ASC enforced via the
+    Heinz-Chang δ-augmentation; δ defaults to 1/(10·max|E|), so the
+    sum-to-one row dominates the δ-scaled data rows).
+
+    Mirrors the reference's mapper contract (lsma.py:179-230): per-pixel
+    independent, deterministic, NoData rows are the caller's concern
+    (filter first — lsma.ravel_and_filter, lsma.py:769-796).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    E = np.asarray(E, dtype=np.float64)
+    q, p = E.shape
+    if delta is None:
+        m = np.abs(E).max()
+        delta = 1.0 / (1000.0 * m) if m > 0 else 1.0
+    A = np.vstack([delta * E.T, np.ones((1, q))])          # (p+1, q)
+    B = np.vstack([delta * X.T, np.ones((1, X.shape[0]))])  # (p+1, N)
+    AtA = A.T @ A
+    AtB = A.T @ B
+    return nnls_multiple(AtA, AtB).T
+
+
+def predict_spectra_from_abundance(A: np.ndarray, E: np.ndarray) -> np.ndarray:
+    """Forward model R = A·E: abundances (N, q) × endmembers (q, p) →
+    predicted spectra (N, p). Reference: lsma.py:744-757."""
+    return np.asarray(A, dtype=np.float64) @ np.asarray(E, dtype=np.float64)

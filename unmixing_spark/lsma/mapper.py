@@ -1,0 +1,138 @@
+"""Distributed FCLS abundance mapping — the flagship operator.
+
+The reference's ``FCLSAbundanceMapper.map_abundance`` (lsma.py:179-230)
+fans pixel chunks out to a ProcessPoolExecutor; here executors replace the
+process pool and Arrow batches replace pickled chunks:
+
+- LSMA path (one endmember matrix for the whole scene, lsma.py:152-157):
+  the (q, p) matrix is a broadcast closure constant; pixels stream through
+  ``mapInPandas`` — a narrow, shuffle-free stage whose parallelism is the
+  upstream partitioning. This is the 100 TB fast path.
+- MESMA path (per-pixel endmembers, lsma.py:159-167): endmember tensors
+  travel as a co-partitioned ``array<double>`` column next to the spectra —
+  never collected, never broadcast.
+- Tile path: grouped per ``tile_id`` via ``applyInPandas``, emitting one
+  abundance cube per tile — the unit the BASELINE throughput metric counts.
+
+Determinism: per-pixel independence ⇒ output invariant to partitioning
+(reference pins this for 1 vs 2 processes, tests.py:62-82; we pin it for
+local[8] vs local[32] in tests/test_scaling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unmixing_spark.lsma.fcls import fcls_abundance, predict_spectra_from_abundance
+from unmixing_spark.raster import NODATA
+
+
+def unmix_cells(cells: DataFrame, endmembers: np.ndarray,
+                band_cols: list[str], keep_cols: list[str] = ("cell_id",),
+                delta: float | None = None) -> DataFrame:
+    """LSMA over pixel rows: (keep_cols…, b1..bp) → (keep_cols…, a1..aq, rmse).
+
+    rmse is the per-pixel forward-model residual (validate_by_forward_model,
+    lsma.py:232-297 / utils.rmse, utils.py:940-968).
+    """
+    E = np.ascontiguousarray(np.asarray(endmembers, dtype=np.float64))
+    q = E.shape[0]
+    keep_cols = list(keep_cols)
+    schema_fields = [f"{c} long" for c in keep_cols] + \
+        [f"a{i+1} double" for i in range(q)] + ["rmse double"]
+    schema = ", ".join(schema_fields)
+
+    def _unmix(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = pdf[band_cols].to_numpy(dtype=np.float64)
+            A = fcls_abundance(X, E, delta=delta)
+            R = predict_spectra_from_abundance(A, E)
+            rmse = np.sqrt(np.mean((R - X) ** 2, axis=1))
+            out = {c: pdf[c].to_numpy() for c in keep_cols}
+            for i in range(q):
+                out[f"a{i+1}"] = A[:, i]
+            out["rmse"] = rmse
+            yield pd.DataFrame(out)
+
+    return cells.mapInPandas(_unmix, schema)
+
+
+ABUNDANCE_TILE_SCHEMA = (
+    "tile_id long, q int, m int, n int, abundances array<double>, "
+    "n_pixels long, mean_rmse double"
+)
+
+
+def unmix_tiles(tiles: DataFrame, endmembers: np.ndarray,
+                delta: float | None = None) -> DataFrame:
+    """FCLS per dense tile: tiles (tile_id, p, m, n, bands) → abundance
+    cubes (q, m, n) + per-tile metrics. NODATA pixels (band 0 sentinel,
+    lsma.py:794 filter rule) pass through as NODATA abundances
+    (re-stamping, lsma.py:577 pattern)."""
+    E = np.ascontiguousarray(np.asarray(endmembers, dtype=np.float64))
+    q = E.shape[0]
+
+    def _unmix(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                p, m, n = int(row["p"]), int(row["m"]), int(row["n"])
+                cube = np.asarray(row["bands"], dtype=np.float64).reshape(p, m, n)
+                flat = cube.reshape(p, m * n).T          # ravel, lsma.py:760-766
+                valid = flat[:, 0] != NODATA             # ravel_and_filter rule
+                out = np.full((m * n, q), NODATA, dtype=np.float64)
+                rmse = np.array([np.nan])
+                if valid.any():
+                    A = fcls_abundance(flat[valid], E, delta=delta)
+                    out[valid] = A
+                    R = predict_spectra_from_abundance(A, E)
+                    rmse = np.sqrt(np.mean((R - flat[valid]) ** 2, axis=1))
+                rows.append({
+                    "tile_id": int(row["tile_id"]), "q": q, "m": m, "n": n,
+                    "abundances": out.T.ravel(),         # (q, m, n) band-major
+                    "n_pixels": int(valid.sum()),
+                    "mean_rmse": float(np.mean(rmse)),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(_unmix, ABUNDANCE_TILE_SCHEMA)
+
+
+def unmix_cells_mesma(cells: DataFrame, band_cols: list[str],
+                      em_col: str = "endmembers", q: int = 3,
+                      keep_cols: list[str] = ("cell_id",)) -> DataFrame:
+    """MESMA: per-pixel endmember matrices carried as a flattened (q*p)
+    array column (concat_endmember_arrays product, sasma.py:96-111;
+    __mesma2__ kernel, lsma.py:169-177). Co-partitioned data-parallel —
+    no broadcast, no collect."""
+    p = len(band_cols)
+    keep_cols = list(keep_cols)
+    schema = ", ".join([f"{c} long" for c in keep_cols] +
+                       [f"a{i+1} double" for i in range(q)])
+
+    def _unmix(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = pdf[band_cols].to_numpy(dtype=np.float64)
+            EM = np.stack(pdf[em_col].to_numpy()).reshape(len(pdf), q, p)
+            A = np.empty((len(pdf), q))
+            # group pixels sharing an endmember matrix → batched solves
+            keys = np.array([hash(e.tobytes()) for e in EM])
+            for k in np.unique(keys):
+                idx = np.flatnonzero(keys == k)
+                A[idx] = fcls_abundance(X[idx], EM[idx[0]])
+            out = {c: pdf[c].to_numpy() for c in keep_cols}
+            for i in range(q):
+                out[f"a{i+1}"] = A[:, i]
+            yield pd.DataFrame(out)
+
+    return cells.mapInPandas(_unmix, schema)

@@ -1,0 +1,184 @@
+"""Linear-algebra operator queries: FCLS, endmember induction, renormalize.
+
+FCLS/MNF/PPI are pandas-UDF operators (oracle=None → rows-only driver
+check; numeric verification lives in tests/). The endmember combination
+searches (max angle/area/volume, lsma.py:367-498) ARE SQL-expressible —
+they are cross-joins over a small candidate set with closed-form scores —
+so they get full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark import dialect as D
+from unmixing_spark import pipeline
+from unmixing_spark.pagegen import cell_raster_sql
+from unmixing_spark.queries import QuerySpec, register, sql_template
+
+
+# ---- FCLS (flagship; rows-only, verified in tests/test_fcls.py) -----------
+
+def _fcls_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pipeline.flagship_abundance_cells(spark, sf_dir)
+    return df.select(
+        "cell_id",
+        *[F.round(F.col(f"a{i+1}"), 6).alias(f"a{i+1}") for i in range(3)],
+        F.round("rmse", 4).alias("rmse"),
+    )
+
+
+register("q_fcls_abundance", QuerySpec(
+    spark_fn=_fcls_cells, oracle=None,
+    doc="FCLS abundance per cell (Heinz & Chang 2001; lsma.py:179-230)"))
+
+
+def _fcls_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pipeline.flagship_abundance_tiles(spark, sf_dir)
+    return df.select("tile_id", "q", "m", "n", "n_pixels",
+                     F.round("mean_rmse", 4).alias("mean_rmse"))
+
+
+register("q_fcls_tiles", QuerySpec(
+    spark_fn=_fcls_tiles, oracle=None,
+    doc="tile-grouped FCLS abundance cubes — BASELINE throughput unit"))
+
+
+# ---- candidate set for combination searches --------------------------------
+
+def _candidates(d: str) -> str:
+    """Top-12 cells by page count (deterministic tie-break) with a 3-band
+    spectrum — the grouped candidate set of iterate_endmember_combinations
+    (lsma.py:587-655)."""
+    return f"""
+    cand AS (
+      SELECT cell_id, b2 AS s1, b4 AS s2, b6 AS s3
+      FROM ({cell_raster_sql(d)})
+      ORDER BY b1 DESC, b2 DESC, cell_id
+      LIMIT 12
+    )
+    """
+
+
+def _max_volume(d: str) -> str:
+    # lsma.endmembers_by_maximum_volume (lsma.py:461-498): |det| of the
+    # (q x q) spectra matrix per 3-combination; argmax. The reference's
+    # itertools.combinations cross product (lsma.py:644) as a self-join.
+    det = ("a.s1 * (b.s2 * c.s3 - b.s3 * c.s2) "
+           "- a.s2 * (b.s1 * c.s3 - b.s3 * c.s1) "
+           "+ a.s3 * (b.s1 * c.s2 - b.s2 * c.s1)")
+    return f"""
+    WITH {_candidates(d)}
+    SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
+           round(abs({det}), 4) AS volume
+    FROM cand a JOIN cand b ON a.cell_id < b.cell_id
+                JOIN cand c ON b.cell_id < c.cell_id
+    ORDER BY abs({det}) DESC, a.cell_id, b.cell_id, c.cell_id
+    LIMIT 1
+    """
+
+
+sql_template("q_endmembers_max_volume", _max_volume,
+             "endmember combo with max |det| volume (lsma.py:461-498)")
+
+
+def _max_area(d: str) -> str:
+    # lsma.endmembers_by_maximum_area (lsma.py:432-458): triangle area
+    # 0.5*|cross(b-a, c-a)| in 2-D feature space per combo; argmax.
+    cross = ("(b.s1 - a.s1) * (c.s2 - a.s2) - (b.s2 - a.s2) * (c.s1 - a.s1)")
+    return f"""
+    WITH {_candidates(d)}
+    SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
+           round(0.5 * abs({cross}), 4) AS area
+    FROM cand a JOIN cand b ON a.cell_id < b.cell_id
+                JOIN cand c ON b.cell_id < c.cell_id
+    ORDER BY abs({cross}) DESC, a.cell_id, b.cell_id, c.cell_id
+    LIMIT 1
+    """
+
+
+sql_template("q_endmembers_max_area", _max_area,
+             "endmember combo with max triangle area (lsma.py:432-458)")
+
+
+def _max_angle(d: str) -> str:
+    # lsma.endmembers_by_maximum_angle (lsma.py:367-429): angle at a fixed
+    # reference vertex between two candidate unit vectors, acos of the
+    # clipped dot product (lsma.py:384-392); argmax over 2-combinations.
+    # Reference vertex: the global band means.
+    dot = "(a.s1 - r.m1) * (b.s1 - r.m1) + (a.s2 - r.m2) * (b.s2 - r.m2) + (a.s3 - r.m3) * (b.s3 - r.m3)"
+    na = "sqrt((a.s1 - r.m1) * (a.s1 - r.m1) + (a.s2 - r.m2) * (a.s2 - r.m2) + (a.s3 - r.m3) * (a.s3 - r.m3))"
+    nb = "sqrt((b.s1 - r.m1) * (b.s1 - r.m1) + (b.s2 - r.m2) * (b.s2 - r.m2) + (b.s3 - r.m3) * (b.s3 - r.m3))"
+    ang = f"acos(least(greatest(({dot}) / nullif(({na}) * ({nb}), 0), -1.0), 1.0))"
+    return f"""
+    WITH {_candidates(d)},
+    r AS (SELECT avg(s1) m1, avg(s2) m2, avg(s3) m3 FROM cand)
+    SELECT a.cell_id AS em1, b.cell_id AS em2, round({ang}, 6) AS angle
+    FROM cand a JOIN cand b ON a.cell_id < b.cell_id CROSS JOIN r
+    ORDER BY {ang} DESC, a.cell_id, b.cell_id
+    LIMIT 1
+    """
+
+
+sql_template("q_endmembers_max_angle", _max_angle,
+             "endmember pair with max angle at reference vertex (lsma.py:367-429)")
+
+
+# ---- abundance renormalizations (lsma.py:842-855, 300-330) -----------------
+
+def _subtract_normalize(d: str) -> str:
+    # subtract_endmember_and_normalize (lsma.py:842-855): drop one band,
+    # renormalize the rest by their sum
+    return f"""
+    WITH shares AS (
+      SELECT cell_id, b1 AS w1, b3 AS w2, least(b4 / 50.0, 3.0) AS w3
+      FROM ({cell_raster_sql(d)})
+    )
+    SELECT cell_id,
+           round(w2 / nullif(w2 + w3, 0), 6) AS r1,
+           round(w3 / nullif(w2 + w3, 0), 6) AS r2
+    FROM shares
+    """
+
+
+sql_template("q_subtract_endmember_normalize", _subtract_normalize,
+             "drop endmember + renormalize remainder (lsma.py:842-855)")
+
+
+def _combine_normalize(d: str) -> str:
+    # combine_endmembers_and_normalize (lsma.py:300-330): merge two
+    # abundance bands then renormalize
+    return f"""
+    WITH shares AS (
+      SELECT cell_id, b1 AS w1, b3 AS w2, least(b4 / 50.0, 3.0) AS w3
+      FROM ({cell_raster_sql(d)})
+    )
+    SELECT cell_id,
+           round((w1 + w2) / nullif(w1 + w2 + w3, 0), 6) AS merged,
+           round(w3 / nullif(w1 + w2 + w3, 0), 6)        AS rest
+    FROM shares
+    """
+
+
+sql_template("q_combine_endmembers_normalize", _combine_normalize,
+             "merge endmember bands + renormalize (lsma.py:300-330)")
+
+
+# ---- covariance partials (A10: eigen/dimensionality, visualize.py:265-277) --
+
+def _band_covariance(d: str) -> str:
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)})
+    SELECT round(covar_samp(b2, b4), 4) AS c24,
+           round(covar_samp(b2, b6), 4) AS c26,
+           round(covar_samp(b4, b6), 4) AS c46,
+           round(var_samp(b2), 4) AS v2,
+           round(var_samp(b4), 4) AS v4,
+           round(var_samp(b6), 4) AS v6
+    FROM cells
+    """
+
+
+sql_template("q_band_covariance", _band_covariance,
+             "band covariance matrix entries — partial-agg stage of the eigendecomposition (visualize.py:265-277)")

@@ -1,0 +1,330 @@
+"""Training-data pipeline operators over documents/embeddings (task brief):
+exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup, language ID, quality
+scoring, token counting, fingerprinting, and cosine ANN.
+
+Everything here is hash-deterministic (md5-derived integers, identical in
+both dialects) so the DuckDB oracle checks full numeric equality — no RNG.
+
+Scale notes: at 10^12 docs the LSH band-bucket self-join is the only
+all-pairs-free near-dup path — candidates are generated per bucket
+(groupBy band_hash), never by cross join; the cross-join forms below are
+confined to the tiny candidate sets the buckets emit.
+"""
+
+from __future__ import annotations
+
+from unmixing_spark import dialect as D
+from unmixing_spark.queries import sql_template
+
+
+def _tokens(d: str, rel: str = "documents") -> str:
+    """Exploded (doc_id, tok) over whitespace tokens."""
+    if d == D.SPARK:
+        return (f"(SELECT doc_id, tok FROM {rel} "
+                f"LATERAL VIEW explode(split(text, ' +')) t AS tok)")
+    return (f"(SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok "
+            f"FROM {rel})")
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+def _dedup_exact(d: str) -> str:
+    return f"""
+    SELECT md5(text) AS text_md5,
+           cast(count(*) as bigint) AS copies,
+           min(doc_id) AS keeper
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 1
+    """
+
+
+sql_template("q_dedup_exact", _dedup_exact,
+             "exact dedup: hash-groupBy on full text, keep min id")
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 8
+SHINGLE = 8  # character 8-grams
+BANDS = 4    # 2 hashes per band
+
+
+def _shingles(d: str) -> str:
+    """Exploded character shingles via a lateral sequence — vectorized,
+    no Python."""
+    if d == D.SPARK:
+        return f"""(
+      SELECT doc_id, substr(text, i, {SHINGLE}) AS sh
+      FROM documents
+      LATERAL VIEW explode(sequence(1, greatest(length(text) - {SHINGLE} + 1, 1))) s AS i
+    )"""
+    return f"""(
+      SELECT doc_id, substr(text, cast(i as int), {SHINGLE}) AS sh
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {SHINGLE} + 1, 1) + 1)) AS i
+        FROM documents
+      )
+    )"""
+
+
+def _minhash_sig(d: str) -> str:
+    mins = ", ".join(
+        "min({0}) AS m{1}".format(D.md5_slice("sh || '#%d'" % j, 1, d), j)
+        for j in range(N_HASHES))
+    return f"""
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM {_shingles(d)}
+      GROUP BY doc_id
+    )
+    """
+
+
+def _minhash_lsh(d: str) -> str:
+    # band hash = md5 of the concatenated per-band minima (banding scheme:
+    # Broder 1997 / MMDS ch.3); candidate pairs share any band bucket
+    band_exprs = []
+    for b in range(BANDS):
+        cols = " || '_' || ".join(
+            D.to_str(f"m{b * (N_HASHES // BANDS) + j}", d)
+            for j in range(N_HASHES // BANDS))
+        band_exprs.append(f"md5({cols}) AS band{b}")
+    bands_select = ", ".join(band_exprs)
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS bh FROM banded" for b in range(BANDS))
+    return f"""
+    WITH {_minhash_sig(d)},
+    banded AS (SELECT doc_id, {bands_select} FROM sig),
+    buckets AS ({union})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) as bigint) AS shared_bands
+    FROM buckets a JOIN buckets b
+      ON a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+sql_template("q_minhash_lsh_pairs", _minhash_lsh,
+             "MinHash(8) + LSH(4 bands) near-dup candidate pairs — bucket join, no cross join")
+
+
+def _minhash_signatures(d: str) -> str:
+    return f"WITH {_minhash_sig(d)} SELECT * FROM sig"
+
+
+sql_template("q_minhash_signatures", _minhash_signatures,
+             "per-doc MinHash signatures over character shingles")
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash(d: str) -> str:
+    h = D.md5_slice("tok", 1, d)
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (SELECT doc_id, {h} AS h FROM {_tokens(d)})
+    SELECT doc_id, cast({bits} as bigint) AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+sql_template("q_simhash", _simhash,
+             f"{SIMHASH_BITS}-bit SimHash (Charikar 2002): per-bit weighted majority of token hashes")
+
+
+# ---- n-gram Jaccard --------------------------------------------------------
+
+def _jaccard_pairs(d: str) -> str:
+    # token-set Jaccard for candidate pairs (same lang, |Δn_chars| <= 2 —
+    # a cheap blocking key standing in for the LSH bucket at scale)
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM {_tokens(d)}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 2
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(cast(i.i as double) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """
+
+
+sql_template("q_ngram_jaccard", _jaccard_pairs,
+             "token-set Jaccard over blocked candidate pairs")
+
+
+# ---- language ID -----------------------------------------------------------
+
+LEXICON = {
+    "en": ["the", "a", "data", "fast"],
+    "de": ["join", "row", "table", "stream"],
+    "fr": ["value", "key", "sort", "group"],
+    "es": ["agg", "line", "scan", "order"],
+    "zh": ["spark", "query", "batch", "merge"],
+}
+
+
+def _langid(d: str) -> str:
+    rows = ", ".join(f"('{w}', '{lang}')"
+                     for lang, ws in LEXICON.items() for w in ws)
+    return f"""
+    WITH lex(w, lg) AS (VALUES {rows}),
+    hits AS (
+      SELECT t.doc_id, l.lg, count(*) AS score
+      FROM {_tokens(d)} t JOIN lex l ON t.tok = l.w
+      GROUP BY t.doc_id, l.lg
+    ),
+    ranked AS (
+      SELECT doc_id, lg, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lg) AS rn
+      FROM hits
+    )
+    SELECT r.doc_id, r.lg AS predicted, r.score, dd.lang AS labeled
+    FROM ranked r JOIN documents dd ON dd.doc_id = r.doc_id
+    WHERE rn = 1
+    """
+
+
+sql_template("q_langid", _langid,
+             "lexicon-hit language ID: per-lang score + argmax (n-gram heuristic)")
+
+
+# ---- quality scoring --------------------------------------------------------
+
+def _quality(d: str) -> str:
+    stop = "', '".join(LEXICON["en"] + LEXICON["de"])
+    toks = _tokens(d)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             count(*) AS n_tok,
+             count(DISTINCT tok) AS n_distinct,
+             avg(length(tok)) AS mean_tok_len,
+             sum(CASE WHEN tok IN ('{stop}') THEN 1 ELSE 0 END) AS stop_hits
+      FROM {toks} GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           dd.n_chars AS length_score,
+           round(t.mean_tok_len, 6) AS mean_tok_len,
+           round(cast(t.stop_hits as double) / t.n_tok, 6) AS stopword_ratio,
+           round(1.0 - cast(t.n_distinct as double) / t.n_tok, 6) AS dup_ratio
+    FROM tk t JOIN documents dd ON dd.doc_id = t.doc_id
+    """
+
+
+sql_template("q_quality_score", _quality,
+             "doc quality features: length, token stats, stopword + dup ratios")
+
+
+# ---- token counting ---------------------------------------------------------
+
+def _token_count(d: str) -> str:
+    ws = ("size(split(text, ' +'))" if d == D.SPARK
+          else "len(string_split_regex(text, ' +'))")
+    bpe = D.regexp_count("text", "'[a-z]{1,4}'", d)
+    return f"""
+    SELECT doc_id,
+           cast({ws} as bigint) AS ws_tokens,
+           cast({bpe} as bigint) AS bpe_units
+    FROM documents
+    """
+
+
+sql_template("q_token_count", _token_count,
+             "whitespace + BPE-ish regex token counting")
+
+
+# ---- fingerprinting ----------------------------------------------------------
+
+def _fingerprint(d: str) -> str:
+    if d == D.SPARK:
+        agg = "array_join(array_sort(collect_set(tok)), ' ')"
+    else:
+        agg = "string_agg(DISTINCT tok, ' ' ORDER BY tok)"
+    return f"""
+    SELECT doc_id, md5({agg}) AS fingerprint
+    FROM {_tokens(d)}
+    GROUP BY doc_id
+    """
+
+
+sql_template("q_doc_fingerprint", _fingerprint,
+             "order-insensitive document fingerprint: md5 of sorted token set")
+
+
+# ---- embedding similarity -----------------------------------------------------
+
+K_ANN = 5
+N_QUERIES = 4  # first N vec_ids are the query set
+
+
+def _dot(d: str, a: str, b: str) -> str:
+    if d == D.SPARK:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)")
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _ann_topk(d: str) -> str:
+    # brute-force cosine top-k: queries broadcast against the corpus; the
+    # IVF/LSH-bucketed scale path lives in unmixing_spark/text/similarity.py
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
+    cos = f"({dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS hit_id,
+             {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, hit_id, round(cos, 6) AS cos, rn
+    FROM scored WHERE rn <= {K_ANN}
+    """
+
+
+sql_template("q_ann_cosine_topk", _ann_topk,
+             "brute-force cosine top-k over embeddings (baseline ANN)",
+             tables=("embeddings",))
+
+
+def _embedding_neardup(d: str) -> str:
+    dot = _dot(d, "a.embedding", "b.embedding")
+    na = _dot(d, "a.embedding", "a.embedding")
+    nb = _dot(d, "b.embedding", "b.embedding")
+    cos = f"({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0)"
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} > 0.95
+    """
+
+
+sql_template("q_embedding_neardup", _embedding_neardup,
+             "embedding-cosine near-dup pairs (label-blocked)",
+             tables=("embeddings",))
