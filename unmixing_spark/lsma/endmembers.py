@@ -1,0 +1,160 @@
+"""Endmember induction: spectra gathers, convex hull, combination search.
+
+Candidate sets are tiny (tens of points — lsma.py:587-655 iterates
+itertools combinations), so the search itself is driver-side NumPy after a
+distributed spectra-gather join (queries/spatial_q.q_spectra_at_xy is the
+relational form; queries/linalg_q has the SQL cross-join forms). The
+hull composes under union (hull(A ∪ B) = hull(hull(A) ∪ hull(B))), so the
+scale path is per-partition hull → hull-of-hulls.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations, product
+
+import numpy as np
+
+from unmixing_spark.spatial.affine import GT, xy_to_pixel
+
+
+def spectra_at_idx(cube: np.ndarray, idx) -> np.ndarray:
+    """Gather spectra at (col, row) pixel indices from a (p, m, n) cube →
+    (q, p). Matches utils.spectra_at_idx (utils.py:1000-1009), which
+    indexes the HSI transpose by (x, y)."""
+    return np.array([cube[:, r, c] for c, r in idx])
+
+
+def spectra_at_xy(cube: np.ndarray, xy, gt: GT) -> np.ndarray:
+    """World coords → truncating pixel lookup → spectra (utils.py:1012-1033)."""
+    return spectra_at_idx(cube, xy_to_pixel(np.asarray(xy, dtype=np.float64), gt))
+
+
+def convex_hull(points, indices: bool = False):
+    """Convex hull in CCW order via Andrew's monotone chain; returns the
+    same vertex cycle as the reference's Graham scan (lsma.py:333-364),
+    starting from the lexicographically smallest point."""
+    pts = sorted(map(tuple, points))
+
+    def half(seq):
+        out: list[tuple] = []
+        for r in seq:
+            while len(out) > 1 and (
+                (out[-1][0] - out[-2][0]) * (r[1] - out[-2][1])
+                - (r[0] - out[-2][0]) * (out[-1][1] - out[-2][1])
+            ) <= 0:
+                out.pop()
+            if not out or out[-1] != r:
+                out.append(r)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    hull = lower + upper[1:-1]
+    if indices:
+        src = list(map(tuple, points))
+        return [src.index(h) for h in hull], hull
+    return hull
+
+
+def _candidate_groups(cases, cube, gt):
+    """cases may be a dict {class: [(x, y), ...]} (grouped product search,
+    lsma.py:616-632) or a flat coordinate sequence (combinations search,
+    lsma.py:634-644)."""
+    if isinstance(cases, dict):
+        groups = [[(xy, spectra_at_xy(cube, [xy], gt)[0]) for xy in v]
+                  for v in cases.values()]
+        return list(product(*groups))
+    cands = [(xy, spectra_at_xy(cube, [xy], gt)[0]) for xy in cases]
+    return list(combinations(cands, min(3, len(cands))))
+
+
+def endmembers_by_maximum_volume(cube, cases, ref_target=None, gt: GT = None):
+    """argmax |det| of the (q x q) spectra matrix over candidate combos
+    (lsma.py:461-498); optional fixed ref_target prepended (494-497)."""
+    combos = _candidate_groups(cases, cube, gt)
+    ref = None
+    if ref_target is not None:
+        ref = spectra_at_xy(cube, [ref_target], gt)[0]
+    best, best_v = None, -np.inf
+    for combo in combos:
+        spectra = [ref] if ref is not None else []
+        spectra += [s for _, s in combo]
+        k = len(spectra)
+        m = np.array([s[:k] for s in spectra], dtype=np.float64)
+        v = abs(np.linalg.det(m))
+        if v > best_v:
+            best_v, best = v, combo
+    coords = ([ref_target] if ref_target is not None else []) + [xy for xy, _ in best]
+    spectra = ([ref] if ref is not None else []) + [s for _, s in best]
+    return np.array(spectra), coords
+
+
+def endmembers_by_maximum_area(cube, cases, gt: GT = None):
+    """argmax triangle area 0.5*||cross(b-a, c-a)|| over combos
+    (lsma.py:432-458)."""
+    combos = _candidate_groups(cases, cube, gt)
+    best, best_a = None, -np.inf
+    for combo in combos:
+        if len(combo) < 3:
+            continue
+        a, b, c = (np.asarray(s[:3], dtype=np.float64) for _, s in combo[:3])
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+        if area > best_a:
+            best_a, best = area, combo
+    return np.array([s for _, s in best]), [xy for xy, _ in best]
+
+
+def endmembers_by_maximum_angle(cube, cases, ref_target, gt: GT = None):
+    """argmax angle at the fixed reference vertex between pairs of
+    candidate unit vectors — arccos of the clipped dot product
+    (lsma.py:367-429, angle calc at 384-392)."""
+    cands = [(xy, spectra_at_xy(cube, [xy], gt)[0]) for xy in
+             (cases if not isinstance(cases, dict) else
+              [xy for v in cases.values() for xy in v])]
+    ref = spectra_at_xy(cube, [ref_target], gt)[0].astype(np.float64)
+    best, best_ang = None, -np.inf
+    for (xy1, s1), (xy2, s2) in combinations(cands, 2):
+        u = np.asarray(s1, dtype=np.float64) - ref
+        v = np.asarray(s2, dtype=np.float64) - ref
+        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+        if nu == 0 or nv == 0:
+            continue
+        ang = np.arccos(np.clip(u @ v / (nu * nv), -1.0, 1.0))
+        if ang > best_ang:
+            best_ang, best = ang, ((xy1, s1), (xy2, s2))
+    spectra = [ref] + [s for _, s in best]
+    coords = [ref_target] + [xy for xy, _ in best]
+    return np.array(spectra), coords
+
+
+def hall_rectification(reference: np.ndarray, subject: np.ndarray,
+                       ref_sets: dict, sub_sets: dict, gt_ref: GT, gt_sub: GT,
+                       keys=("High/Bright", "Low/Dark"),
+                       nodata: float = -9999.0) -> np.ndarray:
+    """Radiometric rectification after Hall et al. (1991): per-band linear
+    map m·x + b fitted so the subject's bright/dark control-set means match
+    the reference's (lsma.py:523-584). NoData-filtered control means;
+    NoData re-stamped on output (577)."""
+    def control_mean(cube, coords, gt):
+        s = spectra_at_xy(cube, coords, gt)
+        return s[s[:, 0] != nodata].mean(axis=0)
+
+    bright_ref = control_mean(reference, ref_sets[keys[0]], gt_ref)
+    dark_ref = control_mean(reference, ref_sets[keys[1]], gt_ref)
+    mean_bright = control_mean(subject, sub_sets[keys[0]], gt_sub)
+    mean_dark = control_mean(subject, sub_sets[keys[1]], gt_sub)
+
+    m = (bright_ref - dark_ref) / (mean_bright - mean_dark)
+    b = (dark_ref * mean_bright - mean_dark * bright_ref) / (mean_bright - mean_dark)
+
+    p, mm, nn = subject.shape
+    out = (subject.reshape(p, -1) * m[:, None] + b[:, None]).reshape(p, mm, nn)
+    out[subject == nodata] = nodata
+    return out
+
+
+def combine_dicts(a: dict, b: dict) -> dict:
+    """Bag union of grouped candidate lists, no side effects
+    (utils.combine_dicts, utils.py:283-306)."""
+    keys = set(a) | set(b)
+    return {k: list(a.get(k, [])) + list(b.get(k, [])) for k in keys}

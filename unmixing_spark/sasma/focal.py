@@ -1,0 +1,134 @@
+"""Normalized-convolution focal interpolation + distributed halo exchange.
+
+The reference's stencil operator (sasma.interpolate_endmember_spectra,
+sasma.py:268-293): a weighted focal mean where zero-valued (masked) pixels
+contribute neither to the weighted sum nor to the weight normalizer;
+constant-0 padding outside the array.
+
+Distributed form (SURVEY.md §2.5 W3): focal windows cross tile borders, so
+each tile is joined with border strips of its 8 neighbors (halo exchange
+via GridSpec.neighbors) before a grouped-map UDF runs the kernel on the
+padded tile and emits only the interior. One shuffle (the halo join),
+kernel math stays in NumPy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unmixing_spark.spatial.grid import GridSpec, WORLD_GRID
+
+NODATA = -9999.0
+
+
+def normalized_convolution(band: np.ndarray, window: np.ndarray,
+                           cval: float = 0.0,
+                           nodata: float = NODATA) -> np.ndarray:
+    """Single-band weighted focal mean excluding zeros from the weight sum
+    (sasma.py:268-293 semantics). Direct vectorized convolution: one
+    shifted-add per kernel cell — O(w² · m · n), no scipy."""
+    m, n = band.shape[-2:]
+    b = band.reshape(m, n).astype(np.float64)
+    b = np.where(b == nodata, cval, b)
+    w = window.shape[-1]
+    r = w // 2
+    padded = np.pad(b, r, mode="constant", constant_values=cval)
+    num = np.zeros((m, n))
+    den = np.zeros((m, n))
+    nz = (padded != cval).astype(np.float64)
+    for di in range(w):
+        for dj in range(w):
+            wt = window.reshape(w, w)[di, dj]
+            if wt == 0.0:
+                continue
+            sub = padded[di:di + m, dj:dj + n]
+            num += wt * sub
+            den += wt * nz[di:di + m, dj:dj + n]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (num / den).reshape(1, m, n)
+
+
+def interpolate_endmember_map(spectra: np.ndarray, em_locations: np.ndarray,
+                              window: np.ndarray, q: int = 3, n: int = 2,
+                              labels=None, cval: float = 0.0,
+                              nodata: float = NODATA) -> list[np.ndarray]:
+    """Per (endmember class x band): mask spectra to class locations, focal-
+    interpolate, regroup bands by class (sasma.interpolate_endmember_map,
+    sasma.py:189-265). Executors replace the reference's per-map process
+    fan-out (sasma.py:245-252)."""
+    from itertools import product
+
+    from unmixing_spark.raster.masks import binary_mask
+
+    shp = spectra.shape
+    if labels is None:
+        labels = range(1, q + 1)
+    loc2d = em_locations.reshape(shp[1], shp[2])
+    masked = [
+        binary_mask(spectra[j].reshape(1, shp[1], shp[2]),
+                    np.where(loc2d == i, 1, 0), nodata=nodata, invert=True)
+        for i, j in product(labels, range(n))
+    ]
+    interpolated = [normalized_convolution(mm, window, cval, nodata)
+                    for mm in masked]
+    return [np.concatenate(interpolated[i * n:(i + 1) * n], axis=0)
+            for i in range(q)]
+
+
+def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
+                            band: int = 0, grid: GridSpec = WORLD_GRID,
+                            nodata: float = NODATA) -> DataFrame:
+    """Distributed focal interpolation with halo exchange.
+
+    tiles: (tile_id, p, m, n, bands). Each tile row is replicated to its
+    neighbors (grid.neighbors ring 1) tagged with the destination tile;
+    the grouped map assembles a 3x3 super-tile, convolves, emits the
+    interior. Halo width = kernel radius must be <= tile size."""
+    r = window.shape[-1] // 2
+    t = grid.tile
+    assert r <= t, "kernel radius exceeds tile size — raise ring count"
+    ntx = grid.ntx
+
+    @F.udf("array<long>")
+    def dest_tiles(tile_id):
+        return [tile_id] + grid.neighbors(int(tile_id), ring=1)
+
+    halo = (tiles.withColumn("dest", F.explode(dest_tiles("tile_id"))))
+
+    schema = "tile_id long, m int, n int, interp array<double>"
+
+    def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dest = int(key[0])
+        dty, dtx = divmod(dest, ntx)
+        sup = np.full((3 * t, 3 * t), 0.0)
+        center = None
+        for _, row in pdf.iterrows():
+            p, m, n = int(row["p"]), int(row["m"]), int(row["n"])
+            cube = np.asarray(row["bands"], dtype=np.float64).reshape(p, m, n)
+            b = np.where(cube[band] == nodata, 0.0, cube[band])
+            ty, tx = divmod(int(row["tile_id"]), ntx)
+            oy, ox = ty - dty + 1, tx - dtx + 1
+            if 0 <= oy < 3 and 0 <= ox < 3:
+                sup[oy * t:(oy + 1) * t, ox * t:(ox + 1) * t] = b
+            if int(row["tile_id"]) == dest:
+                center = True
+        if center is None:
+            # dest tile exists only as a neighbor's halo target — emit
+            # nothing (dtype-stable empty frame for Arrow)
+            return pd.DataFrame({
+                "tile_id": pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int32"),
+                "n": pd.Series([], dtype="int32"),
+                "interp": pd.Series([], dtype="object"),
+            })
+        out = normalized_convolution(sup, window, 0.0, nodata)[0]
+        interior = out[t:2 * t, t:2 * t]
+        return pd.DataFrame({"tile_id": [dest], "m": [t], "n": [t],
+                             "interp": [interior.ravel()]})
+
+    return halo.groupBy("dest").applyInPandas(_conv, schema)
