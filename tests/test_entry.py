@@ -21,7 +21,8 @@ def test_entry_abundances_sum_to_one(spark):
     import __spark_entry__ as ent
     rows = ent.entry(spark).limit(5).collect()
     for row in rows:
-        a = np.asarray(row["abundances"], dtype=np.float64).reshape(row["q"], row["m"] * row["n"])
+        a = np.asarray(row["abundances"], dtype=np.float64).reshape(
+            row["q"], len(row["idx"]))
         valid = a[0] != -9999.0
         if valid.any():
             sums = a[:, valid].sum(axis=0)

@@ -45,7 +45,9 @@ def epoch_to_ts(expr: str, dialect: str) -> str:
 def ts_to_epoch(expr: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"unix_timestamp({expr})"
-    return f"cast(epoch({expr}) as bigint)"
+    # floor before the cast: DuckDB's epoch() keeps fractional seconds and
+    # bigint casts ROUND, while Spark's unix_timestamp truncates
+    return f"cast(floor(epoch({expr})) as bigint)"
 
 
 def to_binary(expr: str, dialect: str) -> str:

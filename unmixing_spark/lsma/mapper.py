@@ -65,43 +65,59 @@ def unmix_cells(cells: DataFrame, endmembers: np.ndarray,
 
 
 ABUNDANCE_TILE_SCHEMA = (
-    "tile_id long, q int, m int, n int, abundances array<double>, "
-    "n_pixels long, mean_rmse double"
+    "tile_id long, q int, m int, n int, idx array<int>, "
+    "abundances array<double>, n_pixels long, mean_rmse double"
 )
 
 
 def unmix_tiles(tiles: DataFrame, endmembers: np.ndarray,
                 delta: float | None = None) -> DataFrame:
-    """FCLS per dense tile: tiles (tile_id, p, m, n, bands) → abundance
-    cubes (q, m, n) + per-tile metrics. NODATA pixels (band 0 sentinel,
-    lsma.py:794 filter rule) pass through as NODATA abundances
-    (re-stamping, lsma.py:577 pattern)."""
+    """FCLS per sparse tile: (tile_id, p, m, n, idx, bands) → abundance
+    tile (same sparse layout, q bands) + per-tile metrics. Pixels whose
+    band-0 value is NODATA are filtered (lsma.py:794 rule).
+
+    Vectorized across the whole Arrow batch: every tile's valid pixels
+    gather into ONE (N, p) matrix, one batched FCLS solve, scatter back.
+    Per-pixel independence makes the batching exact (and partition-
+    invariant — the reference's determinism test, tests.py:62-82)."""
     E = np.ascontiguousarray(np.asarray(endmembers, dtype=np.float64))
     q = E.shape[0]
 
     def _unmix(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                p, m, n = int(row["p"]), int(row["m"]), int(row["n"])
-                cube = np.asarray(row["bands"], dtype=np.float64).reshape(p, m, n)
-                flat = cube.reshape(p, m * n).T          # ravel, lsma.py:760-766
-                valid = flat[:, 0] != NODATA             # ravel_and_filter rule
-                out = np.full((m * n, q), NODATA, dtype=np.float64)
-                rmse = np.array([np.nan])
-                if valid.any():
-                    A = fcls_abundance(flat[valid], E, delta=delta)
-                    out[valid] = A
-                    R = predict_spectra_from_abundance(A, E)
-                    rmse = np.sqrt(np.mean((R - flat[valid]) ** 2, axis=1))
-                rows.append({
-                    "tile_id": int(row["tile_id"]), "q": q, "m": m, "n": n,
-                    "abundances": out.T.ravel(),         # (q, m, n) band-major
-                    "n_pixels": int(valid.sum()),
-                    "mean_rmse": float(np.mean(rmse)),
-                })
-            if rows:
-                yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            p = int(pdf["p"].iloc[0])
+            counts = np.array([len(i) for i in pdf["idx"]])
+            X = np.concatenate([np.asarray(b, dtype=np.float64).reshape(p, -1).T
+                                for b in pdf["bands"]]) if counts.sum() else \
+                np.zeros((0, p))
+            valid = X[:, 0] != NODATA if len(X) else np.zeros(0, bool)
+            A_all = np.full((len(X), q), NODATA, dtype=np.float64)
+            rmse_all = np.zeros(len(X))
+            if valid.any():
+                A = fcls_abundance(X[valid], E, delta=delta)
+                A_all[valid] = A
+                R = predict_spectra_from_abundance(A, E)
+                rmse_all[valid] = np.sqrt(np.mean((R - X[valid]) ** 2, axis=1))
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            abund, n_px, mean_rmse = [], [], []
+            for s, e in zip(starts, ends):
+                abund.append(A_all[s:e].T.ravel())          # (q, n_occ) band-major
+                v = valid[s:e]
+                n_px.append(int(v.sum()))
+                mean_rmse.append(float(rmse_all[s:e][v].mean()) if v.any() else float("nan"))
+            yield pd.DataFrame({
+                "tile_id": pdf["tile_id"].to_numpy(),
+                "q": np.full(len(pdf), q, dtype=np.int32),
+                "m": pdf["m"].to_numpy().astype(np.int32),
+                "n": pdf["n"].to_numpy().astype(np.int32),
+                "idx": pdf["idx"],
+                "abundances": abund,
+                "n_pixels": np.asarray(n_px, dtype=np.int64),
+                "mean_rmse": mean_rmse,
+            })
 
     return tiles.mapInPandas(_unmix, ABUNDANCE_TILE_SCHEMA)
 

@@ -1,0 +1,199 @@
+"""Engine-pipeline queries: MNF, PPI, SASMA, sampling, set ops, windows.
+
+MNF/PPI/SASMA are pandas-UDF pipelines (rows-only driver check; numeric
+verification in tests/); the rest carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark import dialect as D
+from unmixing_spark import pipeline
+from unmixing_spark.pagegen import BAND_NAMES, cell_raster_sql, geo_pages_sql
+from unmixing_spark.queries import QuerySpec, register, sql_template
+
+
+# ---- MNF (L1): two-pass distributed --------------------------------------
+
+def _mnf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.functions.mnf import (mnf_fit_distributed,
+                                              mnf_transform_distributed)
+    cells = pipeline.cell_raster(spark, sf_dir)
+    R, mu, snr = mnf_fit_distributed(cells, list(BAND_NAMES))
+    out = mnf_transform_distributed(cells, list(BAND_NAMES), R, mu)
+    return out.select("cell_id",
+                      *[F.round(f"mnf{i+1}", 5).alias(f"mnf{i+1}")
+                        for i in range(len(BAND_NAMES))])
+
+
+register("q_mnf_rotation", QuerySpec(
+    spark_fn=_mnf_components, oracle=None,
+    doc="two-pass distributed MNF rotation (Green 1988; transform.py:104-118)"))
+
+
+# ---- PPI (L2) --------------------------------------------------------------
+
+def _ppi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.lsma.ppi import ppi_distributed
+    cells = pipeline.cell_raster(spark, sf_dir)
+    return ppi_distributed(cells, list(BAND_NAMES), n_skewers=500, top=20)
+
+
+register("q_ppi_endmembers", QuerySpec(
+    spark_fn=_ppi_top, oracle=None,
+    doc="distributed Pixel Purity Index, seeded skewers (lsma.py:118-119)"))
+
+
+# ---- SASMA end-to-end (CART -> focal -> MESMA) ------------------------------
+
+def _sasma_unmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART-classified endmember classes per cell -> per-class mean spectra
+    as per-pixel endmembers -> MESMA unmix (sasma.py pipeline §3.2)."""
+    from unmixing_spark.lsma.mapper import unmix_cells_mesma
+    from unmixing_spark.sasma.learn import fit_cart, predict_cart
+
+    cells = pipeline.cell_raster(spark, sf_dir).cache()
+    labeled = cells.withColumn(
+        "em_label",
+        F.when(F.col("b1") >= 2.0, 2.0)
+        .when(F.col("b4") >= 50.0, 1.0).otherwise(0.0))
+    model = fit_cart(labeled, "em_label", ["b2", "b4", "b6"], max_depth=5)
+    classed = predict_cart(model, cells, ["b2", "b4", "b6"])
+    # per-class mean spectra (the synthetic endmember maps, collapsed)
+    means = (classed.groupBy("em_class")
+             .agg(*[F.avg(b).alias(b) for b in BAND_NAMES])
+             .collect())
+    by_class = {int(r["em_class"]): [float(r[b]) for b in BAND_NAMES]
+                for r in means}
+    classes = sorted(by_class)
+    q = 3
+    # per-pixel endmember tensor: own class first, then the others
+    def em_for(c):
+        order = [c] + [k for k in classes if k != c]
+        flat = []
+        for k in order[:q]:
+            flat += by_class[k]
+        while len(flat) < q * len(BAND_NAMES):
+            flat += by_class[classes[0]]
+        return flat
+    mapping = F.create_map(*[x for c in classes
+                             for x in (F.lit(c), F.array(*[F.lit(v) for v in em_for(c)]))])
+    with_em = classed.withColumn("endmembers", mapping[F.col("em_class")])
+    out = unmix_cells_mesma(with_em, list(BAND_NAMES), q=q)
+    return out.select("cell_id", *[F.round(f"a{i+1}", 5).alias(f"a{i+1}")
+                                   for i in range(q)])
+
+
+register("q_sasma_mesma", QuerySpec(
+    spark_fn=_sasma_unmix, oracle=None,
+    doc="SASMA: CART endmember classes -> per-pixel endmembers -> MESMA FCLS (sasma.py, lsma.py:159-177)"))
+
+
+# ---- deterministic sampling (O3/O4) -----------------------------------------
+
+def _sample(d: str) -> str:
+    # md5-threshold sampling: deterministic, engine-independent (the
+    # relational form of np.random.choice with a fixed seed, lsma.py:283)
+    h = D.md5_slice("url", 25, d)
+    return f"""
+    SELECT url, lang
+    FROM ({geo_pages_sql(d)})
+    WHERE ({h}) % 100 < 10
+    """
+
+
+sql_template("q_sample_10pct", _sample,
+             "deterministic 10% hash-sample (visualize.py:88-106, lsma.py:283)")
+
+
+# ---- relational set ops (T: MISSING in ref — supplied) -----------------------
+
+def _set_ops(d: str) -> str:
+    return f"""
+    WITH en AS (SELECT split_part(url, '/', 3) AS host FROM ({geo_pages_sql(d)}) WHERE lang = 'en'),
+    de AS (SELECT split_part(url, '/', 3) AS host FROM ({geo_pages_sql(d)}) WHERE lang = 'de')
+    SELECT 'intersect' AS op, cast(count(*) as bigint) AS n FROM (
+      SELECT DISTINCT host FROM en INTERSECT SELECT DISTINCT host FROM de)
+    UNION ALL
+    SELECT 'except' AS op, cast(count(*) as bigint) AS n FROM (
+      SELECT DISTINCT host FROM en EXCEPT SELECT DISTINCT host FROM de)
+    UNION ALL
+    SELECT 'union' AS op, cast(count(*) as bigint) AS n FROM (
+      SELECT DISTINCT host FROM en UNION SELECT DISTINCT host FROM de)
+    """
+
+
+sql_template("q_set_operations", _set_ops,
+             "UNION/INTERSECT/EXCEPT over host sets (SURVEY §2.7 MISSING row)")
+
+
+# ---- events tumbling window (streaming semantics, batch check) ----------------
+
+def _tumbling(d: str) -> str:
+    ep = D.ts_to_epoch("ts", d)
+    bucket = D.idiv(ep, "3600")
+    return f"""
+    SELECT {bucket} AS hour_bucket, event_type,
+           cast(count(*) as bigint) AS events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY {bucket}, event_type
+    """
+
+
+sql_template("q_events_tumbling_window", _tumbling,
+             "tumbling-window aggregation over the events stream table",
+             tables=("events",))
+
+
+# ---- per-row invariant through the full pipeline ------------------------------
+
+def _invariant_roundtrip(d: str) -> str:
+    # byte-identical text end-to-end (BASELINE input_hint): hash of text
+    # must be unchanged after the geocode/cell-encode pipeline
+    return f"""
+    SELECT g.url, {D.sha256_('g.text', d)} AS sha_after,
+           cast(g.cell_id as bigint) AS cell_id
+    FROM ({geo_pages_sql(d)}) g
+    """
+
+
+sql_template("q_text_invariant", _invariant_roundtrip,
+             "sha256(text) preserved through geocode+cell pipeline (input_hint per-row invariant)")
+
+
+# ---- TPC-H-style relational joins over the star schema -------------------------
+
+def _star_join(d: str) -> str:
+    return f"""
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           cast(count(*) as bigint) AS orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """
+
+
+sql_template("q_star_join", _star_join,
+             "multi-way broadcast star join + agg (relational completeness)",
+             tables=("orders", "customer", "nation"))
+
+
+def _semi_anti(d: str) -> str:
+    return f"""
+    SELECT 'with_orders' AS bucket, cast(count(*) as bigint) AS customers
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', cast(count(*) as bigint)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+
+sql_template("q_semi_anti_join", _semi_anti,
+             "semi/anti join (EXISTS / NOT EXISTS) — SURVEY §2.3 MISSING row",
+             tables=("customer", "orders"))

@@ -108,8 +108,8 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
         sup = np.full((3 * t, 3 * t), 0.0)
         center = None
         for _, row in pdf.iterrows():
-            p, m, n = int(row["p"]), int(row["m"]), int(row["n"])
-            cube = np.asarray(row["bands"], dtype=np.float64).reshape(p, m, n)
+            from unmixing_spark.raster.rasterize import tile_to_dense
+            cube = tile_to_dense(row)
             b = np.where(cube[band] == nodata, 0.0, cube[band])
             ty, tx = divmod(int(row["tile_id"]), ntx)
             oy, ox = ty - dty + 1, tx - dtx + 1

