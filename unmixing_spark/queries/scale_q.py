@@ -1,0 +1,143 @@
+"""Scale-path operators bridged to full SQL oracles.
+
+Each engine implementation here (pandas-UDF PIP, ring-candidate kNN,
+salted aggregation, LSH ANN) is registered with the DuckDB oracle of its
+*relational twin* — the driver then verifies the optimized physical
+strategy produces exactly the answer the declarative form defines. This is
+the engine's strongest correctness argument: same logical function, very
+different physical plan, bit-equal results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark import dialect as D
+from unmixing_spark import pipeline
+from unmixing_spark.pagegen import cell_raster_sql, geo_pages_sql
+from unmixing_spark.queries import QuerySpec, register, sql_template
+from unmixing_spark.queries.spatial_q import AOIS, QUERY_POINTS, _knn_join, _pip_join
+
+
+# ---- ring-candidate kNN vs the cross-join SQL twin --------------------------
+
+def _knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.spatial.joins import knn_join
+    cells = pipeline.cell_raster(spark, sf_dir)
+    out = knn_join(cells, QUERY_POINTS, k=5)
+    return out.select("name", "cell_id", F.round("d2", 8).alias("d2"), "rn")
+
+
+register("q_knn_ring_join", QuerySpec(
+    spark_fn=_knn_ring, oracle=_knn_join(D.DUCKDB),
+    doc="ring-candidate kNN (broadcast semi-join) vs cross-join oracle"))
+
+
+# ---- winding-number PIP vs the rectangle-predicate SQL twin -------------------
+
+def _pip_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.spatial.joins import point_in_polygon_join
+    geo = pipeline.geo_pages(spark, sf_dir)
+    polys = [(name, np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+             for name, x0, x1, y0, y1 in AOIS]
+    hit = point_in_polygon_join(geo, polys)
+    return (hit.groupBy(F.col("aoi").alias("name"), "lang")
+            .agg(F.count("*").alias("pages")))
+
+
+register("q_pip_winding_udf", QuerySpec(
+    spark_fn=_pip_udf, oracle=_pip_join(D.DUCKDB),
+    doc="winding-number PIP pandas UDF vs rectangle-predicate oracle (north rule)"))
+
+
+# ---- salted two-phase agg vs the plain groupBy twin ---------------------------
+
+def _salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.spatial.skew import salted_agg
+    geo = pipeline.geo_pages(spark, sf_dir)
+    out = salted_agg(geo, "tile_id",
+                     {"pages": ("count", "*"),
+                      "mean_len": ("avg", F.length("text")),
+                      "latest": ("max", "warc_epoch")},
+                     n_salts=16, salt_source="url")
+    return out.select("tile_id", F.col("pages").cast("long").alias("pages"),
+                      F.round("mean_len", 6).alias("mean_len"), "latest")
+
+
+def _salted_oracle(d: str) -> str:
+    return f"""
+    SELECT tile_id, cast(count(*) as bigint) AS pages,
+           round(avg(length(text)), 6) AS mean_len,
+           max(warc_epoch) AS latest
+    FROM ({geo_pages_sql(d)})
+    GROUP BY tile_id
+    """
+
+
+register("q_salted_hot_cells", QuerySpec(
+    spark_fn=_salted, oracle=_salted_oracle(D.DUCKDB),
+    doc="salted two-phase aggregation over skewed city tiles vs plain groupBy oracle"))
+
+
+# ---- closed-form 2-endmember FCLS (SQL-expressible unmixing) ------------------
+
+E2 = ([450.0, 85.0, 350.0], [60.0, 12.0, 10.0])  # (b2, b4, b6) endmembers
+
+
+def _fcls2(d: str) -> str:
+    """Exact sum-to-one + non-negativity FCLS for q=2: the 1-D constrained
+    least squares a1* = clip((x-e2)·(e1-e2)/||e1-e2||², 0, 1) — the
+    closed form of the Heinz-Chang problem at q=2, relationally."""
+    e1, e2 = E2
+    dvec = [a - b for a, b in zip(e1, e2)]
+    dd = sum(v * v for v in dvec)
+    num = " + ".join(
+        f"(b{bi} - {D.dbl(e2[i])}) * {D.dbl(dvec[i])}"
+        for i, bi in enumerate((2, 4, 6)))
+    a1 = f"least(greatest(({num}) / {D.dbl(dd)}, {D.dbl(0.0)}), {D.dbl(1.0)})"
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)})
+    SELECT cell_id,
+           round({a1}, 6) AS a1,
+           round({D.dbl(1.0)} - ({a1}), 6) AS a2
+    FROM cells
+    """
+
+
+sql_template("q_fcls2_closed_form", _fcls2,
+             "exact q=2 FCLS as closed-form SQL (Heinz & Chang 2001 at q=2)")
+
+
+# ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.similarity import ann_lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = ann_lsh_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=16)
+    return out.select("query_id", "hit_id", F.round("cos", 6).alias("cos"), "rn")
+
+
+register("q_ann_lsh_topk", QuerySpec(
+    spark_fn=_ann_lsh, oracle=None,
+    doc="LSH-bucketed approximate cosine top-k (scale path; recall vs brute force pinned in tests)"))
+
+
+# ---- MinHash dedup keep-list ---------------------------------------------------
+
+def _minhash_keep(d: str) -> str:
+    from unmixing_spark.queries.text_q import _minhash_lsh
+    return f"""
+    WITH pairs AS ({_minhash_lsh(d)})
+    SELECT d.doc_id,
+           CASE WHEN dropped.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE shared_bands >= 2) dropped
+      ON d.doc_id = dropped.doc_id
+    """
+
+
+sql_template("q_minhash_dedup_keep", _minhash_keep,
+             "near-dup keep-list: drop docs sharing >=2 LSH bands with a smaller doc_id")

@@ -1,0 +1,104 @@
+"""Embedding similarity search: brute-force baseline + LSH-bucketed scale path.
+
+Brute force (the oracle-checked baseline, queries/text_q.q_ann_cosine_topk)
+is O(Q·N) — fine for small Q, impossible at 10^12 corpus vectors. The scale
+path is random-hyperplane LSH (Charikar 2002): vectors bucket by the sign
+pattern of k seeded projections; queries probe only their own bucket (and
+optionally neighboring buckets by Hamming distance). The bucket join is a
+shuffle on the bucket key — candidates per query ≈ N / 2^k, tunable.
+
+An IVF variant (k-means coarse quantizer) would replace the hash with a
+nearest-centroid assignment; the join shape is identical, so LSH is the
+representative implementation here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def with_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 4,
+                     n_tables: int = 8, seed: int = 42,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Explode each row into its per-table LSH bucket keys.
+
+    OR-construction over ``n_tables`` independent sign-pattern hashes
+    (Charikar 2002 + Indyk-Motwani multi-table amplification): a candidate
+    pair is generated if ANY table buckets them together — recall
+    1-(1-p^k)^L where p = 1 - θ/π. Output rows: n_tables per input row,
+    keyed by (table, bucket)."""
+    H = hyperplanes(dim, n_planes * n_tables, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        signs = (X @ H) > 0                              # (N, k*L)
+        per_table = signs.reshape(len(X), -1, len(weights))  # (N, L, k)
+        codes = (per_table * weights).sum(axis=2)        # (N, L)
+        # disambiguate tables: bucket key = table * 2^k + code
+        keys = codes + (np.arange(codes.shape[1]) << len(weights))
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return (df.withColumn("lsh_bucket", F.explode(buckets(F.col(vec_col)))))
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                 n_planes: int = 4, n_tables: int = 16,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k by cosine within shared LSH buckets.
+
+    Both sides hash with the same seeded hyperplanes; the join is a bucket
+    equi-join (shuffle on the bucket key — candidates only, never all
+    pairs); duplicates from multiple tables collapse in the ranking
+    window; exact cosine re-ranks the candidates."""
+    c = with_lsh_buckets(corpus, dim, n_planes, n_tables, seed).alias("c")
+    q = with_lsh_buckets(queries, dim, n_planes, n_tables, seed).alias("q")
+    dot = F.aggregate(
+        F.zip_with(F.col("q.embedding"), F.col("c.embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.expr(f"transform({side}.embedding, x -> cast(x as double) * cast(x as double))"),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+    joined = (q.join(c, F.col("q.lsh_bucket") == F.col("c.lsh_bucket"))
+              .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+              .select(F.col("q.vec_id").alias("query_id"),
+                      F.col("c.vec_id").alias("hit_id"),
+                      (dot / (norm("q") * norm("c"))).alias("cos"))
+              .dropDuplicates(["query_id", "hit_id"]))  # multi-table dups
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact baseline: broadcast the query side, scan the corpus once."""
+    c = corpus.alias("c")
+    q = F.broadcast(queries).alias("q")
+    dot = F.aggregate(
+        F.zip_with(F.col("q.embedding"), F.col("c.embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.expr(f"transform({side}.embedding, x -> cast(x as double) * cast(x as double))"),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+    joined = (c.crossJoin(q)
+              .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+              .select(F.col("q.vec_id").alias("query_id"),
+                      F.col("c.vec_id").alias("hit_id"),
+                      (dot / (norm("q") * norm("c"))).alias("cos")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
