@@ -89,6 +89,13 @@ def dbl(x: float) -> str:
     return f"cast({x!r} as double)"
 
 
+def json_get(expr: str, key: str, dialect: str) -> str:
+    """Extract a JSON field as a string."""
+    if dialect == SPARK:
+        return f"get_json_object({expr}, '$.{key}')"
+    return f"json_extract_string({expr}, '$.{key}')"
+
+
 def median_(expr: str, dialect: str) -> str:
     """Interpolated median over doubles (Spark ``median`` == DuckDB
     ``quantile_cont(0.5)``; DuckDB's own ``median`` truncates DECIMALs)."""

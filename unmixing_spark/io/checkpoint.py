@@ -56,11 +56,28 @@ class BatchCheckpointer:
             shutil.rmtree(bdir)  # re-run of an uncommitted/failed batch
         t0 = time.time()
         df.write.mode("overwrite").parquet(bdir)
-        # per-partition metrics (lineage the north rule asks for)
-        n_rows = df.sparkSession.read.parquet(bdir).count()
+        # per-batch metrics: row count + per-numeric-column min/max/mean/std
+        # (the reference stamps these on every raster write — dump_raster,
+        # utils.py:582-614; Iceberg keeps them as column metrics)
+        written = df.sparkSession.read.parquet(bdir)
+        n_rows = written.count()
+        stats: dict[str, dict] = {}
+        num_cols = [f.name for f in written.schema.fields
+                    if f.dataType.typeName() in
+                    ("double", "float", "long", "integer", "short")]
+        if num_cols and n_rows:
+            from pyspark.sql import functions as F
+            row = written.agg(*[x for c in num_cols for x in (
+                F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
+                F.avg(c).alias(f"avg_{c}"), F.stddev(c).alias(f"std_{c}"),
+            )]).collect()[0]
+            stats = {c: {"min": row[f"min_{c}"], "max": row[f"max_{c}"],
+                         "mean": row[f"avg_{c}"], "std": row[f"std_{c}"]}
+                     for c in num_cols}
         manifest = {
             "batch_id": batch_id,
             "rows": n_rows,
+            "column_stats": stats,
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.time(),
             "lineage": lineage or {},

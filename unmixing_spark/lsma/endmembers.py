@@ -153,6 +153,47 @@ def hall_rectification(reference: np.ndarray, subject: np.ndarray,
     return out
 
 
+def nfindr(candidates: np.ndarray, q: int, max_iter: int = 10,
+           seed: int = 42) -> np.ndarray:
+    """N-FINDR endmember extraction (Winter 1999): iteratively swap
+    candidate pixels into a q-simplex to maximize |det| volume.
+
+    The reference wraps pysptools.eea.NFINDR (lsma.py:122-123); this is a
+    fresh implementation of the published algorithm over an explicit
+    candidate matrix (N, p) with p >= q-1 — run it on PPI survivors or a
+    sample, never the full table (the candidate pre-filter IS the
+    distributed stage; see lsma/ppi.py). Deterministic: seeded init,
+    first-improvement sweep order. Returns indices of the q endmembers."""
+    X = np.asarray(candidates, dtype=np.float64)[:, :q - 1]  # affine dim
+    n = len(X)
+    rng = np.random.default_rng(seed)
+    idx = list(rng.choice(n, size=q, replace=False))
+
+    def volume(ids):
+        # |det [1; x_i]| — simplex volume up to a constant
+        m = np.vstack([np.ones(q), X[ids].T])
+        return abs(np.linalg.det(m))
+
+    best = volume(idx)
+    for _ in range(max_iter):
+        improved = False
+        for pos in range(q):
+            cur = idx[pos]
+            for cand in range(n):
+                if cand in idx:
+                    continue
+                idx[pos] = cand
+                v = volume(idx)
+                if v > best + 1e-12:
+                    best = v
+                    cur = cand
+                    improved = True
+            idx[pos] = cur
+        if not improved:
+            break
+    return np.array(sorted(idx))
+
+
 def combine_dicts(a: dict, b: dict) -> dict:
     """Bag union of grouped candidate lists, no side effects
     (utils.combine_dicts, utils.py:283-306)."""

@@ -1,0 +1,230 @@
+"""Coverage-completing queries: as-of join, JSON, regexp, percentile
+windows, bilinear regrid, anti-filter, forward-model validation.
+
+Closes the remaining SURVEY.md §2 checklist lines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark import dialect as D
+from unmixing_spark import pipeline
+from unmixing_spark.pagegen import BAND_NAMES, cell_raster_sql, geo_pages_sql
+from unmixing_spark.queries import QuerySpec, register, sql_template
+from unmixing_spark.spatial.grid import WORLD_GRID
+
+
+# ---- as-of join (§2.3 MISSING row) ------------------------------------------
+
+def _asof_oracle(d: str) -> str:
+    """Each order matched to the user's latest event at-or-before the order
+    date. DuckDB has native ASOF JOIN; the Spark rendering expresses the
+    identical semantics with a ranked window over a range join."""
+    oe = D.ts_to_epoch("o.o_orderdate", d)
+    ee = D.ts_to_epoch("e.ts", d)
+    if d == D.DUCKDB:
+        return f"""
+        SELECT o.o_orderkey, e.event_id AS last_event
+        FROM orders o
+        ASOF JOIN events e
+          ON (o.o_custkey % 50) = e.user_id AND {oe} >= {ee}
+        """
+    return f"""
+    SELECT o_orderkey, last_event FROM (
+      SELECT o.o_orderkey, e.event_id AS last_event,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY {ee} DESC, e.event_id DESC) AS rn
+      FROM orders o JOIN events e
+        ON (o.o_custkey % 50) = e.user_id AND {oe} >= {ee}
+    ) WHERE rn = 1
+    """
+
+
+sql_template("q_asof_join", _asof_oracle,
+             "as-of join: latest event at-or-before each order (§2.3 MISSING row)",
+             tables=("orders", "events"))
+
+
+# ---- JSON ingest (F3) ----------------------------------------------------------
+
+def _json_ingest(d: str) -> str:
+    k = D.json_get("props", "k", d)
+    return f"""
+    SELECT event_type,
+           cast(count(*) as bigint) AS events,
+           cast(sum(cast({k} as bigint)) as bigint) AS k_total,
+           cast(max(cast({k} as bigint)) as bigint) AS k_max
+    FROM events
+    GROUP BY event_type
+    """
+
+
+sql_template("q_json_ingest", _json_ingest,
+             "JSON property extraction + agg (F3; utils.py:848-869 json surface)",
+             tables=("events",))
+
+
+# ---- regexp extraction (F1) -----------------------------------------------------
+
+def _regexp_extract(d: str) -> str:
+    # date-keyword extraction from a path-like string (visualize.py:59-61
+    # pattern: digits between separators) — here: doc id from the url path
+    return f"""
+    SELECT lang,
+           cast(sum(cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)) as bigint) AS id_sum,
+           cast(count(*) as bigint) AS n
+    FROM ({geo_pages_sql(d)})
+    GROUP BY lang
+    """
+
+
+sql_template("q_regexp_extract", _regexp_extract,
+             "regexp keyword extraction from url strings (F1; visualize.py:59-61)")
+
+
+# ---- percentile / rank windows (W5) ----------------------------------------------
+
+def _percent_rank(d: str) -> str:
+    # SASMA notebook cell 26: top-10% brightness AND bottom-50% greenness
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    ranked AS (
+      SELECT cell_id, b2, b4,
+             percent_rank() OVER (ORDER BY b2, cell_id) AS pr_b2,
+             percent_rank() OVER (ORDER BY b4, cell_id) AS pr_b4
+      FROM cells
+    )
+    SELECT cell_id, round(pr_b2, 6) AS pr_b2, round(pr_b4, 6) AS pr_b4
+    FROM ranked
+    WHERE pr_b2 >= 0.9 AND pr_b4 <= 0.5
+    """
+
+
+sql_template("q_percentile_window", _percent_rank,
+             "percent_rank window cleanup (W5; SASMA notebook percentile filter)")
+
+
+# ---- anti-filter (P13) --------------------------------------------------------------
+
+def _anti_filter(d: str) -> str:
+    # visualize.__filter_spectra_at__ (visualize.py:110-122): drop the
+    # pixel(s) matching a reference spectrum — anti-join on the feature key
+    g = WORLD_GRID
+    target = g.cell_sql(D.dbl(-74.0), D.dbl(40.7))
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)})
+    SELECT cast(count(*) as bigint) AS remaining,
+           cast(sum(CASE WHEN cell_id = {target} THEN 1 ELSE 0 END) as bigint) AS target_left
+    FROM cells WHERE cell_id != {target}
+    """
+
+
+sql_template("q_anti_filter_spectra", _anti_filter,
+             "anti-predicate: drop the reference pixel (visualize.py:110-122)")
+
+
+# ---- subarray exists-filter (P2) -----------------------------------------------------
+
+def _subarray(d: str) -> str:
+    # utils.subarray keep rule: pixel kept if not-NoData in ANY band
+    # ((arr != v).any(axis=0), utils.py:1095) — as an exists-style OR filter
+    cond = " OR ".join(f"{b} != -9999.0" for b in BAND_NAMES)
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    stamped AS (
+      SELECT cell_id,
+             CASE WHEN b1 < 2.0 THEN -9999.0 ELSE b1 END AS b1,
+             CASE WHEN b2 > 400.0 THEN -9999.0 ELSE b2 END AS b2,
+             b3, b4, b5, b6
+      FROM cells
+    )
+    SELECT cast(count(*) as bigint) AS kept
+    FROM stamped WHERE {cond}
+    """
+
+
+sql_template("q_subarray_filter", _subarray,
+             "keep pixels not-NoData in ANY band (utils.subarray, utils.py:1067-1101)")
+
+
+# ---- bilinear regrid (J2 full semantics) ----------------------------------------------
+
+def _bilinear_regrid(d: str) -> str:
+    """intersect_rasters with bilinear resampling (utils.py:676-731 uses
+    gdal.ReprojectImage bilinear): coarse grid (4x) values sampled back to
+    fine cells as the weighted mean of the 4 surrounding coarse centers —
+    closed-form in SQL, no UDF."""
+    g = WORLD_GRID
+    f = 4
+    coarse_deg = D.dbl(g.deg * f)
+    # fine-cell center in coarse fractional grid coords (offset so that
+    # integer values land on coarse cell centers)
+    cx = f"((({g.cell_to_ix('c.cell_id')}) + {D.dbl(0.5)}) / {f} - {D.dbl(0.5)})"
+    cy = f"((({g.cell_to_iy('c.cell_id')}) + {D.dbl(0.5)}) / {f} - {D.dbl(0.5)})"
+    nxc = g.nx // f
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    coarse AS (
+      SELECT {g.parent_cell_sql('cell_id', f)} AS ccell, avg(b2) AS v
+      FROM cells GROUP BY {g.parent_cell_sql('cell_id', f)}
+    ),
+    frac AS (
+      SELECT c.cell_id, {cx} AS fx, {cy} AS fy,
+             cast(floor({cx}) as bigint) AS x0, cast(floor({cy}) as bigint) AS y0
+      FROM cells c
+    ),
+    corners AS (
+      SELECT f2.cell_id, f2.fx, f2.fy, f2.x0, f2.y0,
+             q00.v AS v00, q10.v AS v10, q01.v AS v01, q11.v AS v11
+      FROM frac f2
+      LEFT JOIN coarse q00 ON q00.ccell = f2.y0 * {nxc} + f2.x0
+      LEFT JOIN coarse q10 ON q10.ccell = f2.y0 * {nxc} + f2.x0 + 1
+      LEFT JOIN coarse q01 ON q01.ccell = (f2.y0 + 1) * {nxc} + f2.x0
+      LEFT JOIN coarse q11 ON q11.ccell = (f2.y0 + 1) * {nxc} + f2.x0 + 1
+    )
+    SELECT cell_id,
+           round(coalesce(v00, {D.dbl(0.0)}) * (1 - (fx - x0)) * (1 - (fy - y0))
+               + coalesce(v10, {D.dbl(0.0)}) * (fx - x0) * (1 - (fy - y0))
+               + coalesce(v01, {D.dbl(0.0)}) * (1 - (fx - x0)) * (fy - y0)
+               + coalesce(v11, {D.dbl(0.0)}) * (fx - x0) * (fy - y0), 6) AS b2_bilinear
+    FROM corners
+    """
+
+
+sql_template("q_bilinear_regrid", _bilinear_regrid,
+             "grid-to-grid join with bilinear resampling (intersect_rasters, utils.py:676-731)")
+
+
+# ---- forward-model validation (L5; rows-only: needs FCLS) ------------------------------
+
+def _forward_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_by_forward_model (lsma.py:232-297): unmix, forward-model
+    R = A·E, deterministic hash-sampled RMSE (np.random.choice analogue,
+    lsma.py:283)."""
+    ab = pipeline.flagship_abundance_cells(spark, sf_dir)
+    sampled = ab.filter(F.abs(F.hash("cell_id")) % 10 < 3)
+    return sampled.agg(
+        F.count("*").alias("sampled"),
+        F.round(F.sqrt(F.avg(F.col("rmse") ** 2)), 4).alias("rmse_overall"))
+
+
+register("q_forward_model_validation", QuerySpec(
+    spark_fn=_forward_model, oracle=None,
+    doc="forward-model RMSE on a deterministic sample (lsma.py:232-297)"))
+
+
+# ---- approx distinct (§2.4 MISSING row; rows-only: approx by design) --------------------
+
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = pipeline.geo_pages(spark, sf_dir)
+    return geo.agg(
+        F.approx_count_distinct("cell_id", 0.02).alias("cells_approx"),
+        F.countDistinct("cell_id").alias("cells_exact"))
+
+
+register("q_approx_count_distinct", QuerySpec(
+    spark_fn=_approx_distinct, oracle=None,
+    doc="HLL approx distinct vs exact (§2.4 MISSING row; error bound pinned in tests)"))
