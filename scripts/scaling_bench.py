@@ -52,12 +52,22 @@ replicated = (docs.repartition(cores * 3)
               .drop("rep"))
 replicated.createOrReplaceTempView("documents")
 
+def run_pipeline():
+    cells = spark.sql(cell_raster_sql(D.SPARK))
+    tiles = assemble_tiles(cells, list(BAND_NAMES))
+    ab = unmix_tiles(tiles, pipeline.CANONICAL_ENDMEMBERS)
+    return ab.agg(F.count("*").alias("tiles"), F.sum("n_pixels").alias("px"),
+                  F.sum(F.round(F.col("mean_rmse"), 6)).alias("rmse_sum")).collect()[0]
+
+# warmup: identical plan on a small slice — JIT/codegen/python-worker spawn
+# happens here, so the timed section measures steady-state throughput (the
+# 100 TB-relevant quantity), not cold start
+docs.limit(200).createOrReplaceTempView("documents")
+run_pipeline()
+replicated.createOrReplaceTempView("documents")
+
 t0 = time.time()
-cells = spark.sql(cell_raster_sql(D.SPARK))
-tiles = assemble_tiles(cells, list(BAND_NAMES))
-ab = unmix_tiles(tiles, pipeline.CANONICAL_ENDMEMBERS)
-agg = ab.agg(F.count("*").alias("tiles"), F.sum("n_pixels").alias("px"),
-             F.sum(F.round(F.col("mean_rmse"), 6)).alias("rmse_sum")).collect()[0]
+agg = run_pipeline()
 wall = time.time() - t0
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
                   "tiles": agg["tiles"], "pixels": agg["px"],

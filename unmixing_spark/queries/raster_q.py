@@ -443,3 +443,22 @@ def _intersect_rasters(d: str) -> str:
 
 sql_template("q_intersect_rasters", _intersect_rasters,
              "regrid to coarser reference grid (utils.intersect_rasters, utils.py:676-731)")
+
+
+def _ravel_long(d: str) -> str:
+    # lsma.ravel / ravel_and_filter (lsma.py:760-796): the wide->long pivot
+    # (p,m,n) -> ((m*n), p) as a relational unpivot; NoData rows dropped by
+    # the band-0 rule. Portable unpivot via UNION ALL.
+    from unmixing_spark.pagegen import BAND_NAMES
+    arms = " UNION ALL ".join(
+        f"SELECT cell_id, '{b}' AS band, {b} AS value FROM cells"
+        for b in BAND_NAMES)
+    return f"""
+    {_cells(d)}
+    SELECT * FROM ({arms})
+    WHERE cell_id IN (SELECT cell_id FROM cells WHERE b1 != {NODATA})
+    """
+
+
+sql_template("q_ravel_long_pivot", _ravel_long,
+             "wide->long pivot with band-0 NoData filter (lsma.ravel_and_filter, lsma.py:769-796)")
