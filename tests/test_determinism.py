@@ -1,0 +1,106 @@
+"""Byte-level determinism gates, mirroring the reference's strictest test
+style (SHA-256 of the full output, tests.py:43-60) with OUR pinned hashes,
+plus distributed-vs-local parity for the halo focal window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from unmixing_spark.functions.mnf import mnf_rotate
+from unmixing_spark.lsma.endmembers import spectra_at_xy
+from unmixing_spark.lsma.fcls import fcls_abundance
+from unmixing_spark.tiffio import read_tiff
+
+FIX = "/root/reference/unmixing/test"
+
+# our own pinned golden (the reference pins pysptools+cvxopt bytes at
+# tests.py:43; ours pins our MNF + FC-NNLS pipeline at round(10))
+FCLS_SCENE_SHA256 = None  # set below after first computation
+
+
+def _scene_abundances():
+    arr, gt, nd = read_tiff(f"{FIX}/LT05_020030_merge_19950712_stack_clip.tiff")
+    out, _ = mnf_rotate(arr)
+    em_locs = [(326701, 4696895), (324978, 4699651), (328823, 4696835)]
+    endmembers = spectra_at_xy(out, em_locs, gt)
+    sub = out[:, 100:110, 100:110].reshape(6, -1).T
+    return fcls_abundance(sub[:, :2], endmembers[:, :2])
+
+
+def test_fcls_scene_sha256_pinned():
+    A = _scene_abundances()
+    h = hashlib.sha256(np.round(A, 10).tobytes()).hexdigest()
+    assert h == "d8d36a959d65cda79a2dc6031ec6bf4b352a1453e14e9323a5c6bc66e60aa692", h
+
+
+def test_fcls_scene_chunking_byte_equal():
+    """The reference's 1-vs-2-process test (tests.py:62-82): identical
+    bytes across chunk splits after round(10)."""
+    A = _scene_abundances()
+    arr, gt, nd = read_tiff(f"{FIX}/LT05_020030_merge_19950712_stack_clip.tiff")
+    out, _ = mnf_rotate(arr)
+    em_locs = [(326701, 4696895), (324978, 4699651), (328823, 4696835)]
+    endmembers = spectra_at_xy(out, em_locs, gt)
+    sub = out[:, 100:110, 100:110].reshape(6, -1).T
+    halves = np.vstack([fcls_abundance(sub[:50, :2], endmembers[:, :2]),
+                        fcls_abundance(sub[50:, :2], endmembers[:, :2])])
+    assert np.array_equal(np.round(A, 10), np.round(halves, 10))
+
+
+def test_focal_halo_matches_local(spark):
+    """Distributed halo-exchange focal interpolation must equal the
+    single-node normalized convolution on the stitched raster."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from unmixing_spark import pipeline
+    from unmixing_spark.pagegen import BAND_NAMES
+    from unmixing_spark.raster.rasterize import assemble_tiles, tile_to_dense
+    from unmixing_spark.sasma.focal import (focal_interpolate_tiles,
+                                            normalized_convolution)
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID as g
+
+    cells = pipeline.cell_raster(spark, "/root/testdata/sf0.001")
+    tiles = assemble_tiles(cells, list(BAND_NAMES)).cache()
+    window = kernel_idw_l1(5)
+    dist = {int(r["tile_id"]):
+            np.array([np.nan if v is None else v for v in r["interp"]],
+                     dtype=np.float64).reshape(g.tile, g.tile)
+            for r in focal_interpolate_tiles(tiles, window, band=1).collect()}
+
+    # build the full dense mosaic locally from the same tiles and convolve
+    rows = tiles.collect()
+    t = g.tile
+    tys = [r["tile_id"] // g.ntx for r in rows]
+    txs = [r["tile_id"] % g.ntx for r in rows]
+    y0, y1 = min(tys), max(tys)
+    x0, x1 = min(txs), max(txs)
+    mosaic = np.zeros(((y1 - y0 + 1) * t, (x1 - x0 + 1) * t))
+    for r in rows:
+        cube = tile_to_dense(r)
+        ty, tx = r["tile_id"] // g.ntx, r["tile_id"] % g.ntx
+        band = np.where(cube[1] == -9999.0, 0.0, cube[1])
+        mosaic[(ty - y0) * t:(ty - y0 + 1) * t,
+               (tx - x0) * t:(tx - x0 + 1) * t] = band
+    local = normalized_convolution(mosaic, window)[0]
+
+    checked = 0
+    for r in rows:
+        ty, tx = r["tile_id"] // g.ntx, r["tile_id"] % g.ntx
+        # compare only tiles whose full halo lies inside the mosaic AND
+        # whose neighbors in the world grid are all present in the mosaic
+        # region (mosaic edge tiles see zeros the distributed path may not)
+        if not (y0 < ty < y1 and x0 < tx < x1):
+            continue
+        want = local[(ty - y0) * t:(ty - y0 + 1) * t,
+                     (tx - x0) * t:(tx - x0 + 1) * t]
+        got = dist[r["tile_id"]]
+        both = np.isfinite(want) & np.isfinite(got)
+        assert np.allclose(got[both], want[both], atol=1e-10), r["tile_id"]
+        checked += 1
+    assert checked >= 1, "no interior tiles compared"
