@@ -29,8 +29,14 @@ HEADLINE = [
     "q_composite_reducers",
     "q_minhash_lsh_pairs",
     "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
     "q_point_in_polygon",
+    "q_pip_winding_udf",
     "q_knn_cells",
+    "q_knn_ring_join",
+    "q_salted_hot_cells",
+    "q_bilinear_regrid",
+    "q_simhash",
     "q_tasseled_cap",
     "q_dedup_latest_crawl",
 ]
@@ -44,8 +50,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
 
-    # warm the JVM + parquet footers once
+    # warm the JVM, parquet footers, AND the Python-UDF worker pool once so
+    # the timed section measures steady-state throughput, not worker spawn
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    import pandas as pd  # noqa: F401
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+     .mapInPandas(_noop, "id long").count())
 
     timings: dict[str, float] = {}
     n_tiles = 0
