@@ -197,3 +197,79 @@ def _semi_anti(d: str) -> str:
 sql_template("q_semi_anti_join", _semi_anti,
              "semi/anti join (EXISTS / NOT EXISTS) — SURVEY §2.3 MISSING row",
              tables=("customer", "orders"))
+
+# ---- classic LSMA end-to-end (SURVEY §3.1 entry point 1) ---------------------
+
+def _lsma_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical pipeline (tests.py:45-60 shape): mask ->
+    MNF rotation -> PPI endmember candidates -> spectra gather -> FCLS in
+    MNF space (q-1 component slice, lsma.py:190-197) -> forward-model RMSE.
+    All distributed; the only driver-side objects are the (p,p) rotation,
+    the candidate list, and the (q,p) endmember matrix."""
+    from unmixing_spark.functions.mnf import (mnf_fit_distributed,
+                                              mnf_transform_distributed)
+    from unmixing_spark.lsma.mapper import unmix_cells
+    from unmixing_spark.lsma.ppi import ppi_distributed
+
+    cells = pipeline.cell_raster(spark, sf_dir).cache()
+    bands = list(BAND_NAMES)
+    # mask: density-slice analogue — drop cells failing the QA predicate
+    masked = cells.filter((F.col("b2") > 0.0) & (F.col("b1") >= 1.0))
+    # MNF rotation (two-pass)
+    R, mu, snr = mnf_fit_distributed(masked, bands)
+    mnf = mnf_transform_distributed(masked, bands, R, mu).cache()
+    mnf_cols = [f"mnf{i+1}" for i in range(len(bands))]
+    # endmember induction: PPI top-3 in MNF space
+    import numpy as np
+    top = ppi_distributed(mnf, mnf_cols[:3], n_skewers=500, top=3).collect()
+    em_ids = [r["cell_id"] for r in top]
+    em_rows = (mnf.filter(F.col("cell_id").isin(em_ids))
+               .orderBy("cell_id").collect())
+    E = np.array([[r[c] for c in mnf_cols] for r in em_rows])
+    # FCLS on the q-1 leading MNF components (Settle & Drake constraint)
+    q = len(em_ids)
+    unmixed = unmix_cells(mnf, E[:, :q - 1], band_cols=mnf_cols[:q - 1])
+    return unmixed.select(
+        "cell_id",
+        *[F.round(f"a{i+1}", 5).alias(f"a{i+1}") for i in range(q)],
+        F.round("rmse", 4).alias("rmse"))
+
+
+register("q_lsma_classic_pipeline", QuerySpec(
+    spark_fn=_lsma_classic, oracle=None,
+    doc="classic LSMA end-to-end: mask->MNF->PPI->FCLS->RMSE (SURVEY §3.1; tests.py:45-60 shape)"))
+
+
+# ---- eigen spectrum / dimensionality (A10, visualize.py:265-277) --------------
+
+def _eigen_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance partials -> driver eigendecomposition ->
+    variance-explained spectrum (plot_eigenvalues data, visualize.py:265-277)."""
+    import numpy as np
+    from unmixing_spark.functions.mnf import mnf_fit_distributed
+
+    cells = pipeline.cell_raster(spark, sf_dir)
+    bands = list(BAND_NAMES)
+    # reuse the partial-covariance pass; signal covariance eigvals
+    from pyspark.sql import functions as F2
+    n = cells.count()
+    aggs = []
+    for i, a in enumerate(bands):
+        for b in bands[i:]:
+            aggs.append(F2.covar_samp(a, b).alias(f"c_{a}_{b}"))
+    row = cells.agg(*aggs).collect()[0]
+    S = np.zeros((len(bands), len(bands)))
+    for i, a in enumerate(bands):
+        for j in range(i, len(bands)):
+            S[i, j] = S[j, i] = row[f"c_{a}_{bands[j]}"]
+    w = np.linalg.eigvalsh(S)[::-1]
+    expl = w / w.sum()
+    return spark.createDataFrame(
+        [(i + 1, float(round(w[i], 4)), float(round(expl[i], 6)))
+         for i in range(len(w))],
+        "component int, eigenvalue double, variance_explained double")
+
+
+register("q_eigen_spectrum", QuerySpec(
+    spark_fn=_eigen_spectrum, oracle=None,
+    doc="covariance eigendecomposition / variance explained (A10; visualize.py:265-277)"))
