@@ -1,0 +1,77 @@
+"""Endmember combination search on the reference fixture (the reference's
+own tests only type-check these, tests.py:122-177; we pin behavior)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from unmixing_spark.functions.mnf import mnf_rotate
+from unmixing_spark.lsma.endmembers import (endmembers_by_maximum_angle,
+                                            endmembers_by_maximum_area,
+                                            endmembers_by_maximum_volume)
+from unmixing_spark.tiffio import read_tiff
+from tests.test_golden_fixtures import CASES, FIX
+
+
+@pytest.fixture(scope="module")
+def mnf7():
+    rast, gt, nd = read_tiff(f"{FIX}/multi7_raster.tiff")
+    out, _ = mnf_rotate(rast)
+    return out, gt
+
+
+def test_max_volume_grouped_dict(mnf7):
+    """Grouped-dict product search (lsma.py:616-632): one candidate per
+    class, the combo maximizing |det|."""
+    out, gt = mnf7
+    spectra, coords = endmembers_by_maximum_volume(out, CASES, gt=gt)
+    assert spectra.shape[0] == 3
+    # one coordinate from each class group
+    for (xy, group) in zip(coords, CASES.values()):
+        assert tuple(xy) in {tuple(g) for g in group}
+    # the winning combo really is the max over the product space
+    from itertools import product
+    from unmixing_spark.lsma.endmembers import spectra_at_xy
+    best = 0.0
+    for combo in product(*CASES.values()):
+        m = np.array([spectra_at_xy(out, [c], gt)[0][:3] for c in combo])
+        best = max(best, abs(np.linalg.det(m)))
+    got = abs(np.linalg.det(np.array([s[:3] for s in spectra])))
+    assert abs(got - best) < 1e-9
+
+
+def test_max_volume_with_ref_target(mnf7):
+    out, gt = mnf7
+    ref = (300953, 4682679)  # the reference test's fixed target (tests.py:160)
+    spectra, coords = endmembers_by_maximum_volume(
+        out, CASES["Vegetation"], ref_target=ref, gt=gt)
+    assert coords[0] == ref
+    assert spectra.shape[0] >= 3
+
+
+def test_max_area_flat_sequence(mnf7):
+    out, gt = mnf7
+    spectra, coords = endmembers_by_maximum_area(out, CASES["High/Bright"], gt=gt)
+    assert spectra.shape == (3, 6)
+    assert len({tuple(c) for c in coords}) == 3
+
+
+def test_max_angle(mnf7):
+    out, gt = mnf7
+    ref = (342683, 4703919)  # tests.py:172
+    spectra, coords = endmembers_by_maximum_angle(
+        out, CASES["Vegetation"], ref, gt=gt)
+    assert coords[0] == ref
+    assert spectra.shape[0] == 3
+    # the reported pair subtends a larger angle than any other pair
+    from itertools import combinations
+    from unmixing_spark.lsma.endmembers import spectra_at_xy
+    rv = spectra_at_xy(out, [ref], gt)[0]
+    def ang(a, b):
+        u = spectra_at_xy(out, [a], gt)[0] - rv
+        v = spectra_at_xy(out, [b], gt)[0] - rv
+        return np.arccos(np.clip(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)), -1, 1))
+    best = max(ang(a, b) for a, b in combinations(CASES["Vegetation"], 2))
+    got = ang(tuple(coords[1]), tuple(coords[2]))
+    assert abs(got - best) < 1e-12
