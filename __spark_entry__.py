@@ -5,6 +5,12 @@ sf0.001. ``queries()``/``oracle_sql()`` pair every SQL-expressible operator
 with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
+
+Current registry: 82 queries, 72 with full DuckDB oracles (88%); the 10
+rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
+SASMA-MESMA, LSH ANN, forward-model/eigen) whose numerics are verified in
+tests/ instead (golden fixtures + property tests + pinned SHA-256).
+Coverage map: docs/COVERAGE.md.
 """
 
 from __future__ import annotations
