@@ -101,8 +101,11 @@ def fcls_abundance(X: np.ndarray, E: np.ndarray, delta: float | None = None) -> 
     """FCLS abundances for pixels X (N, p) against endmembers E (q, p).
 
     Returns (N, q) with a_i >= 0 and sum_i a_i ≈ 1 (ASC enforced via the
-    Heinz-Chang δ-augmentation; δ defaults to 1/(10·max|E|), so the
-    sum-to-one row dominates the δ-scaled data rows).
+    Heinz-Chang δ-augmentation; δ defaults to 1/(1000·max|E|), so the
+    sum-to-one row dominates the δ-scaled data rows. This is a deliberate
+    deviation from the pysptools-conventional 1/(10·max|E|): the tighter δ
+    enforces ASC harder, and every pinned abundance / scene SHA-256 in the
+    determinism gates is locked to it — do not "fix" it back).
 
     Mirrors the reference's mapper contract (lsma.py:179-230): per-pixel
     independent, deterministic, NoData rows are the caller's concern

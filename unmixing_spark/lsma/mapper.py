@@ -15,8 +15,9 @@ process pool and Arrow batches replace pickled chunks:
   abundance cube per tile — the unit the BASELINE throughput metric counts.
 
 Determinism: per-pixel independence ⇒ output invariant to partitioning
-(reference pins this for 1 vs 2 processes, tests.py:62-82; we pin it for
-local[8] vs local[32] in tests/test_scaling.py).
+(reference pins this for 1 vs 2 processes, tests.py:62-82; we pin it
+across parallelism levels in scripts/scaling_bench.py and
+tests/test_determinism.py).
 """
 
 from __future__ import annotations
@@ -141,10 +142,14 @@ def unmix_cells_mesma(cells: DataFrame, band_cols: list[str],
             X = pdf[band_cols].to_numpy(dtype=np.float64)
             EM = np.stack(pdf[em_col].to_numpy()).reshape(len(pdf), q, p)
             A = np.empty((len(pdf), q))
-            # group pixels sharing an endmember matrix → batched solves
-            keys = np.array([hash(e.tobytes()) for e in EM])
-            for k in np.unique(keys):
-                idx = np.flatnonzero(keys == k)
+            # group pixels sharing an endmember matrix → batched solves;
+            # keyed by the exact bytes (not their hash) so distinct
+            # matrices can never silently collide into one group
+            groups: dict[bytes, list[int]] = {}
+            for i, e in enumerate(EM):
+                groups.setdefault(e.tobytes(), []).append(i)
+            for idxs in groups.values():
+                idx = np.asarray(idxs)
                 A[idx] = fcls_abundance(X[idx], EM[idx[0]])
             out = {c: pdf[c].to_numpy() for c in keep_cols}
             for i in range(q):

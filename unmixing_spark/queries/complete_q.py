@@ -21,17 +21,12 @@ from unmixing_spark.spatial.grid import WORLD_GRID
 
 def _asof_oracle(d: str) -> str:
     """Each order matched to the user's latest event at-or-before the order
-    date. DuckDB has native ASOF JOIN; the Spark rendering expresses the
-    identical semantics with a ranked window over a range join."""
+    date. Both dialects render the SAME ranked-window form: DuckDB's native
+    ASOF JOIN leaves the choice among equal-timestamp rows unspecified,
+    which would make the tie-break (event_id DESC here) an oracle-hash
+    coin-flip — so the oracle pins it with the identical window query."""
     oe = D.ts_to_epoch("o.o_orderdate", d)
     ee = D.ts_to_epoch("e.ts", d)
-    if d == D.DUCKDB:
-        return f"""
-        SELECT o.o_orderkey, e.event_id AS last_event
-        FROM orders o
-        ASOF JOIN events e
-          ON (o.o_custkey % 50) = e.user_id AND {oe} >= {ee}
-        """
     return f"""
     SELECT o_orderkey, last_event FROM (
       SELECT o.o_orderkey, e.event_id AS last_event,
@@ -99,7 +94,7 @@ def _percent_rank(d: str) -> str:
     )
     SELECT cell_id, round(pr_b2, 6) AS pr_b2, round(pr_b4, 6) AS pr_b4
     FROM ranked
-    WHERE pr_b2 >= 0.9 AND pr_b4 <= 0.5
+    WHERE pr_b2 >= {D.dbl(0.9)} AND pr_b4 <= {D.dbl(0.5)}
     """
 
 
@@ -131,13 +126,14 @@ sql_template("q_anti_filter_spectra", _anti_filter,
 def _subarray(d: str) -> str:
     # utils.subarray keep rule: pixel kept if not-NoData in ANY band
     # ((arr != v).any(axis=0), utils.py:1095) — as an exists-style OR filter
-    cond = " OR ".join(f"{b} != -9999.0" for b in BAND_NAMES)
+    nd = D.dbl(-9999.0)
+    cond = " OR ".join(f"{b} != {nd}" for b in BAND_NAMES)
     return f"""
     WITH cells AS ({cell_raster_sql(d)}),
     stamped AS (
       SELECT cell_id,
-             CASE WHEN b1 < 2.0 THEN -9999.0 ELSE b1 END AS b1,
-             CASE WHEN b2 > 400.0 THEN -9999.0 ELSE b2 END AS b2,
+             CASE WHEN b1 < {D.dbl(2.0)} THEN {nd} ELSE b1 END AS b1,
+             CASE WHEN b2 > {D.dbl(400.0)} THEN {nd} ELSE b2 END AS b2,
              b3, b4, b5, b6
       FROM cells
     )

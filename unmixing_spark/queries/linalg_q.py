@@ -90,7 +90,7 @@ def _max_area(d: str) -> str:
     return f"""
     WITH {_candidates(d)}
     SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
-           round(0.5 * abs({cross}), 4) AS area
+           round({D.dbl(0.5)} * abs({cross}), 4) AS area
     FROM cand a JOIN cand b ON a.cell_id < b.cell_id
                 JOIN cand c ON b.cell_id < c.cell_id
     ORDER BY abs({cross}) DESC, a.cell_id, b.cell_id, c.cell_id
@@ -110,7 +110,8 @@ def _max_angle(d: str) -> str:
     dot = "(a.s1 - r.m1) * (b.s1 - r.m1) + (a.s2 - r.m2) * (b.s2 - r.m2) + (a.s3 - r.m3) * (b.s3 - r.m3)"
     na = "sqrt((a.s1 - r.m1) * (a.s1 - r.m1) + (a.s2 - r.m2) * (a.s2 - r.m2) + (a.s3 - r.m3) * (a.s3 - r.m3))"
     nb = "sqrt((b.s1 - r.m1) * (b.s1 - r.m1) + (b.s2 - r.m2) * (b.s2 - r.m2) + (b.s3 - r.m3) * (b.s3 - r.m3))"
-    ang = f"acos(least(greatest(({dot}) / nullif(({na}) * ({nb}), 0), -1.0), 1.0))"
+    ang = (f"acos(least(greatest(({dot}) / nullif(({na}) * ({nb}), 0), "
+           f"{D.dbl(-1.0)}), {D.dbl(1.0)}))")
     return f"""
     WITH {_candidates(d)},
     r AS (SELECT avg(s1) m1, avg(s2) m2, avg(s3) m3 FROM cand)
@@ -132,7 +133,8 @@ def _subtract_normalize(d: str) -> str:
     # renormalize the rest by their sum
     return f"""
     WITH shares AS (
-      SELECT cell_id, b1 AS w1, b3 AS w2, least(b4 / 50.0, 3.0) AS w3
+      SELECT cell_id, b1 AS w1, b3 AS w2,
+             least(b4 / {D.dbl(50.0)}, {D.dbl(3.0)}) AS w3
       FROM ({cell_raster_sql(d)})
     )
     SELECT cell_id,
@@ -151,7 +153,8 @@ def _combine_normalize(d: str) -> str:
     # abundance bands then renormalize
     return f"""
     WITH shares AS (
-      SELECT cell_id, b1 AS w1, b3 AS w2, least(b4 / 50.0, 3.0) AS w3
+      SELECT cell_id, b1 AS w1, b3 AS w2,
+             least(b4 / {D.dbl(50.0)}, {D.dbl(3.0)}) AS w3
       FROM ({cell_raster_sql(d)})
     )
     SELECT cell_id,

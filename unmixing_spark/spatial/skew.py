@@ -40,15 +40,15 @@ def skew_report(df: DataFrame, key: str, top: int = 10,
 
 
 def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple[str, str]],
-               n_salts: int = 32, salt_source: str | None = None) -> DataFrame:
+               n_salts: int = 32, *, salt_source: str) -> DataFrame:
     """Two-phase aggregation with a salt column shredding hot keys.
 
     aggs: {out_name: (agg, col)} with agg in {sum, count, min, max, avg}.
-    salt_source: a column whose hash spreads rows (defaults to a
-    deterministic hash of all columns via monotonically varying input —
-    use a real column like url for reproducibility)."""
-    salt = (F.abs(F.hash(F.col(salt_source))) % n_salts if salt_source
-            else (F.monotonically_increasing_id() % n_salts))
+    salt_source: REQUIRED column whose hash spreads rows (e.g. url). A
+    row-content-independent salt (monotonically_increasing_id) would break
+    the engine's determinism-under-repartitioning invariant for avg/count
+    paths, so there is deliberately no default."""
+    salt = F.abs(F.hash(F.col(salt_source))) % n_salts
     phase1_aggs = []
     for out, (how, col) in aggs.items():
         if how == "avg":
