@@ -104,3 +104,69 @@ def test_focal_halo_matches_local(spark):
         assert np.allclose(got[both], want[both], atol=1e-10), r["tile_id"]
         checked += 1
     assert checked >= 1, "no interior tiles compared"
+
+
+def test_endmember_interp_fanout_matches_local(spark):
+    """Distributed per-(class x band) fan-out (interpolate_endmember_tiles)
+    must equal the single-node interpolate_endmember_map on the stitched
+    mosaic (sasma.py:189-265 semantics, exploded-key applyInPandas)."""
+    from pyspark.sql import functions as F
+
+    from unmixing_spark import pipeline
+    from unmixing_spark.raster.rasterize import assemble_tiles, tile_to_dense
+    from unmixing_spark.sasma.focal import (interpolate_endmember_map,
+                                            interpolate_endmember_tiles)
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID as g
+
+    cells = (pipeline.cell_raster(spark, "/root/testdata/sf0.001")
+             .withColumn("cls", F.when(F.col("b1") >= 2.0, 2.0)
+                         .when(F.col("b4") >= 50.0, 1.0).otherwise(0.0)))
+    tiles = assemble_tiles(cells, ["b2", "b4", "cls"]).cache()
+    window = kernel_idw_l1(5)
+    labels = [0, 1, 2]
+    out = interpolate_endmember_tiles(
+        tiles, window, class_band=2, spectral_bands=[0, 1], labels=labels)
+    dist = {(int(r["tile_id"]), int(r["em_class"]), int(r["band"])):
+            np.array([np.nan if v is None else v for v in r["interp"]],
+                     dtype=np.float64).reshape(g.tile, g.tile)
+            for r in out.collect()}
+
+    # stitch the mosaic (2 spectral bands + class band) and run the
+    # single-node reference kernel
+    rows = tiles.collect()
+    t = g.tile
+    tys = [r["tile_id"] // g.ntx for r in rows]
+    txs = [r["tile_id"] % g.ntx for r in rows]
+    y0, y1 = min(tys), max(tys)
+    x0, x1 = min(txs), max(txs)
+    H, W = (y1 - y0 + 1) * t, (x1 - x0 + 1) * t
+    spectra = np.zeros((2, H, W))
+    em_loc = np.full((1, H, W), -9999.0)
+    for r in rows:
+        cube = tile_to_dense(r)
+        ty, tx = r["tile_id"] // g.ntx, r["tile_id"] % g.ntx
+        sl = (slice((ty - y0) * t, (ty - y0 + 1) * t),
+              slice((tx - x0) * t, (tx - x0 + 1) * t))
+        for b in range(2):
+            spectra[b][sl] = np.where(cube[b] == -9999.0, 0.0, cube[b])
+        em_loc[0][sl] = cube[2]
+    synth = interpolate_endmember_map(spectra, em_loc, window,
+                                      q=3, n=2, labels=labels)
+
+    checked = 0
+    for r in rows:
+        ty, tx = r["tile_id"] // g.ntx, r["tile_id"] % g.ntx
+        if not (y0 < ty < y1 and x0 < tx < x1):
+            continue  # mosaic-edge tiles see zeros the halo path may not
+        sl = (slice((ty - y0) * t, (ty - y0 + 1) * t),
+              slice((tx - x0) * t, (tx - x0 + 1) * t))
+        for li, lab in enumerate(labels):
+            for b in range(2):
+                want = synth[li][b][sl]
+                got = dist[(int(r["tile_id"]), lab, b)]
+                both = np.isfinite(want) & np.isfinite(got)
+                assert np.allclose(got[both], want[both], atol=1e-10), \
+                    (r["tile_id"], lab, b)
+        checked += 1
+    assert checked >= 1, "no interior tiles compared"

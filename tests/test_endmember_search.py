@@ -42,19 +42,42 @@ def test_max_volume_grouped_dict(mnf7):
 
 
 def test_max_volume_with_ref_target(mnf7):
+    """Reference semantics (lsma.py:624/641): ref_target shrinks the
+    combination size to ndim-1, spectra truncate to ndim components, so
+    the matrix is square (3, 3) and the winner is the max over ALL
+    ref+pair combos."""
     out, gt = mnf7
     ref = (300953, 4682679)  # the reference test's fixed target (tests.py:160)
     spectra, coords = endmembers_by_maximum_volume(
         out, CASES["Vegetation"], ref_target=ref, gt=gt)
     assert coords[0] == ref
-    assert spectra.shape[0] >= 3
+    assert spectra.shape == (3, 3)
+    from itertools import combinations
+    from unmixing_spark.lsma.endmembers import spectra_at_xy
+    rv = spectra_at_xy(out, [ref], gt)[0][:3]
+    best = max(
+        abs(np.linalg.det(np.array(
+            [rv, spectra_at_xy(out, [a], gt)[0][:3],
+             spectra_at_xy(out, [b], gt)[0][:3]])))
+        for a, b in combinations(CASES["Vegetation"], 2))
+    assert abs(abs(np.linalg.det(spectra)) - best) < 1e-9
 
 
 def test_max_area_flat_sequence(mnf7):
+    """area_dim=2 reference default (lsma.py:433): 3-combinations scored
+    on the first two components, spectra truncated to ndim=3."""
     out, gt = mnf7
     spectra, coords = endmembers_by_maximum_area(out, CASES["High/Bright"], gt=gt)
-    assert spectra.shape == (3, 6)
+    assert spectra.shape == (3, 3)
     assert len({tuple(c) for c in coords}) == 3
+    from itertools import combinations
+    from unmixing_spark.lsma.endmembers import spectra_at_xy
+    def area2(xys):
+        a, b, c = (spectra_at_xy(out, [xy], gt)[0][:2] for xy in xys)
+        u, v = b - a, c - a
+        return 0.5 * abs(u[0] * v[1] - u[1] * v[0])
+    best = max(area2(t) for t in combinations(CASES["High/Bright"], 3))
+    assert abs(area2([tuple(c) for c in coords]) - best) < 1e-9
 
 
 def test_max_angle(mnf7):

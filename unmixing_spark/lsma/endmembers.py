@@ -56,31 +56,38 @@ def convex_hull(points, indices: bool = False):
     return hull
 
 
-def _candidate_groups(cases, cube, gt):
+def _candidate_groups(cases, cube, gt, ncom: int, ndim: int):
     """cases may be a dict {class: [(x, y), ...]} (grouped product search,
-    lsma.py:616-632) or a flat coordinate sequence (combinations search,
-    lsma.py:634-644)."""
+    lsma.py:616-632: ONE candidate from every group, regardless of ncom)
+    or a flat coordinate sequence (ncom-combinations, lsma.py:634-644).
+    Spectra are truncated to the leading ``ndim`` components at gather
+    time, exactly like iterate_endmember_combinations' ``[..., 0:ndim]``
+    slice (lsma.py:621, 637)."""
     if isinstance(cases, dict):
-        groups = [[(xy, spectra_at_xy(cube, [xy], gt)[0]) for xy in v]
+        groups = [[(xy, spectra_at_xy(cube, [xy], gt)[0][:ndim]) for xy in v]
                   for v in cases.values()]
         return list(product(*groups))
-    cands = [(xy, spectra_at_xy(cube, [xy], gt)[0]) for xy in cases]
-    return list(combinations(cands, min(3, len(cands))))
+    cands = [(xy, spectra_at_xy(cube, [xy], gt)[0][:ndim]) for xy in cases]
+    return list(combinations(cands, min(ncom, len(cands))))
 
 
-def endmembers_by_maximum_volume(cube, cases, ref_target=None, gt: GT = None):
-    """argmax |det| of the (q x q) spectra matrix over candidate combos
-    (lsma.py:461-498); optional fixed ref_target prepended (494-497)."""
-    combos = _candidate_groups(cases, cube, gt)
+def endmembers_by_maximum_volume(cube, cases, ref_target=None, ndim: int = 3,
+                                 gt: GT = None):
+    """argmax |det| of the (ndim x ndim) spectra matrix over candidate
+    combos (lsma.py:461-498). Reference semantics exactly: spectra are
+    truncated to ndim components, and a fixed ref_target (prepended,
+    494-497) shrinks the combination size to ndim-1 so the matrix stays
+    square (iterate_endmember_combinations, lsma.py:624/641)."""
     ref = None
     if ref_target is not None:
-        ref = spectra_at_xy(cube, [ref_target], gt)[0]
+        ref = spectra_at_xy(cube, [ref_target], gt)[0][:ndim]
+    ncom = ndim - (1 if ref is not None else 0)
+    combos = _candidate_groups(cases, cube, gt, ncom, ndim)
     best, best_v = None, -np.inf
     for combo in combos:
         spectra = [ref] if ref is not None else []
         spectra += [s for _, s in combo]
-        k = len(spectra)
-        m = np.array([s[:k] for s in spectra], dtype=np.float64)
+        m = np.array(spectra, dtype=np.float64)
         v = abs(np.linalg.det(m))
         if v > best_v:
             best_v, best = v, combo
@@ -89,16 +96,23 @@ def endmembers_by_maximum_volume(cube, cases, ref_target=None, gt: GT = None):
     return np.array(spectra), coords
 
 
-def endmembers_by_maximum_area(cube, cases, gt: GT = None):
-    """argmax triangle area 0.5*||cross(b-a, c-a)|| over combos
-    (lsma.py:432-458)."""
-    combos = _candidate_groups(cases, cube, gt)
+def endmembers_by_maximum_area(cube, cases, area_dim: int = 2,
+                               ndim: int = 3, gt: GT = None):
+    """argmax triangle area 0.5*||cross(b-a, c-a)|| over ndim-combinations,
+    scored on the leading ``area_dim`` components (lsma.py:432-458;
+    area_dim=2 is the reference default at 433)."""
+    combos = _candidate_groups(cases, cube, gt, ndim, ndim)
     best, best_a = None, -np.inf
     for combo in combos:
         if len(combo) < 3:
             continue
-        a, b, c = (np.asarray(s[:3], dtype=np.float64) for _, s in combo[:3])
-        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+        a, b, c = (np.asarray(s[:area_dim], dtype=np.float64)
+                   for _, s in combo[:3])
+        u, v = b - a, c - a
+        if area_dim == 2:  # np.cross on 2-vectors is removed in NumPy 2
+            area = 0.5 * abs(u[0] * v[1] - u[1] * v[0])
+        else:
+            area = 0.5 * np.linalg.norm(np.cross(u, v))
         if area > best_a:
             best_a, best = area, combo
     return np.array([s for _, s in best]), [xy for xy, _ in best]

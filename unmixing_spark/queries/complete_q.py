@@ -194,6 +194,65 @@ sql_template("q_bilinear_regrid", _bilinear_regrid,
              "grid-to-grid join with bilinear resampling (intersect_rasters, utils.py:676-731)")
 
 
+# ---- LEDAPS modal-keep mask (P8 second half) -------------------------------------------
+
+def _ledaps_modal_keep(d: str) -> str:
+    """mask_ledaps_qa (utils.py:796-845) FULL semantics: compute the modal
+    QA value, then the join-back filter — pixels whose QA differs from the
+    mode get NoData stamped across the bands (maskr[maskr != mode] = 0;
+    rastr[maskr == 0] = nodata). The mode is one broadcast row; the filter
+    is a constant-predicate projection over the big table."""
+    nd = D.dbl(-9999.0)
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    qa AS (SELECT cell_id, cast(b1 as bigint) AS qaval, b2, b4 FROM cells),
+    m AS (
+      SELECT qaval AS modal FROM (
+        SELECT qaval, row_number() OVER (ORDER BY count(*) DESC, qaval) AS rn
+        FROM qa GROUP BY qaval
+      ) WHERE rn = 1
+    )
+    SELECT q.cell_id,
+           CASE WHEN q.qaval = m.modal THEN q.b2 ELSE {nd} END AS b2_masked,
+           CASE WHEN q.qaval = m.modal THEN q.b4 ELSE {nd} END AS b4_masked,
+           CASE WHEN q.qaval = m.modal THEN 1 ELSE 0 END AS kept
+    FROM qa q CROSS JOIN m
+    """
+
+
+sql_template("q_ledaps_modal_keep", _ledaps_modal_keep,
+             "LEDAPS QA modal-keep: mode -> join-back NoData stamp (utils.py:796-845)")
+
+
+# ---- multi-source band stack (S4) -------------------------------------------------------
+
+def _stack_multisource(d: str) -> str:
+    """stack_hdf_as_array (utils.py:1036-1064): open N subdatasets of one
+    source and stack their bands into a (b, m, n) cube sharing one
+    GeoTransform. Relational form: N per-cell aggregations over the same
+    pages source (the 'subdatasets'), equi-joined on cell_id — the shared
+    grid IS the shared GeoTransform — emitting one band-stacked row per
+    cell. The join keys co-partition, so at scale this is a shuffle-free
+    merge of bucketed subdataset tables."""
+    return f"""
+    WITH sd1 AS ({cell_raster_sql(d)}),
+    sd2 AS (
+      SELECT cell_id,
+             cast(count(DISTINCT lang) as double) AS b7,
+             cast(count(DISTINCT split_part(url, '/', 3)) as double) AS b8
+      FROM ({geo_pages_sql(d)})
+      GROUP BY cell_id
+    )
+    SELECT s1.cell_id, s1.b1, s1.b2, s1.b3, s1.b4, s1.b5, s1.b6,
+           s2.b7, s2.b8, 8 AS p
+    FROM sd1 s1 JOIN sd2 s2 ON s1.cell_id = s2.cell_id
+    """
+
+
+sql_template("q_stack_multisource", _stack_multisource,
+             "multi-source band stack: N subdataset aggs joined on the shared grid (utils.py:1036-1064)")
+
+
 # ---- forward-model validation (L5; rows-only: needs FCLS) ------------------------------
 
 def _forward_model(spark: SparkSession, sf_dir: str) -> DataFrame:

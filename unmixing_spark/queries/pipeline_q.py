@@ -92,6 +92,35 @@ register("q_sasma_mesma", QuerySpec(
     doc="SASMA: CART endmember classes -> per-pixel endmembers -> MESMA FCLS (sasma.py, lsma.py:159-177)"))
 
 
+def _sasma_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed synthetic-endmember interpolation (W4): the reference's
+    q*n-process fan-out (sasma.py:245-252) as one exploded-key
+    applyInPandas over (tile, class, band) with halo exchange; parity with
+    the single-node kernel pinned in tests/test_determinism.py."""
+    from unmixing_spark.raster.rasterize import assemble_tiles
+    from unmixing_spark.sasma.focal import interpolate_endmember_tiles
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+
+    cells = (pipeline.cell_raster(spark, sf_dir)
+             .withColumn("cls", F.when(F.col("b1") >= 2.0, 2.0)
+                         .when(F.col("b4") >= 50.0, 1.0).otherwise(0.0)))
+    tiles = assemble_tiles(cells, ["b2", "b4", "cls"])
+    out = interpolate_endmember_tiles(
+        tiles, kernel_idw_l1(5), class_band=2, spectral_bands=[0, 1],
+        labels=[0, 1, 2])
+    return out.select(
+        "tile_id", "em_class", "band",
+        F.round(F.aggregate("interp", F.lit(0.0),
+                            lambda a, v: a + F.coalesce(
+                                F.nanvl(v, F.lit(0.0)), F.lit(0.0))), 4)
+        .alias("interp_sum"))
+
+
+register("q_sasma_interpolation", QuerySpec(
+    spark_fn=_sasma_interpolation, oracle=None,
+    doc="distributed per-(class x band) endmember interpolation fan-out (sasma.py:189-265, W4)"))
+
+
 # ---- deterministic sampling (O3/O4) -----------------------------------------
 
 def _sample(d: str) -> str:

@@ -140,3 +140,95 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
                              "interp": [interior.ravel()]})
 
     return halo.groupBy("dest").applyInPandas(_conv, schema)
+
+
+def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
+                                class_band: int, spectral_bands: list[int],
+                                labels: list[int],
+                                grid: GridSpec = WORLD_GRID,
+                                nodata: float = NODATA) -> DataFrame:
+    """Distributed interpolate_endmember_map (sasma.py:189-265): the
+    per-(endmember class × band) fan-out the reference runs as q·n
+    processes (sasma.py:245-252) becomes an exploded shuffle key
+    (dest_tile, em_class, band) — q·n·n_tiles independent groups, each a
+    3×3-supertile normalized convolution of ONE band masked to ONE class
+    (binary_mask invert=True semantics, sasma.py:242-244).
+
+    tiles: sparse payload (tile_id, p, m, n, idx, bands) where band
+    ``class_band`` holds the per-pixel class label and ``spectral_bands``
+    index the bands to synthesize. Before the shuffle each row is pruned
+    to exactly the (value band, class band) slices it needs — the halo
+    exchange ships 2/p of the payload per key. Output: one row per
+    (tile_id, em_class, band) with the interpolated interior; grouping
+    rows by (tile_id, em_class) regroups bands by class exactly like the
+    reference's concat (sasma.py:263-265)."""
+    r = window.shape[-1] // 2
+    t = grid.tile
+    assert r <= t, "kernel radius exceeds tile size — raise ring count"
+    ntx = grid.ntx
+    nty = (grid.ny + grid.tile - 1) // grid.tile
+
+    ty = F.floor(F.col("tile_id") / ntx)
+    tx = F.col("tile_id") % ntx
+    dests = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            y, x = ty + dy, tx + dx
+            valid = (y >= 0) & (y < nty) & (x >= 0) & (x < ntx)
+            dests.append(F.when(valid, (y * ntx + x).cast("long")))
+    keys = F.array(*[
+        F.struct(F.lit(lab).alias("em_class"), F.lit(b).alias("band"))
+        for lab in labels for b in spectral_bands])
+    n_occ = F.size("idx")
+    halo = (tiles
+            .withColumn("dest", F.explode(F.array_compact(F.array(*dests))))
+            .withColumn("kb", F.explode(keys))
+            .select("dest",
+                    F.col("kb.em_class").alias("em_class"),
+                    F.col("kb.band").alias("band"),
+                    "tile_id", "m", "n", "idx",
+                    F.slice("bands", F.col("kb.band") * n_occ + 1,
+                            n_occ).alias("vals"),
+                    F.slice("bands", F.lit(class_band) * n_occ + 1,
+                            n_occ).alias("cls")))
+
+    schema = ("tile_id long, em_class int, band int, m int, n int, "
+              "interp array<double>")
+
+    def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dest, label, band = int(key[0]), int(key[1]), int(key[2])
+        dty, dtx = divmod(dest, ntx)
+        sup = np.zeros((3 * t, 3 * t))
+        center = False
+        for tile_id, idx, vals, cls in zip(
+                pdf["tile_id"], pdf["idx"], pdf["vals"], pdf["cls"]):
+            tyy, txx = divmod(int(tile_id), ntx)
+            oy, ox = tyy - dty + 1, txx - dtx + 1
+            if int(tile_id) == dest:
+                center = True
+            if not (0 <= oy < 3 and 0 <= ox < 3):
+                continue
+            v = np.asarray(vals, dtype=np.float64)
+            c = np.asarray(cls, dtype=np.float64)
+            masked = np.where((c == label) & (v != nodata), v, 0.0)
+            block = np.zeros(t * t)
+            block[np.asarray(idx, dtype=np.int64)] = masked
+            sup[oy * t:(oy + 1) * t, ox * t:(ox + 1) * t] = \
+                block.reshape(t, t)
+        if not center:
+            return pd.DataFrame({
+                "tile_id": pd.Series([], dtype="int64"),
+                "em_class": pd.Series([], dtype="int32"),
+                "band": pd.Series([], dtype="int32"),
+                "m": pd.Series([], dtype="int32"),
+                "n": pd.Series([], dtype="int32"),
+                "interp": pd.Series([], dtype="object"),
+            })
+        out = normalized_convolution(sup, window, 0.0, nodata)[0]
+        interior = out[t:2 * t, t:2 * t]
+        return pd.DataFrame({"tile_id": [dest], "em_class": [label],
+                             "band": [band], "m": [t], "n": [t],
+                             "interp": [interior.ravel()]})
+
+    return (halo.groupBy("dest", "em_class", "band")
+            .applyInPandas(_conv, schema))
