@@ -230,3 +230,29 @@ def test_fcls_on_reference_scene(lt05):
     A2 = np.vstack([fcls_abundance(X[:37, :2], endmembers[:, :2]),
                     fcls_abundance(X[37:, :2], endmembers[:, :2])])
     assert np.allclose(A, A2, atol=1e-9)
+
+
+def test_spectra_at_xy_decimal_degrees():
+    """The reference's dd flag (utils.py:1030 via get_coord_transform,
+    utils.py:657-673): decimal-degree queries against the projected
+    fixture (EPSG:32617, tests.py:555) must gather the same spectra as
+    native UTM queries."""
+    import numpy as np
+
+    from unmixing_spark.spatial.reproject import (lonlat_from_utm,
+                                                  utm_from_lonlat)
+    rast, gt, nd = read_tiff(f"{FIX}/multi3_raster.tiff")
+    native = [(gt[0] + 10.5 * gt[1], gt[3] + 12.5 * gt[5]),
+              (gt[0] + 40.5 * gt[1], gt[3] + 33.5 * gt[5])]
+    e = np.array([p[0] for p in native])
+    n = np.array([p[1] for p in native])
+    lon, lat = lonlat_from_utm(e, n, 32617)
+    # closed-form reprojection round-trips to ~mm even at the far zone
+    # edge (this fixture sits at easting ~150 km, 3.5 deg off the central
+    # meridian) — vs the fixture's 3000 m pixels
+    e2, n2 = utm_from_lonlat(lon, lat, 32617)
+    assert np.abs(e2 - e).max() < 1e-2 and np.abs(n2 - n).max() < 1e-2
+    want = spectra_at_xy(rast, native, gt)
+    got = spectra_at_xy(rast, np.stack([lon, lat], axis=1), gt,
+                        dd=True, epsg=32617)
+    assert np.array_equal(got, want)

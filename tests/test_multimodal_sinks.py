@@ -26,11 +26,79 @@ def test_image_codec_roundtrip():
     assert (decode_image(encode_fake_image(arr)) == arr).all()
 
 
-def test_real_codecs_stubbed():
+def test_jpeg_stubbed_unknown_rejected():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with pytest.raises(ValueError):
         decode_image(b"GARBAGE!")
+
+
+def test_png_codec_roundtrip_real_bytes():
+    """Real PNG codec (stdlib zlib + RFC 2083 filters): encode→decode
+    round-trip for gray/GA/RGB/RGBA through decode_image's magic sniff."""
+    from unmixing_spark.text.multimodal import encode_png
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 255, (9, 5, c)).astype(np.uint8)
+        png = encode_png(arr)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert (decode_image(png) == arr).all(), c
+
+
+def test_png_all_filter_types():
+    """Decode a PNG whose scanlines use filters 1-4 (Sub/Up/Average/
+    Paeth), hand-assembled from the spec — NOT produced by our encoder —
+    so the filter reconstruction is exercised against independent bytes."""
+    import struct
+    import zlib
+
+    from unmixing_spark.text.multimodal import decode_png
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (5, 4, 3)).astype(np.uint8)
+    bpp = 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(12, dtype=int)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[y].reshape(-1).astype(int)
+        filt = np.zeros(12, dtype=int)
+        for i in range(12):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(a, b, c)}[ftype]
+            filt[i] = (line[i] - pred) % 256
+        raw.append(ftype)
+        raw.extend(int(v) for v in filt)
+        prev = line
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+
+def test_bmp_codec_roundtrip():
+    from unmixing_spark.text.multimodal import decode_bmp, encode_bmp
+    rng = np.random.default_rng(17)
+    # width 5 forces row padding (15 bytes -> pad 1)
+    arr = rng.integers(0, 255, (6, 5, 3)).astype(np.uint8)
+    bmp = encode_bmp(arr)
+    assert bmp[:2] == b"BM"
+    assert (decode_image(bmp) == arr).all()
+    assert (decode_bmp(bmp) == arr).all()
 
 
 def test_image_features_distributed(spark):
@@ -85,3 +153,55 @@ def test_sinks_wellformed():
     assert gj["type"] == "GeometryCollection" and len(gj["geometries"]) == 2
     wkt = footprint_to_wkt(0.0, 1.0, 0.0, 1.0)
     assert wkt.startswith("POLYGON ((") and wkt.count(",") == 4
+
+
+def test_kml_byte_equality_golden():
+    """Full-string KML golden on fixed input — the reference pins its
+    generated KML byte-equal to a fixture (tests.py:548-570)."""
+    got = pixels_to_kml([("px7", -74.0, -73.95, 40.7, 40.75),
+                         ("px9", 2.35, 2.4, 48.85, 48.9)])
+    want = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<kml xmlns="http://www.opengis.net/kml/2.2">\n<Document>\n'
+        '  <Placemark>\n    <name>px7</name>\n'
+        '    <Point><coordinates>-73.975000,40.725000,0</coordinates></Point>\n'
+        '  </Placemark>\n  <Placemark>\n    <name>px7-footprint</name>\n'
+        '    <Polygon><outerBoundaryIs><LinearRing><coordinates>'
+        '-74.000000,40.700000,0 -73.950000,40.700000,0 -73.950000,40.750000,0'
+        ' -74.000000,40.750000,0 -74.000000,40.700000,0'
+        '</coordinates></LinearRing></outerBoundaryIs></Polygon>\n'
+        '  </Placemark>\n  <Placemark>\n    <name>px9</name>\n'
+        '    <Point><coordinates>2.375000,48.875000,0</coordinates></Point>\n'
+        '  </Placemark>\n  <Placemark>\n    <name>px9-footprint</name>\n'
+        '    <Polygon><outerBoundaryIs><LinearRing><coordinates>'
+        '2.350000,48.850000,0 2.400000,48.850000,0 2.400000,48.900000,0'
+        ' 2.350000,48.900000,0 2.350000,48.850000,0'
+        '</coordinates></LinearRing></outerBoundaryIs></Polygon>\n'
+        '  </Placemark>\n</Document>\n</kml>\n')
+    assert got == want
+
+
+def test_point_shapefile_roundtrip(tmp_path):
+    """S8: hand-rolled ESRI Shapefile sink (get_idx_as_shp, lsma.py:92-115)
+    — valid header magic/shape type, exact coordinate round-trip, all four
+    sidecar files present."""
+    import struct
+
+    from unmixing_spark.io.shapefile import (read_point_shapefile,
+                                             write_point_shapefile)
+    pts = [("em1", -74.0, 40.7), ("em2", 2.35, 48.86), ("em3", 139.7, 35.68)]
+    base = tmp_path / "endmembers.shp"
+    write_point_shapefile(str(base), pts)
+    for ext in (".shp", ".shx", ".dbf", ".prj"):
+        assert base.with_suffix(ext).exists(), ext
+    got = read_point_shapefile(str(base))
+    assert got == [(x, y) for _, x, y in pts]
+    shp = base.read_bytes()
+    # declared file length (16-bit words, big-endian) matches actual bytes
+    assert struct.unpack(">i", shp[24:28])[0] * 2 == len(shp)
+    shx = base.with_suffix(".shx").read_bytes()
+    assert len(shx) == 100 + 8 * len(pts)
+    dbf = base.with_suffix(".dbf").read_bytes()
+    assert dbf[0] == 3 and struct.unpack("<I", dbf[4:8])[0] == len(pts)
+    assert b"em2" in dbf
+    assert base.with_suffix(".prj").read_text().startswith('GEOGCS["GCS_WGS_1984"')

@@ -24,9 +24,23 @@ def spectra_at_idx(cube: np.ndarray, idx) -> np.ndarray:
     return np.array([cube[:, r, c] for c, r in idx])
 
 
-def spectra_at_xy(cube: np.ndarray, xy, gt: GT) -> np.ndarray:
-    """World coords → truncating pixel lookup → spectra (utils.py:1012-1033)."""
-    return spectra_at_idx(cube, xy_to_pixel(np.asarray(xy, dtype=np.float64), gt))
+def spectra_at_xy(cube: np.ndarray, xy, gt: GT, dd: bool = False,
+                  epsg: int | None = None) -> np.ndarray:
+    """World coords → truncating pixel lookup → spectra (utils.py:1012-1033).
+
+    dd=True accepts decimal-degree coordinates against a projected raster,
+    like the reference's dd flag (utils.py:1030, via get_coord_transform,
+    utils.py:657-673): coordinates are reprojected closed-form to the
+    raster's UTM CRS (``epsg``, e.g. 32617 for the reference fixtures)
+    before the inverse-affine lookup."""
+    pts = np.asarray(xy, dtype=np.float64)
+    if dd:
+        if epsg is None:
+            raise ValueError("dd=True requires the raster's UTM epsg")
+        from unmixing_spark.spatial.reproject import utm_from_lonlat
+        e, n = utm_from_lonlat(pts[:, 0], pts[:, 1], epsg)
+        pts = np.stack([e, n], axis=1)
+    return spectra_at_idx(cube, xy_to_pixel(pts, gt))
 
 
 def convex_hull(points, indices: bool = False):

@@ -1,18 +1,25 @@
 """Multimodal columns: opaque binary payloads + typed metadata + UDF plumbing.
 
 Images/audio/video travel as `binary` columns with a metadata struct
-(modality, codec, width/height/duration) — the Spark-side plumbing
-(schemas, Arrow batch shapes, partitioning) is real and tested; the codec
-work itself is STUBBED (this container ships no image/audio libraries):
-`decode_image` raises NotImplementedError for real codecs and supports the
-deterministic `fake/raw` codec (header-described raw uint8 planes) that the
-tests and synthetic data use. On a real cluster the stub body is replaced
-by pillow/ffmpeg calls — the Spark plumbing does not change.
+(modality, codec, width/height/duration). The Spark-side plumbing
+(schemas, Arrow batch shapes, partitioning) is real and tested, and two
+REAL codecs are implemented from the public specs with only the stdlib:
+
+- PNG (RFC 2083): full 8-bit decode — chunk walk, zlib inflate, all five
+  scanline filters (None/Sub/Up/Average/Paeth) — for gray, gray+alpha,
+  RGB and RGBA; encode with filter 0 + zlib. Interlaced or <8-bit PNGs
+  raise NotImplementedError.
+- BMP (24-bit BI_RGB): bottom-up rows, 4-byte padding, BGR order.
+
+JPEG (DCT entropy coding) stays stubbed — it genuinely needs an image
+library; `decode_image` raises NotImplementedError for it. The
+deterministic `fake/raw` codec remains for synthetic video payloads.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -21,6 +28,129 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FAKE_MAGIC = b"FAKE"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, c) uint8 → PNG bytes (filter 0 scanlines, zlib deflate)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _png_unfilter(ftype: int, line: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (RFC 2083 §6: None/Sub/Up/Average/Paeth)."""
+    if ftype == 0:
+        return line
+    if ftype == 2:  # Up
+        return (line.astype(np.uint16) + prev) % 256
+    if ftype == 1:  # Sub — per-lane prefix sum mod 256
+        out = line.copy()
+        for lane in range(bpp):
+            out[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.uint64) % 256
+        return out
+    out = np.zeros_like(line)
+    if ftype == 3:  # Average
+        for i in range(len(line)):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(len(line)):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            cc = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (int(line[i]) + pred) % 256
+        return out
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8. 8-bit, non-interlaced only."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace}"
+            " not supported (8-bit non-interlaced gray/GA/RGB/RGBA only)")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        line = np.frombuffer(raw[p + 1:p + 1 + stride], dtype=np.uint8)
+        p += 1 + stride
+        prev = _png_unfilter(ftype, line, prev, c).astype(np.uint8)
+        out[y] = prev
+    return out.reshape(h, w, c)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP (bottom-up, BGR,
+    4-byte-padded rows)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "BMP writer is 24-bit RGB only"
+    pad = (-3 * w) % 4
+    rows = [arr[y, :, ::-1].tobytes() + b"\x00" * pad
+            for y in range(h - 1, -1, -1)]
+    pixels = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("BMP reader is 24-bit BI_RGB only")
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(data[offset:offset + stride * h],
+                         dtype=np.uint8).reshape(h, stride)[:, :3 * w]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]
+    return img[::-1] if flip else img
 
 
 def encode_fake_image(arr: np.ndarray) -> bytes:
@@ -33,14 +163,19 @@ def encode_fake_image(arr: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload → (h, w, c) uint8 array.
 
-    Real codecs are stubbed: PNG/JPEG need an image library not present in
-    this container."""
+    PNG and 24-bit BMP decode for real (stdlib implementations above);
+    JPEG stays stubbed — DCT entropy decoding genuinely needs an image
+    library not present in this container."""
     if payload[:4] == FAKE_MAGIC:
         h, w, c = struct.unpack("<HHB", payload[4:9])
         return np.frombuffer(payload[9:9 + h * w * c], dtype=np.uint8).reshape(h, w, c)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decode requires an image library (pillow) — not in this "
+            "JPEG decode requires an image library (pillow) — not in this "
             "container; the Spark plumbing is codec-agnostic")
     raise ValueError("unknown image codec")
 
