@@ -6,10 +6,11 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 82 queries, 72 with full DuckDB oracles (88%); the 10
+Current registry: 85 queries, 74 with full DuckDB oracles (87%); the 11
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
-SASMA-MESMA, LSH ANN, forward-model/eigen) whose numerics are verified in
-tests/ instead (golden fixtures + property tests + pinned SHA-256).
+SASMA-MESMA + distributed endmember interpolation, LSH ANN,
+forward-model/eigen) whose numerics are verified in tests/ instead
+(golden fixtures + property tests + pinned SHA-256 + single-node parity).
 Coverage map: docs/COVERAGE.md.
 """
 

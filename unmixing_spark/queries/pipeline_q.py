@@ -227,6 +227,55 @@ sql_template("q_semi_anti_join", _semi_anti,
              "semi/anti join (EXISTS / NOT EXISTS) — SURVEY §2.3 MISSING row",
              tables=("customer", "orders"))
 
+
+def _pricing_summary(d: str) -> str:
+    # TPC-H Q1 shape: the canonical map-side-combinable aggregation —
+    # partial aggs per scan partition, one tiny shuffle on the 4-row key
+    one = D.dbl(1.0)
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * ({one} - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * ({one} - l_discount) * ({one} + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           cast(count(*) as bigint) AS count_order
+    FROM lineitem
+    WHERE {D.ts_to_epoch('l_shipdate', d)} <= {D.ts_to_epoch("timestamp '1998-09-02 00:00:00'", d)}
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+sql_template("q_pricing_summary", _pricing_summary,
+             "TPC-H Q1-shape pricing summary: map-side-combined wide agg over lineitem",
+             tables=("lineitem",))
+
+
+def _shipping_priority(d: str) -> str:
+    # TPC-H Q3 shape: selective dim filters -> 3-way join -> agg -> top-k.
+    # customer/orders filters push to their scans; lineitem joins last.
+    one = D.dbl(1.0)
+    return f"""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * ({one} - l.l_discount)), 2) AS revenue,
+           {D.ts_to_epoch('o.o_orderdate', d)} AS orderdate_epoch
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND {D.ts_to_epoch('o.o_orderdate', d)} < {D.ts_to_epoch('l.l_shipdate', d)}
+    GROUP BY l.l_orderkey, {D.ts_to_epoch('o.o_orderdate', d)}
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """
+
+
+sql_template("q_shipping_priority", _shipping_priority,
+             "TPC-H Q3-shape: filtered 3-way join + agg + deterministic top-k",
+             tables=("customer", "orders", "lineitem"))
+
 # ---- classic LSMA end-to-end (SURVEY §3.1 entry point 1) ---------------------
 
 def _lsma_classic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,11 +51,16 @@ BANDS = 4    # 2 hashes per band
 
 def _shingles(d: str) -> str:
     """Exploded character shingles via a lateral sequence — vectorized,
-    no Python."""
+    no Python. The Spark rendering REPARTITIONs the (doc_id, text) input
+    first: the docs parquet is one small file → one scan task, and the
+    shingle+md5 stage is the heaviest map work in the suite — the hint
+    spreads it across the cluster for the price of shuffling the (tiny)
+    raw documents. At real scale the table has many files and AQE handles
+    this; the hint is still harmless."""
     if d == D.SPARK:
         return f"""(
       SELECT doc_id, substr(text, i, {SHINGLE}) AS sh
-      FROM documents
+      FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)
       LATERAL VIEW explode(sequence(1, greatest(length(text) - {SHINGLE} + 1, 1))) s AS i
     )"""
     return f"""(
@@ -68,20 +73,29 @@ def _shingles(d: str) -> str:
     )"""
 
 
+# universal-hash family for the minhash functions: ONE md5 per shingle
+# yields a 32-bit base hash x; the N_HASHES independent hash functions are
+# affine transforms h_i(x) = (a_i·(x mod P) + b_i) mod P over the Mersenne
+# prime P = 2^31-1 (Carter-Wegman; the standard minhash construction).
+# Pure int64 arithmetic — identical in Spark and DuckDB, no overflow:
+# a_i·(x mod P) < 2^62. This halves the md5 volume that dominated the
+# r1 headline bench (md5 was ~40% of q_minhash_lsh_pairs).
+_MH_P = (1 << 31) - 1
+_MH_A = [769238217, 1402943287, 951394049, 188291873,
+         1041411391, 661144247, 1937311721, 473297057]
+_MH_B = [423456791, 1836592021, 77711239, 1555588711,
+         264091997, 1946283019, 888777661, 1030405033]
+
+
 def _minhash_sig(d: str) -> str:
-    # one md5 yields FOUR 32-bit hash functions (4 disjoint 8-hex slices),
-    # so 8 minhashes cost 2 md5 calls per shingle, not 8 — the md5 work was
-    # ~30% of the whole headline bench before
+    base = D.md5_slice("sh", 1, d)  # 32-bit base hash, 1 md5 per shingle
     mins = ", ".join(
-        "min({0}) AS m{1}".format(
-            D.hex2int(f"substr(h{j // 4}, {1 + 8 * (j % 4)}, 8)", d), j)
+        f"min(({_MH_A[j]} * (x % {_MH_P}) + {_MH_B[j]}) % {_MH_P}) AS m{j}"
         for j in range(N_HASHES))
-    hashes = ", ".join(f"md5(sh || '#{t}') AS h{t}"
-                       for t in range(N_HASHES // 4))
     return f"""
     sig AS (
       SELECT doc_id, {mins}
-      FROM (SELECT doc_id, {hashes} FROM {_shingles(d)})
+      FROM (SELECT doc_id, {base} AS x FROM {_shingles(d)})
       GROUP BY doc_id
     )
     """

@@ -118,12 +118,13 @@ def explode_tiles(tiles: DataFrame, band_names: list[str],
             if len(pdf) == 0:
                 continue
             out_cells, out_bands = [], []
-            for _, row in pdf.iterrows():
-                idx = np.asarray(row["idx"], dtype=np.int64)
-                vals = np.asarray(row["bands"], dtype=np.float64).reshape(p, len(idx))
+            for tile_id, ridx, rbands in zip(pdf["tile_id"], pdf["idx"],
+                                             pdf["bands"]):
+                idx = np.asarray(ridx, dtype=np.int64)
+                vals = np.asarray(rbands, dtype=np.float64).reshape(p, len(idx))
                 keep = vals[0] != NODATA                 # band-0 filter rule
                 idx, vals = idx[keep], vals[:, keep]
-                ty, tx = divmod(int(row["tile_id"]), ntx)
+                ty, tx = divmod(int(tile_id), ntx)
                 r, c = idx // tile, idx % tile
                 out_cells.append((ty * tile + r) * nxc + (tx * tile + c))
                 out_bands.append(vals)

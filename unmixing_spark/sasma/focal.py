@@ -115,15 +115,17 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
         dty, dtx = divmod(dest, ntx)
         sup = np.full((3 * t, 3 * t), 0.0)
         center = None
-        for _, row in pdf.iterrows():
-            from unmixing_spark.raster.rasterize import tile_to_dense
-            cube = tile_to_dense(row)
-            b = np.where(cube[band] == nodata, 0.0, cube[band])
-            ty, tx = divmod(int(row["tile_id"]), ntx)
+        for tile_id, m_, n_, idx, bands_ in zip(
+                pdf["tile_id"], pdf["m"], pdf["n"], pdf["idx"], pdf["bands"]):
+            vals = np.asarray(bands_, dtype=np.float64).reshape(-1, len(idx))
+            block = np.full(int(m_) * int(n_), nodata)
+            block[np.asarray(idx, dtype=np.int64)] = vals[band]
+            b = np.where(block == nodata, 0.0, block).reshape(int(m_), int(n_))
+            ty, tx = divmod(int(tile_id), ntx)
             oy, ox = ty - dty + 1, tx - dtx + 1
             if 0 <= oy < 3 and 0 <= ox < 3:
                 sup[oy * t:(oy + 1) * t, ox * t:(ox + 1) * t] = b
-            if int(row["tile_id"]) == dest:
+            if int(tile_id) == dest:
                 center = True
         if center is None:
             # dest tile exists only as a neighbor's halo target — emit

@@ -30,16 +30,20 @@ STATE_SCHEMA = "seen array<string>"
 def _dedup_group(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
-    out = []
+    outs = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["warc_epoch", "url"])
-        for _, row in pdf.iterrows():
-            if row["url"] not in seen:
-                seen.add(row["url"])
-                out.append((row["url"], row["lang"], int(row["warc_epoch"])))
-    state.update((list(seen),))
-    if out:
-        yield pd.DataFrame(out, columns=["url", "lang", "warc_epoch"])
+        # vectorized first-seen: drop within-batch repeats, then rows whose
+        # url is already in cross-batch state
+        fresh = pdf[~pdf["url"].duplicated(keep="first")
+                    & ~pdf["url"].isin(seen)]
+        if len(fresh):
+            outs.append(fresh[["url", "lang", "warc_epoch"]]
+                        .astype({"warc_epoch": "int64"}))
+            seen.update(fresh["url"].tolist())
+    state.update((sorted(seen),))
+    if outs:
+        yield pd.concat(outs, ignore_index=True)
 
 
 def streaming_first_seen_dedup(pages: DataFrame) -> DataFrame:

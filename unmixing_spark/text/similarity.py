@@ -63,19 +63,24 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     window; exact cosine re-ranks the candidates."""
     c = with_lsh_buckets(corpus, dim, n_planes, n_tables, seed).alias("c")
     q = with_lsh_buckets(queries, dim, n_planes, n_tables, seed).alias("q")
+    # dedup multi-table candidate pairs BEFORE scoring so the cosine is
+    # computed once per unique (query, hit) pair, not once per shared table
+    cand = (q.join(c, F.col("q.lsh_bucket") == F.col("c.lsh_bucket"))
+            .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(F.col("q.vec_id").alias("query_id"),
+                    F.col("c.vec_id").alias("hit_id"),
+                    F.col("q.embedding").alias("q_emb"),
+                    F.col("c.embedding").alias("c_emb"))
+            .dropDuplicates(["query_id", "hit_id"]))
     dot = F.aggregate(
-        F.zip_with(F.col("q.embedding"), F.col("c.embedding"),
+        F.zip_with(F.col("q_emb"), F.col("c_emb"),
                    lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
-        F.expr(f"transform({side}.embedding, x -> cast(x as double) * cast(x as double))"),
+    norm2 = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.expr(f"transform({col}, x -> cast(x as double) * cast(x as double))"),
         F.lit(0.0).cast("double"), lambda acc, v: acc + v))
-    joined = (q.join(c, F.col("q.lsh_bucket") == F.col("c.lsh_bucket"))
-              .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-              .select(F.col("q.vec_id").alias("query_id"),
-                      F.col("c.vec_id").alias("hit_id"),
-                      (dot / (norm("q") * norm("c"))).alias("cos"))
-              .dropDuplicates(["query_id", "hit_id"]))  # multi-table dups
+    joined = cand.select("query_id", "hit_id",
+                         (dot / (norm2("q_emb") * norm2("c_emb"))).alias("cos"))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
     return (joined.withColumn("rn", F.row_number().over(w))
