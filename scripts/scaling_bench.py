@@ -120,7 +120,15 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-curated sections (methodology + headline notes)
+    tail = ""
+    if os.path.exists(md_path):
+        old = open(md_path).read()
+        cut = old.find("## Methodology notes")
+        if cut != -1:
+            tail = "\n" + old[cut:]
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH — measured numbers (this sandbox)
 
 Flagship job: pages → md5 geocode → grid cell aggregation → dense tile
@@ -142,7 +150,7 @@ round(6) per-tile RMSE sums identical across both levels: **{same}**
 
 Method: each level runs in a fresh JVM subprocess; identical input,
 identical code; shuffle partitions = 2x cores; AQE on.
-""")
+""" + tail)
 
 
 if __name__ == "__main__":

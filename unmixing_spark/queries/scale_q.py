@@ -81,6 +81,32 @@ register("q_salted_hot_cells", QuerySpec(
     doc="salted two-phase aggregation over skewed city tiles vs plain groupBy oracle"))
 
 
+# ---- explicit skew detection (north rule: skew DETECTED, not just handled) ----
+
+def _skew_report(d: str) -> str:
+    """Relational form of spatial/skew.skew_report: per-key row share and
+    skew factor (share / mean share) of the 10 hottest tiles. The city
+    hotspots the synthetic geocode plants (80% of pages in 8 cities) must
+    surface here — this is the detection side of the salting story."""
+    return f"""
+    WITH counts AS (
+      SELECT tile_id, count(*) AS n FROM ({geo_pages_sql(d)}) GROUP BY tile_id
+    ),
+    stats AS (SELECT avg(n) AS mean_n, sum(n) AS total FROM counts)
+    SELECT tile_id,
+           cast(n as bigint) AS n_pages,
+           round(cast(n as double) / total, 6) AS share,
+           round(cast(n as double) / mean_n, 2) AS skew_factor
+    FROM counts CROSS JOIN stats
+    ORDER BY n DESC, tile_id
+    LIMIT 10
+    """
+
+
+sql_template("q_skew_report", _skew_report,
+             "explicit hot-key skew detection: top-10 tiles by share + skew factor (spatial/skew.py)")
+
+
 # ---- closed-form 2-endmember FCLS (SQL-expressible unmixing) ------------------
 
 E2 = ([450.0, 85.0, 350.0], [60.0, 12.0, 10.0])  # (b2, b4, b6) endmembers
