@@ -62,16 +62,25 @@ def main() -> None:
     (spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
      .mapInPandas(_noop, "id long").count())
 
+    # best-of-RUNS per query, sampled as WHOLE-SUITE passes: this host
+    # carries variable external load in multi-minute slow windows
+    # (identical runs differ up to ~6x — see BENCH/BASELINE.md
+    # methodology). Interleaving the passes puts a query's samples
+    # minutes apart so at most one lands in a slow window; the per-query
+    # minimum is the reproducible steady-state cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     n_tiles = 0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        cnt = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if name == "q_fcls_tiles":
-            n_tiles = cnt
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            cnt = df.count()
+            wall = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), wall)
+            if name == "q_fcls_tiles":
+                n_tiles = cnt
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -83,6 +92,8 @@ def main() -> None:
         "sf": float(sf),
         "tiles": n_tiles,
         "tiles_per_sec": round(n_tiles / timings["q_fcls_tiles"], 2) if n_tiles else None,
+        "runs_per_query": runs,
+        "timing": "best-of-runs (noisy shared host; see BENCH/BASELINE.md)",
     }
     print(json.dumps(out))
 

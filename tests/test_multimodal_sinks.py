@@ -205,3 +205,18 @@ def test_point_shapefile_roundtrip(tmp_path):
     assert dbf[0] == 3 and struct.unpack("<I", dbf[4:8])[0] == len(pts)
     assert b"em2" in dbf
     assert base.with_suffix(".prj").read_text().startswith('GEOGCS["GCS_WGS_1984"')
+
+
+def test_image_features_over_real_png(spark):
+    """The distributed feature extractor must work on REAL codec payloads
+    (PNG through decode_image's magic sniff), not just the fake codec."""
+    from unmixing_spark.text.multimodal import encode_png, image_features
+    rng = np.random.default_rng(23)
+    rows = [(i, bytearray(encode_png(rng.integers(0, 255, (12, 9, 3))
+                                     .astype(np.uint8))))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, image binary")
+    out = image_features(df).orderBy("id").toPandas()
+    assert len(out) == 6
+    assert (out.height == 12).all() and (out.width == 9).all()
+    assert (out.channels == 3).all()
