@@ -170,3 +170,57 @@ def test_endmember_interp_fanout_matches_local(spark):
                     (r["tile_id"], lab, b)
         checked += 1
     assert checked >= 1, "no interior tiles compared"
+
+
+def test_multiring_halo_kernel_larger_than_tile(spark):
+    """Multi-ring halos (SURVEY §7.4.3): a kernel radius EXCEEDING the
+    tile size (the reference's 110 px SASMA window regime) must still
+    match the single-node convolution on the stitched mosaic. Uses a
+    small 8-cell-tile grid so radius 10 needs 2 halo rings."""
+    import pandas as pd
+    from unmixing_spark.raster.rasterize import assemble_tiles, tile_to_dense
+    from unmixing_spark.sasma.focal import (focal_interpolate_tiles,
+                                            normalized_convolution)
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import GridSpec
+
+    g = GridSpec(deg=0.05, tile=8)
+    rng = np.random.default_rng(29)
+    # a 5x5-tile region of g, ~40% occupancy, deterministic values
+    base_ty, base_tx = 300, 400  # well inside g.nty=450, g.ntx=900
+    rows = []
+    for dty in range(5):
+        for dtx in range(5):
+            tile_id = (base_ty + dty) * g.ntx + (base_tx + dtx)
+            for local in rng.choice(64, size=26, replace=False):
+                r_, c_ = divmod(int(local), 8)
+                cy = (base_ty + dty) * 8 + r_
+                cx = (base_tx + dtx) * 8 + c_
+                rows.append((int(cy * g.nx + cx), int(tile_id),
+                             float(rng.integers(1, 500))))
+    cells = spark.createDataFrame(rows, "cell_id long, tile_id long, b1 double")
+    tiles = assemble_tiles(cells, ["b1"], grid=g).cache()
+
+    window = kernel_idw_l1(21)  # radius 10 > tile 8 -> 2 rings
+    dist = {int(r["tile_id"]):
+            np.array([np.nan if v is None else v for v in r["interp"]],
+                     dtype=np.float64).reshape(8, 8)
+            for r in focal_interpolate_tiles(tiles, window, band=0,
+                                             grid=g).collect()}
+
+    trows = tiles.collect()
+    mosaic = np.zeros((5 * 8, 5 * 8))
+    for r in trows:
+        cube = tile_to_dense(r)
+        ty, tx = r["tile_id"] // g.ntx - base_ty, r["tile_id"] % g.ntx - base_tx
+        mosaic[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
+            np.where(cube[0] == -9999.0, 0.0, cube[0])
+    local = normalized_convolution(mosaic, window)[0]
+
+    # only the center tile's full 2-ring halo lies inside the 5x5 mosaic
+    ty = tx = 2
+    want = local[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+    got = dist[(base_ty + ty) * g.ntx + (base_tx + tx)]
+    both = np.isfinite(want) & np.isfinite(got)
+    assert both.any()
+    assert np.allclose(got[both], want[both], atol=1e-10)

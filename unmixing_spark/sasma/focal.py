@@ -85,35 +85,27 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
                             nodata: float = NODATA) -> DataFrame:
     """Distributed focal interpolation with halo exchange.
 
-    tiles: (tile_id, p, m, n, bands). Each tile row is replicated to its
-    neighbors (grid.neighbors ring 1) tagged with the destination tile;
-    the grouped map assembles a 3x3 super-tile, convolves, emits the
-    interior. Halo width = kernel radius must be <= tile size."""
+    tiles: (tile_id, p, m, n, bands). Each tile row is replicated to every
+    tile within ``ceil(r / tile)`` Chebyshev rings (MULTI-RING halos — the
+    reference's 110 px SASMA window needs 2 rings on 32-cell tiles; SASMA
+    notebook cell 31, SURVEY §7.4.3), tagged with the destination tile;
+    the grouped map assembles an S×S super-tile (S = 2·rings+1),
+    convolves, emits the interior."""
     r = window.shape[-1] // 2
     t = grid.tile
-    assert r <= t, "kernel radius exceeds tile size — raise ring count"
+    rings = _halo_rings(r, t)
+    S = 2 * rings + 1
     ntx = grid.ntx
-    nty = (grid.ny + grid.tile - 1) // grid.tile
 
-    # destination tiles (self + 8 neighbors) as closed-form JVM arithmetic
-    # on tile_id — whole-stage-codegen, no Python crossing on the fan-out
-    ty = F.floor(F.col("tile_id") / ntx)
-    tx = F.col("tile_id") % ntx
-    dests = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            y, x = ty + dy, tx + dx
-            valid = (y >= 0) & (y < nty) & (x >= 0) & (x < ntx)
-            dests.append(F.when(valid, (y * ntx + x).cast("long")))
     halo = tiles.withColumn(
-        "dest", F.explode(F.array_compact(F.array(*dests))))
+        "dest", F.explode(_halo_dest_expr(grid, rings)))
 
     schema = "tile_id long, m int, n int, interp array<double>"
 
     def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dest = int(key[0])
         dty, dtx = divmod(dest, ntx)
-        sup = np.full((3 * t, 3 * t), 0.0)
+        sup = np.full((S * t, S * t), 0.0)
         center = None
         for tile_id, m_, n_, idx, bands_ in zip(
                 pdf["tile_id"], pdf["m"], pdf["n"], pdf["idx"], pdf["bands"]):
@@ -122,8 +114,8 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
             block[np.asarray(idx, dtype=np.int64)] = vals[band]
             b = np.where(block == nodata, 0.0, block).reshape(int(m_), int(n_))
             ty, tx = divmod(int(tile_id), ntx)
-            oy, ox = ty - dty + 1, tx - dtx + 1
-            if 0 <= oy < 3 and 0 <= ox < 3:
+            oy, ox = ty - dty + rings, tx - dtx + rings
+            if 0 <= oy < S and 0 <= ox < S:
                 sup[oy * t:(oy + 1) * t, ox * t:(ox + 1) * t] = b
             if int(tile_id) == dest:
                 center = True
@@ -137,11 +129,35 @@ def focal_interpolate_tiles(tiles: DataFrame, window: np.ndarray,
                 "interp": pd.Series([], dtype="object"),
             })
         out = normalized_convolution(sup, window, 0.0, nodata)[0]
-        interior = out[t:2 * t, t:2 * t]
+        interior = out[rings * t:(rings + 1) * t, rings * t:(rings + 1) * t]
         return pd.DataFrame({"tile_id": [dest], "m": [t], "n": [t],
                              "interp": [interior.ravel()]})
 
     return halo.groupBy("dest").applyInPandas(_conv, schema)
+
+
+def _halo_rings(r: int, t: int) -> int:
+    """Halo ring count for kernel radius r on t-cell tiles: multi-ring
+    halos support the reference's large SASMA windows (110 px at 32-cell
+    tiles → 2 rings; SASMA notebook cell 31, SURVEY §7.4.3)."""
+    return max(1, -(-r // t))  # ceil(r / t), at least one ring
+
+
+def _halo_dest_expr(grid: GridSpec, rings: int):
+    """Destination tile ids (self + all tiles within Chebyshev ``rings``)
+    as closed-form JVM arithmetic on tile_id — whole-stage codegen, no
+    Python crossing on the fan-out."""
+    ntx = grid.ntx
+    nty = (grid.ny + grid.tile - 1) // grid.tile
+    ty = F.floor(F.col("tile_id") / ntx)
+    tx = F.col("tile_id") % ntx
+    dests = []
+    for dy in range(-rings, rings + 1):
+        for dx in range(-rings, rings + 1):
+            y, x = ty + dy, tx + dx
+            valid = (y >= 0) & (y < nty) & (x >= 0) & (x < ntx)
+            dests.append(F.when(valid, (y * ntx + x).cast("long")))
+    return F.array_compact(F.array(*dests))
 
 
 def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
@@ -152,9 +168,10 @@ def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
     """Distributed interpolate_endmember_map (sasma.py:189-265): the
     per-(endmember class × band) fan-out the reference runs as q·n
     processes (sasma.py:245-252) becomes an exploded shuffle key
-    (dest_tile, em_class, band) — q·n·n_tiles independent groups, each a
-    3×3-supertile normalized convolution of ONE band masked to ONE class
-    (binary_mask invert=True semantics, sasma.py:242-244).
+    (dest_tile, em_class, band) — q·n·n_tiles independent groups, each an
+    S×S-supertile normalized convolution (multi-ring halo, S = 2·rings+1)
+    of ONE band masked to ONE class (binary_mask invert=True semantics,
+    sasma.py:242-244).
 
     tiles: sparse payload (tile_id, p, m, n, idx, bands) where band
     ``class_band`` holds the per-pixel class label and ``spectral_bands``
@@ -166,24 +183,16 @@ def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
     reference's concat (sasma.py:263-265)."""
     r = window.shape[-1] // 2
     t = grid.tile
-    assert r <= t, "kernel radius exceeds tile size — raise ring count"
+    rings = _halo_rings(r, t)
+    S = 2 * rings + 1
     ntx = grid.ntx
-    nty = (grid.ny + grid.tile - 1) // grid.tile
 
-    ty = F.floor(F.col("tile_id") / ntx)
-    tx = F.col("tile_id") % ntx
-    dests = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            y, x = ty + dy, tx + dx
-            valid = (y >= 0) & (y < nty) & (x >= 0) & (x < ntx)
-            dests.append(F.when(valid, (y * ntx + x).cast("long")))
     keys = F.array(*[
         F.struct(F.lit(lab).alias("em_class"), F.lit(b).alias("band"))
         for lab in labels for b in spectral_bands])
     n_occ = F.size("idx")
     halo = (tiles
-            .withColumn("dest", F.explode(F.array_compact(F.array(*dests))))
+            .withColumn("dest", F.explode(_halo_dest_expr(grid, rings)))
             .withColumn("kb", F.explode(keys))
             .select("dest",
                     F.col("kb.em_class").alias("em_class"),
@@ -200,15 +209,15 @@ def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
     def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dest, label, band = int(key[0]), int(key[1]), int(key[2])
         dty, dtx = divmod(dest, ntx)
-        sup = np.zeros((3 * t, 3 * t))
+        sup = np.zeros((S * t, S * t))
         center = False
         for tile_id, idx, vals, cls in zip(
                 pdf["tile_id"], pdf["idx"], pdf["vals"], pdf["cls"]):
             tyy, txx = divmod(int(tile_id), ntx)
-            oy, ox = tyy - dty + 1, txx - dtx + 1
+            oy, ox = tyy - dty + rings, txx - dtx + rings
             if int(tile_id) == dest:
                 center = True
-            if not (0 <= oy < 3 and 0 <= ox < 3):
+            if not (0 <= oy < S and 0 <= ox < S):
                 continue
             v = np.asarray(vals, dtype=np.float64)
             c = np.asarray(cls, dtype=np.float64)
@@ -227,7 +236,7 @@ def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
                 "interp": pd.Series([], dtype="object"),
             })
         out = normalized_convolution(sup, window, 0.0, nodata)[0]
-        interior = out[t:2 * t, t:2 * t]
+        interior = out[rings * t:(rings + 1) * t, rings * t:(rings + 1) * t]
         return pd.DataFrame({"tile_id": [dest], "em_class": [label],
                              "band": [band], "m": [t], "n": [t],
                              "interp": [interior.ravel()]})
