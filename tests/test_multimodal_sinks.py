@@ -220,3 +220,29 @@ def test_image_features_over_real_png(spark):
     assert len(out) == 6
     assert (out.height == 12).all() and (out.width == 9).all()
     assert (out.channels == 3).all()
+
+
+def test_ann_ivf_recall_on_clustered_data(spark):
+    """IVF mechanics: on data with real cluster structure (the regime IVF
+    is built for), probing 4/16 inverted lists must recall nearly all of
+    the exact top-k. Planted clusters, deterministic."""
+    from unmixing_spark.text.similarity import (ann_bruteforce_topk,
+                                                ann_ivf_topk)
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((8, 64)) * 5.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int").cache()
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = ann_bruteforce_topk(emb, queries, k=5).toPandas()
+    approx = ann_ivf_topk(emb, queries, dim=64, k=5,
+                          n_centroids=16, n_probe=4).toPandas()
+    exact_sets = exact.groupby("query_id").hit_id.apply(set)
+    approx_sets = approx.groupby("query_id").hit_id.apply(set)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 5
+               for q in exact_sets.index]
+    assert np.mean(recalls) >= 0.9, f"mean recall {np.mean(recalls)}"

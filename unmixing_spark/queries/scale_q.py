@@ -151,6 +151,19 @@ register("q_ann_lsh_topk", QuerySpec(
     doc="LSH-bucketed approximate cosine top-k (scale path; recall vs brute force pinned in tests)"))
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.similarity import ann_ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = ann_ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "hit_id", F.round("cos", 6).alias("cos"), "rn")
+
+
+register("q_ann_ivf_topk", QuerySpec(
+    spark_fn=_ann_ivf, oracle=None,
+    doc="IVF (spherical k-means inverted lists) approximate cosine top-k — the learned-quantizer scale path; recall pinned in tests"))
+
+
 # ---- MinHash dedup keep-list ---------------------------------------------------
 
 def _minhash_keep(d: str) -> str:
