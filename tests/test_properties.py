@@ -76,3 +76,30 @@ def test_nfindr_deterministic():
     rng = np.random.default_rng(11)
     cands = rng.uniform(0, 100, (50, 4))
     assert (nfindr(cands, q=4) == nfindr(cands, q=4)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lon_off=st.floats(-2.9, 2.9),
+    lat=st.floats(-79.5, 83.5),
+    zone=st.integers(1, 60),
+    south=st.booleans(),
+)
+def test_utm_roundtrip_property(lon_off, lat, zone, south):
+    """Closed-form UTM <-> lon/lat round-trips to < 1e-7 deg anywhere
+    inside a zone, both hemispheres (Snyder series; utils.py:657-673
+    analogue)."""
+    from unmixing_spark.spatial.reproject import (lonlat_from_utm,
+                                                  utm_from_lonlat)
+    if south and lat > 0:
+        lat = -lat
+    if not south and lat < 0:
+        lat = -lat
+    lon = (-183.0 + 6.0 * zone) + lon_off
+    epsg = (32700 if south else 32600) + zone
+    e, n = utm_from_lonlat(lon, lat, epsg)
+    lon2, lat2 = lonlat_from_utm(e, n, epsg)
+    assert abs(float(lon2) - lon) < 1e-7
+    assert abs(float(lat2) - lat) < 1e-7
+    # northings are non-negative in both hemisphere conventions
+    assert float(n) >= 0.0

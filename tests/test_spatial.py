@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 from unmixing_spark import pipeline
+from unmixing_spark.spatial.grid import WORLD_GRID
 from unmixing_spark.spatial.joins import knn_join, point_in_polygon_join, winding_contains
 from unmixing_spark.spatial.skew import salted_agg, skew_report
 
@@ -84,3 +85,31 @@ def test_salted_agg_equals_plain_agg(spark):
     assert (plain.n.to_numpy() == salted.n.to_numpy()).all()
     assert np.allclose(plain.mean_len, salted.mean_len, rtol=1e-12)
     assert (plain.max_ep.to_numpy() == salted.max_ep.to_numpy()).all()
+
+
+def test_knn_ring_sparse_region_expands_and_matches(spark):
+    """A query point far from any hotspot (mid-ocean) forces the adaptive
+    loop through several expansion rounds; the certified result must still
+    equal brute force exactly — including the cell_id tie-break."""
+    from pyspark.sql import Window
+
+    cells = pipeline.cell_raster(spark, SF_SMALL).cache()
+    queries = [("midpacific", -150.0, 0.0), ("nyc", -74.0, 40.7)]
+    got = (knn_join(cells, queries, k=5)
+           .orderBy("name", "rn").toPandas())
+
+    g = WORLD_GRID
+    clon = (F.col("cell_id") % g.nx + 0.5) * g.deg - 180.0
+    clat = 90.0 - (F.floor(F.col("cell_id") / g.nx) + 0.5) * g.deg
+    frames = []
+    for name, qlon, qlat in queries:
+        d2 = (clon - qlon) ** 2 + (clat - qlat) ** 2
+        w = Window.orderBy(d2.asc(), F.col("cell_id").asc())
+        frames.append(
+            cells.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select(F.lit(name).alias("name"), "cell_id", "d2", "rn"))
+    want = frames[0].unionByName(frames[1]).orderBy("name", "rn").toPandas()
+    assert got.cell_id.tolist() == want.cell_id.tolist()
+    assert np.allclose(got.d2, want.d2, rtol=0, atol=1e-12)
