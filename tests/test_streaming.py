@@ -57,3 +57,69 @@ def test_streaming_equals_batch(spark, tmp_path):
                       out, str(tmp_path / "ckpt"))
     assert spark.read.parquet(out).count() == n_emitted, \
         "restart from checkpoint must not duplicate output"
+
+
+def test_session_windows_equal_batch_sessionization(spark, tmp_path):
+    """Streaming session windows (F.session_window, 30-min gap) must
+    produce the same per-user session COUNT as the batch lag-based
+    sessionization (q_sessionize_events semantics) once the stream
+    drains."""
+    from unmixing_spark.streaming.ingest import sessionized_user_activity
+
+    pipeline.register_tables(spark, SF_SMALL, ("events",))
+    events = spark.table("events").select("user_id", "ts", "value", "event_id")
+    src = str(tmp_path / "events_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("user_id bigint, ts timestamp, value double, event_id bigint")
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    agg = sessionized_user_activity(stream, gap="30 minutes")
+    out = str(tmp_path / "sess_out")
+    run_available_now(agg, out, str(tmp_path / "sess_ckpt"))
+
+    emitted = spark.read.parquet(out)
+    n_emitted = emitted.count()
+    assert n_emitted > 0
+
+    # batch truth: lag-based sessionization with the SAME boundary rule
+    # (session_window starts a new session when the gap is >= the
+    # threshold: merge requires ts < prev + gap), one row per session
+    batch = spark.sql("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN unix_timestamp(ts) - lag(unix_timestamp(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                       OR lag(unix_timestamp(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS events_b, round(sum(value), 4) AS total_b,
+               max(ts) AS last_ts
+        FROM sess GROUP BY user_id, sid""").cache()
+
+    # append-mode watermark semantics: only CLOSED sessions are emitted
+    # (each user's tail session within the watermark of max ts is withheld
+    # in state). Every emitted session must match the batch truth EXACTLY;
+    # coverage must include all long-closed sessions.
+    joined = emitted.join(batch, ["user_id", "session_start"], "inner")
+    assert joined.count() == n_emitted, \
+        "every emitted session must exist in the batch sessionization"
+    assert joined.filter((F.col("events") != F.col("events_b"))
+                         | (F.abs(F.col("total_value") - F.col("total_b"))
+                            > 1e-6)).count() == 0, \
+        "emitted session aggregates must equal the batch truth"
+    max_ts = batch.agg(F.max("last_ts")).collect()[0][0]
+    closed = batch.filter(
+        F.unix_timestamp(F.lit(max_ts)) - F.unix_timestamp("last_ts")
+        > 4 * 3600)
+    n_closed = closed.count()
+    covered = closed.join(emitted, ["user_id", "session_start"], "semi").count()
+    assert covered == n_closed, \
+        f"all long-closed sessions must be emitted ({covered}/{n_closed})"

@@ -56,3 +56,20 @@ def run_available_now(stream_df: DataFrame, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def sessionized_user_activity(events: DataFrame, gap: str = "30 minutes",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation per user with a late-data watermark —
+    the dynamic-gap counterpart of the tumbling window (F.session_window:
+    windows merge while events arrive within ``gap`` of each other, close
+    once the watermark passes the gap). Batch twin for the correctness
+    check: the lag-based sessionization of queries/core.q_sessionize_events."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "events", "total_value"))
