@@ -107,6 +107,56 @@ sql_template("q_skew_report", _skew_report,
              "explicit hot-key skew detection: top-10 tiles by share + skew factor (spatial/skew.py)")
 
 
+# ---- session windows vs the lag-based relational twin --------------------------
+
+SESSION_GAP_S = 1800
+
+
+def _session_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window operator (the streaming operator run
+    in batch mode) — verified against the lag/running-sum relational
+    sessionization the oracle computes. Boundary rule: an event exactly
+    ``gap`` after the previous one starts a NEW session (merge requires
+    ts < last + gap)."""
+    pipeline.register_tables(spark, sf_dir, ("events",))
+    ev = spark.read.table("events")
+    return (ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds")
+                       .alias("w"), "user_id")
+            .agg(F.count("*").cast("long").alias("events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                    "events", "total_value"))
+
+
+def _session_windows_oracle(d: str) -> str:
+    ep = D.ts_to_epoch("ts", d)
+    lag_ep = f"lag({ep}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN {ep} - {lag_ep} >= {SESSION_GAP_S}
+                    OR {lag_ep} IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           min({ep}) AS session_start,
+           cast(count(*) as bigint) AS events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """
+
+
+register("q_session_windows", QuerySpec(
+    spark_fn=_session_windows_spark,
+    oracle=_session_windows_oracle(D.DUCKDB),
+    doc="native session_window (batch mode) vs lag-based relational sessionization oracle"))
+
+
 # ---- closed-form 2-endmember FCLS (SQL-expressible unmixing) ------------------
 
 E2 = ([450.0, 85.0, 350.0], [60.0, 12.0, 10.0])  # (b2, b4, b6) endmembers
