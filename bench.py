@@ -39,6 +39,9 @@ HEADLINE = [
     "q_simhash",
     "q_tasseled_cap",
     "q_dedup_latest_crawl",
+    "q_session_windows",
+    "q_stack_multisource",
+    "q_ledaps_modal_keep",
 ]
 
 
