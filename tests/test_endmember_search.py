@@ -98,3 +98,19 @@ def test_max_angle(mnf7):
     best = max(ang(a, b) for a, b in combinations(CASES["Vegetation"], 2))
     got = ang(tuple(coords[1]), tuple(coords[2]))
     assert abs(got - best) < 1e-12
+
+
+def test_max_volume_dict_with_ref_asserts_group_count(mnf7):
+    """Reference constraint (lsma.py:622-623): grouped search + ref_target
+    requires ndim == len(groups) + 1; a 3-group dict at ndim=3 must raise
+    the reference's assertion, not a LinAlgError."""
+    out, gt = mnf7
+    ref = (300953, 4682679)
+    with pytest.raises(AssertionError, match="one less than the dimensionality"):
+        endmembers_by_maximum_volume(out, CASES, ref_target=ref, gt=gt)
+    # and the well-formed call (2 groups + ref at ndim=3) works
+    two = {k: CASES[k] for k in list(CASES)[:2]}
+    spectra, coords = endmembers_by_maximum_volume(
+        out, two, ref_target=ref, gt=gt)
+    assert spectra.shape == (3, 3)
+    assert coords[0] == ref

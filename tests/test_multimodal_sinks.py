@@ -246,3 +246,19 @@ def test_ann_ivf_recall_on_clustered_data(spark):
     recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 5
                for q in exact_sets.index]
     assert np.mean(recalls) >= 0.9, f"mean recall {np.mean(recalls)}"
+
+
+def test_ann_ivf_tolerates_zero_norm_vectors(spark):
+    """A zero-norm embedding must be dropped (cosine undefined), not kill
+    KMeans.fit with a null-element feature vector."""
+    from unmixing_spark.text.similarity import ann_ivf_topk
+    rng = np.random.default_rng(37)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)], 0)
+            for i in range(60)]
+    rows.append((60, [0.0] * 64, 0))  # the hazard
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 2), dim=64, k=3,
+                       n_centroids=4, n_probe=2).toPandas()
+    assert len(out) > 0
+    assert 60 not in set(out.hit_id)

@@ -67,9 +67,15 @@ def test_session_windows_equal_batch_sessionization(spark, tmp_path):
     from unmixing_spark.streaming.ingest import sessionized_user_activity
 
     pipeline.register_tables(spark, SF_SMALL, ("events",))
-    events = spark.table("events").select("user_id", "ts", "value", "event_id")
+    # truncate to whole seconds: the batch twin's gap rule runs on
+    # unix_timestamp (floored) while session_window is sub-second — a
+    # 1799.5s raw gap would merge in streaming but split in the twin
+    events = (spark.table("events")
+              .withColumn("ts", F.date_trunc("second", "ts"))
+              .select("user_id", "ts", "value", "event_id"))
     src = str(tmp_path / "events_src")
     events.repartition(4).write.parquet(src)
+    events.createOrReplaceTempView("events_trunc")
 
     stream = (spark.readStream
               .schema("user_id bigint, ts timestamp, value double, event_id bigint")
@@ -93,7 +99,7 @@ def test_session_windows_equal_batch_sessionization(spark, tmp_path):
                        OR lag(unix_timestamp(ts))
                            OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_s
-          FROM events),
+          FROM events_trunc),
         sess AS (
           SELECT user_id, ts, value,
                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts

@@ -95,6 +95,13 @@ def endmembers_by_maximum_volume(cube, cases, ref_target=None, ndim: int = 3,
     ref = None
     if ref_target is not None:
         ref = spectra_at_xy(cube, [ref_target], gt)[0][:ndim]
+        if isinstance(cases, dict):
+            # the reference's own constraint (lsma.py:622-623): grouped
+            # search takes ONE candidate per group, so with a ref_target
+            # the group count must be ndim-1 for the matrix to stay square
+            assert ndim == len(cases) + 1, (
+                "Number of groups among target endmembers should be one "
+                "less than the dimensionality when ref_target is used")
     ncom = ndim - (1 if ref is not None else 0)
     combos = _candidate_groups(cases, cube, gt, ncom, ndim)
     best, best_v = None, -np.inf

@@ -117,9 +117,14 @@ def _session_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     in batch mode) — verified against the lag/running-sum relational
     sessionization the oracle computes. Boundary rule: an event exactly
     ``gap`` after the previous one starts a NEW session (merge requires
-    ts < last + gap)."""
+    ts < last + gap). Timestamps are truncated to whole seconds FIRST:
+    the oracle's gap rule runs on floored epochs, and event timestamps
+    carry fractional seconds — a raw-precision session_window would split
+    a 1799.5s-gap pair differently than the floored oracle (the ASOF-tie
+    coin-flip class)."""
     pipeline.register_tables(spark, sf_dir, ("events",))
-    ev = spark.read.table("events")
+    ev = (spark.read.table("events")
+          .withColumn("ts", F.date_trunc("second", "ts")))
     return (ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds")
                        .alias("w"), "user_id")
             .agg(F.count("*").cast("long").alias("events"),

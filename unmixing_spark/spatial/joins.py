@@ -108,7 +108,8 @@ def _knn_probe(cells: DataFrame, qspecs: list[tuple[str, float, float, int]],
         ys = np.arange(max(0, qiy - r), min(g.ny - 1, qiy + r) + 1,
                        dtype=np.int64)
         ids.update((ys[:, None] * g.nx + xs[None, :]).ravel().tolist())
-    if enumerable and len(ids) <= 1_000_000:
+    exhaustive = not (enumerable and len(ids) <= 1_000_000)
+    if not exhaustive:
         ids_df = cells.sparkSession.createDataFrame(
             [(i,) for i in sorted(ids)], "cell_id long")
         pruned = cells.join(F.broadcast(ids_df), "cell_id", "semi")
@@ -123,10 +124,11 @@ def _knn_probe(cells: DataFrame, qspecs: list[tuple[str, float, float, int]],
     d2 = (clon - F.col("qlon")) ** 2 + (clat - F.col("qlat")) ** 2
     from pyspark.sql import Window
     w = Window.partitionBy("name").orderBy(d2.asc(), F.col("cell_id").asc())
-    return (joined.withColumn("d2", d2)
+    topk = (joined.withColumn("d2", d2)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("name", "cell_id", "d2", "rn"))
+    return topk, exhaustive
 
 
 def knn_join(cells: DataFrame, queries: list[tuple[str, float, float]],
@@ -161,8 +163,9 @@ def knn_join(cells: DataFrame, queries: list[tuple[str, float, float]],
     while pending:
         qspecs = [(n, coords[n][0], coords[n][1], r)
                   for n, r in pending.items()]
+        probe, exhaustive = _knn_probe(cells, qspecs, k, g)
         hits: dict[str, list] = {}
-        for row in _knn_probe(cells, qspecs, k, g).collect():
+        for row in probe.collect():
             hits.setdefault(row["name"], []).append(row)
         nxt: dict[str, int] = {}
         for name, r in pending.items():
@@ -170,7 +173,9 @@ def knn_join(cells: DataFrame, queries: list[tuple[str, float, float]],
             bound = ((r + 0.5) * g.deg) ** 2
             certified = (len(got) >= k
                          and max(h["d2"] for h in got) < bound)
-            if certified or r >= cap:
+            # an exhaustive probe (disk too large to enumerate → full
+            # scan) is exact by construction — never re-scan for it
+            if certified or exhaustive or r >= cap:
                 out_rows += [(h["name"], h["cell_id"], float(h["d2"]),
                               h["rn"]) for h in got]
             else:

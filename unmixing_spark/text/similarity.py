@@ -54,6 +54,35 @@ def with_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 4,
     return (df.withColumn("lsh_bucket", F.explode(buckets(F.col(vec_col)))))
 
 
+def _cosine_rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine scorer + deterministic top-k window over a
+    candidate table (query_id, hit_id, q_emb, c_emb) — the final stage of
+    every ANN path (brute force / LSH / IVF)."""
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+    def norm2(col: str):
+        return F.sqrt(F.aggregate(
+            F.expr(f"transform({col}, x -> cast(x as double) * cast(x as double))"),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+    scored = cand.select("query_id", "hit_id",
+                         (dot / (norm2("q_emb") * norm2("c_emb"))).alias("cos"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def _cand_shape(q: DataFrame, c: DataFrame) -> list:
+    return [F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("hit_id"),
+            F.col("q.embedding").alias("q_emb"),
+            F.col("c.embedding").alias("c_emb")]
+
+
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  n_planes: int = 4, n_tables: int = 16,
                  seed: int = 42) -> DataFrame:
@@ -61,54 +90,25 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
     Both sides hash with the same seeded hyperplanes; the join is a bucket
     equi-join (shuffle on the bucket key — candidates only, never all
-    pairs); duplicates from multiple tables collapse in the ranking
-    window; exact cosine re-ranks the candidates."""
+    pairs); multi-table duplicate pairs are dropped BEFORE scoring so the
+    cosine is computed once per unique (query, hit) pair."""
     c = with_lsh_buckets(corpus, dim, n_planes, n_tables, seed).alias("c")
     q = with_lsh_buckets(queries, dim, n_planes, n_tables, seed).alias("q")
-    # dedup multi-table candidate pairs BEFORE scoring so the cosine is
-    # computed once per unique (query, hit) pair, not once per shared table
     cand = (q.join(c, F.col("q.lsh_bucket") == F.col("c.lsh_bucket"))
             .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-            .select(F.col("q.vec_id").alias("query_id"),
-                    F.col("c.vec_id").alias("hit_id"),
-                    F.col("q.embedding").alias("q_emb"),
-                    F.col("c.embedding").alias("c_emb"))
+            .select(*_cand_shape(q, c))
             .dropDuplicates(["query_id", "hit_id"]))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("c_emb"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    norm2 = lambda col: F.sqrt(F.aggregate(  # noqa: E731
-        F.expr(f"transform({col}, x -> cast(x as double) * cast(x as double))"),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
-    joined = cand.select("query_id", "hit_id",
-                         (dot / (norm2("q_emb") * norm2("c_emb"))).alias("cos"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
-    return (joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _cosine_rerank(cand, k)
 
 
 def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact baseline: broadcast the query side, scan the corpus once."""
     c = corpus.alias("c")
     q = F.broadcast(queries).alias("q")
-    dot = F.aggregate(
-        F.zip_with(F.col("q.embedding"), F.col("c.embedding"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
-        F.expr(f"transform({side}.embedding, x -> cast(x as double) * cast(x as double))"),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
-    joined = (c.crossJoin(q)
-              .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-              .select(F.col("q.vec_id").alias("query_id"),
-                      F.col("c.vec_id").alias("hit_id"),
-                      (dot / (norm("q") * norm("c"))).alias("cos")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
-    return (joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    cand = (c.crossJoin(q)
+            .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(*_cand_shape(q, c)))
+    return _cosine_rerank(cand, k)
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
@@ -131,12 +131,15 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     from pyspark.ml.functions import array_to_vector
 
     def _normed(df: DataFrame, out: str) -> DataFrame:
+        """L2-normalize; DROP zero-norm vectors (cosine is undefined for
+        them and a null-element unit vector would kill KMeans.fit)."""
         norm = F.sqrt(F.aggregate(
             F.expr("transform(embedding, x -> cast(x as double) * cast(x as double))"),
             F.lit(0.0).cast("double"), lambda a, v: a + v))
         unit = F.transform("embedding",
                            lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
-        return df.withColumn(out, unit)
+        return (df.withColumn("__n2", norm).filter(F.col("__n2") > 0.0)
+                .drop("__n2").withColumn(out, unit))
 
     c_n = _normed(corpus, "unit")
     km = KMeans(k=n_centroids, seed=seed, maxIter=20,
@@ -163,20 +166,8 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     q = (_normed(queries, "unit")
          .withColumn("ivf_list", F.explode(probe_lists("unit")))
          .select("vec_id", "embedding", "ivf_list").alias("q"))
-
-    dot = F.aggregate(
-        F.zip_with(F.col("q.embedding"), F.col("c.embedding"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    norm2 = lambda side: F.sqrt(F.aggregate(  # noqa: E731
-        F.expr(f"transform({side}.embedding, x -> cast(x as double) * cast(x as double))"),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
-    joined = (q.join(c, "ivf_list")
-              .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-              .select(F.col("q.vec_id").alias("query_id"),
-                      F.col("c.vec_id").alias("hit_id"),
-                      (dot / (norm2("q") * norm2("c"))).alias("cos")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("hit_id"))
-    return (joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    # inverted lists are disjoint → no candidate dedup needed
+    cand = (q.join(c, "ivf_list")
+            .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(*_cand_shape(q, c)))
+    return _cosine_rerank(cand, k)
