@@ -276,6 +276,54 @@ sql_template("q_shipping_priority", _shipping_priority,
              "TPC-H Q3-shape: filtered 3-way join + agg + deterministic top-k",
              tables=("customer", "orders", "lineitem"))
 
+
+def _local_supplier_volume(d: str) -> str:
+    # TPC-H Q5 shape: 6-way snowflake join (region -> nation -> supplier /
+    # customer -> orders -> lineitem). The dims (region/nation/supplier/
+    # customer) all broadcast; only orders ⋈ lineitem shuffles, keyed on
+    # orderkey. Covers the supplier + region sources.
+    one = D.dbl(1.0)
+    return f"""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * ({one} - l.l_discount)), 2) AS revenue,
+           cast(count(*) as bigint) AS line_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """
+
+
+sql_template("q_local_supplier_volume", _local_supplier_volume,
+             "TPC-H Q5-shape: 6-way snowflake join, local-supplier predicate",
+             tables=("region", "nation", "customer", "orders", "lineitem",
+                     "supplier"))
+
+
+def _promo_revenue(d: str) -> str:
+    # TPC-H Q14 shape: conditional aggregate ratio over lineitem ⋈ part
+    # (covers the part source); part is the broadcast side.
+    one = D.dbl(1.0)
+    hundred = D.dbl(100.0)
+    rev = f"l.l_extendedprice * ({one} - l.l_discount)"
+    return f"""
+    SELECT round({hundred} * sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN {rev} ELSE {D.dbl(0.0)} END)
+                 / sum({rev}), 6) AS promo_pct,
+           cast(count(*) as bigint) AS line_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """
+
+
+sql_template("q_promo_revenue", _promo_revenue,
+             "TPC-H Q14-shape: conditional-aggregate promo revenue ratio over lineitem x part",
+             tables=("lineitem", "part"))
+
 # ---- classic LSMA end-to-end (SURVEY §3.1 entry point 1) ---------------------
 
 def _lsma_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
