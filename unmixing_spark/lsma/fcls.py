@@ -124,6 +124,107 @@ def fcls_abundance(X: np.ndarray, E: np.ndarray, delta: float | None = None) -> 
     return nnls_multiple(AtA, AtB).T
 
 
+def fcls3_closed_form_constants(E: np.ndarray, delta: float | None = None):
+    """Exact-rational affine constants for the q=3 Heinz-Chang FCLS.
+
+    The δ-augmented NNLS (the exact problem ``fcls_abundance`` solves) has
+    normal-equation matrix G = δ²·M + 11ᵀ with M = E·Eᵀ. For every
+    non-empty active set S ⊆ {0,1,2}, Sherman-Morrison gives the restricted
+    least-squares solution in a numerically STABLE form (the direct solve
+    of G is κ(G) ≈ 1e9 ill-conditioned; this form never divides by δ²):
+
+        a_S = N·v_S + s·(1 − sᵀ·v_S)/(δ² + σ)
+
+    with N = M_S⁻¹, s = N·1, σ = 1ᵀ·N·1, and v_i = e_i·x the plain
+    endmember-spectrum dot products. Expanding, each abundance is AFFINE
+    in v:  a_i = k_i + Σ_j C_ij·v_j  where k = s/(δ²+σ), C = N − k·sᵀ.
+
+    The NNLS optimum is the feasible (a_S ≥ 0) candidate maximizing
+    tᵀa — equivalently (monotone transform) the SQL-friendly score
+        score_S = Σ_{i∈S} v_i·(a_i + k_i) − c0,   c0 = 1/(δ²+σ).
+
+    All constants are computed in exact rational arithmetic (fractions)
+    from the double values of E and δ, then rounded once to doubles — so
+    the only float error left in a SQL evaluation is the O(ε) evaluation
+    of the affine forms (measured ≈ 2e-14, vs the kernel's κ·ε ≈ 1e-7
+    conditioning bound). Returns {subset: (k, C, c0)} with subset a tuple
+    of 0-based endmember indices, k/C/c0 plain floats.
+
+    Reference semantics: lsma.py:179-230 (the reference's FCLS mapper);
+    algorithm re-derived from Heinz & Chang (2001) eq. 13 at q=3.
+    """
+    from fractions import Fraction
+    from itertools import combinations
+
+    E = np.asarray(E, dtype=np.float64)
+    q, p = E.shape
+    assert q == 3, "closed form is the q=3 specialization"
+    if delta is None:
+        m = np.abs(E).max()
+        delta = 1.0 / (1000.0 * m) if m > 0 else 1.0
+    dF = Fraction(float(delta))
+    d2 = dF * dF
+    M = [[sum(Fraction(float(E[i, c])) * Fraction(float(E[j, c]))
+              for c in range(p)) for j in range(q)] for i in range(q)]
+
+    def _inv(Ms):
+        n = len(Ms)
+        aug = [[Ms[i][j] for j in range(n)]
+               + [Fraction(1 if k == i else 0) for k in range(n)]
+               for i in range(n)]
+        for col in range(n):
+            piv = next(r for r in range(col, n) if aug[r][col] != 0)
+            aug[col], aug[piv] = aug[piv], aug[col]
+            pv = aug[col][col]
+            aug[col] = [x / pv for x in aug[col]]
+            for r in range(n):
+                if r != col and aug[r][col] != 0:
+                    f = aug[r][col]
+                    aug[r] = [a - f * b for a, b in zip(aug[r], aug[col])]
+        return [row[n:] for row in aug]
+
+    out = {}
+    for r in (1, 2, 3):
+        for S in combinations(range(3), r):
+            Ms = [[M[i][j] for j in S] for i in S]
+            N = _inv(Ms)
+            s = [sum(row) for row in N]
+            sigma = sum(s)
+            k = [si / (d2 + sigma) for si in s]
+            C = [[N[a][b] - k[a] * s[b] for b in range(r)] for a in range(r)]
+            out[S] = ([float(x) for x in k],
+                      [[float(x) for x in row] for row in C],
+                      float(1 / (d2 + sigma)))
+    return out
+
+
+def fcls3_closed_form_eval(X: np.ndarray, E: np.ndarray,
+                           delta: float | None = None) -> np.ndarray:
+    """Float evaluation of the q=3 closed form — the Python mirror of the
+    q_fcls3_closed_form SQL template (same candidate order, same affine
+    forms), used by the parity tests. X: (N, p) pixels → (N, 3)."""
+    consts = fcls3_closed_form_constants(E, delta)
+    X = np.asarray(X, dtype=np.float64)
+    E = np.asarray(E, dtype=np.float64)
+    V = X @ E.T                                   # (N, 3) dot products
+    n = len(X)
+    best_score = np.full(n, -np.inf)
+    best_a = np.zeros((n, 3))
+    # candidate order matches the SQL CASE: full set, pairs, singletons
+    order = [(0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,)]
+    for S in order:
+        k, C, c0 = consts[S]
+        a = np.array(k)[None, :] + V[:, S] @ np.array(C).T
+        feas = (a >= 0.0).all(axis=1)
+        score = (V[:, S] * (a + np.array(k)[None, :])).sum(axis=1) - c0
+        take = feas & (score > best_score)
+        best_score[take] = score[take]
+        full = np.zeros((n, 3))
+        full[:, S] = a
+        best_a[take] = full[take]
+    return best_a
+
+
 def predict_spectra_from_abundance(A: np.ndarray, E: np.ndarray) -> np.ndarray:
     """Forward model R = A·E: abundances (N, q) × endmembers (q, p) →
     predicted spectra (N, p). Reference: lsma.py:744-757."""

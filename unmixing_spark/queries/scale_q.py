@@ -191,6 +191,73 @@ sql_template("q_fcls2_closed_form", _fcls2,
              "exact q=2 FCLS as closed-form SQL (Heinz & Chang 2001 at q=2)")
 
 
+# ---- closed-form 3-endmember FCLS — the flagship's full-value oracle -----------
+
+def _fcls3(d: str) -> str:
+    """The FLAGSHIP problem (q=3 Heinz-Chang FCLS over the canonical
+    endmembers, same δ as lsma/fcls.py:fcls_abundance) solved exactly in
+    SQL by enumerating all 7 non-empty active sets. Per set, the
+    restricted least squares is affine in the endmember dot products
+    v_i = e_i·x (Sherman-Morrison constants precomputed in exact rational
+    arithmetic — fcls.py:fcls3_closed_form_constants); the optimum is the
+    feasible candidate with max score. Dual-rendered → full DuckDB value
+    oracle for the same abundances the pandas-UDF kernel computes
+    (parity pinned in tests/test_fcls3_closed_form.py).
+    Reference: lsma.py:179-230 (FCLS mapper), tests.py:43-82."""
+    from unmixing_spark.lsma.fcls import fcls3_closed_form_constants
+    from unmixing_spark.pagegen import BAND_NAMES
+    from unmixing_spark.pipeline import CANONICAL_ENDMEMBERS as E
+
+    consts = fcls3_closed_form_constants(E)
+    order = [(0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,)]
+    lab = {S: "".join(str(i + 1) for i in S) for S in order}
+
+    dots = ", ".join(
+        " + ".join(f"{D.dbl(float(E[r, c]))} * {b}"
+                   for c, b in enumerate(BAND_NAMES)) + f" AS v{r+1}"
+        for r in range(3))
+
+    a_cols, sc_cols = [], []
+    neg_inf = D.dbl(-1e308)
+    for S in order:
+        k, C, c0 = consts[S]
+        for i in range(len(S)):
+            expr = f"{D.dbl(k[i])}" + "".join(
+                f" + {D.dbl(C[i][j])} * v{S[j]+1}" for j in range(len(S)))
+            a_cols.append(f"({expr}) AS a{lab[S]}_{S[i]+1}")
+        feas = " AND ".join(f"a{lab[S]}_{S[i]+1} >= {D.dbl(0.0)}"
+                            for i in range(len(S)))
+        score = " + ".join(
+            f"v{S[i]+1} * (a{lab[S]}_{S[i]+1} + {D.dbl(k[i])})"
+            for i in range(len(S)))
+        sc_cols.append(
+            f"CASE WHEN {feas} THEN ({score}) - {D.dbl(c0)} "
+            f"ELSE {neg_inf} END AS sc{lab[S]}")
+
+    picks = []
+    for out_i in (1, 2, 3):
+        arms = " ".join(
+            f"WHEN sc{lab[S]} = best THEN " +
+            (f"a{lab[S]}_{out_i}" if (out_i - 1) in S else D.dbl(0.0))
+            for S in order)
+        picks.append(f"round(CASE {arms} END, 6) AS a{out_i}")
+
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    v AS (SELECT cell_id, {dots} FROM cells),
+    aa AS (SELECT cell_id, v1, v2, v3, {", ".join(a_cols)} FROM v),
+    sc AS (SELECT *, {", ".join(sc_cols)} FROM aa),
+    b AS (SELECT *, greatest({", ".join(f"sc{lab[S]}" for S in order)}) AS best
+          FROM sc)
+    SELECT cell_id, {", ".join(picks)}
+    FROM b
+    """
+
+
+sql_template("q_fcls3_closed_form", _fcls3,
+             "exact q=3 FCLS (the flagship problem) as closed-form active-set SQL — full driver oracle (Heinz & Chang 2001; lsma.py:179-230)")
+
+
 # ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
