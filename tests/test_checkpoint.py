@@ -64,3 +64,31 @@ def test_manifest_lineage_recorded(spark, batches, tmp_path):
     m = ck.write_batch(0, batches[0], lineage={"stage": "tiles", "sf": "0.001"})
     assert m["rows"] == batches[0].count()
     assert m["lineage"]["stage"] == "tiles"
+    # column stats come from df.observe() during the write — spot-check
+    assert m["column_stats"]["b1"]["min"] >= 1.0
+    assert m["column_stats"]["b2"]["mean"] > 0.0
+
+
+def test_write_batch_adds_no_jobs_over_bare_write(spark, batches, tmp_path):
+    """Stats are observed during the write — write_batch runs exactly as
+    many Spark jobs as the bare parquet write of the same DataFrame (AQE
+    splits a multi-stage plan into several jobs, so compare, don't pin;
+    the old read-back implementation added 2 extra jobs: count + agg)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("ckpt-bare", "bare write probe")
+    try:
+        batches[0].write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    finally:
+        sc.setJobGroup("", "")
+    n_bare = len(tracker.getJobIdsForGroup("ckpt-bare"))
+
+    ck = BatchCheckpointer(str(tmp_path / "onejob"))
+    sc.setJobGroup("ckpt-observed", "write_batch job count probe")
+    try:
+        ck.write_batch(0, batches[0])
+    finally:
+        sc.setJobGroup("", "")
+    n_ckpt = len(tracker.getJobIdsForGroup("ckpt-observed"))
+    assert n_ckpt == n_bare, f"write_batch ran {n_ckpt} jobs vs bare {n_bare}"

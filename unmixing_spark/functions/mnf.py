@@ -12,12 +12,14 @@ not the package):
 4. deterministic eigenvector sign convention (largest-|entry| positive) so
    outputs are reproducible across LAPACK builds and partitionings.
 
-Distributed plan (SURVEY.md §2.8 L1): pass 1 computes the partial sums
-(Σx, ΣxᵀX, Σdᵀd, counts) per Arrow batch via mapInPandas → final combine
-on the driver (a classic partial+final aggregation; the reduction is a sum
-of per-batch matrices, so cost is O(p²) per batch, independent of data
-size). Driver does the (p x p) eigendecompositions. Pass 2 broadcasts the
-(p x p) rotation into a narrow mapInPandas projection.
+Distributed plan (SURVEY.md §2.8 L1): pass 1 computes the signal
+covariance with JVM-side ``covar_samp`` partial+final aggregation and the
+noise covariance from the EXACT shift-difference pairs — a cell_id+1
+equi-self-join followed by 21 difference-product sums (whole-stage
+codegen end to end; the reductions emit O(p²) values regardless of data
+size, and the fit is a pure function of the data, independent of
+partition layout). Driver does the (p x p) eigendecompositions. Pass 2
+broadcasts the (p x p) rotation into a narrow mapInPandas projection.
 
 NoData handling: NoData pixels are remapped to 0 before the rotation,
 matching transform.py:112.
@@ -30,6 +32,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 NODATA = -9999.0
 
@@ -54,15 +57,16 @@ def mnf_rotation_matrix(signal_cov: np.ndarray, noise_cov: np.ndarray):
     return F @ V, ws[order]
 
 
-def mnf_rotate(cube: np.ndarray, nodata: float = NODATA):
-    """Single-node kernel over a (p, m, n) cube → ((p, m, n) rotated cube,
-    snr eigenvalues). Noise via horizontal shift difference (Green 1988
+def mnf_fit(X: np.ndarray, nodata: float = NODATA):
+    """Single-node MNF fit over a raveled (N, p) pixel matrix, rows in
+    raster raveled (cell_id) order → (rotation R, mean mu, snr).
+
+    Noise via shift difference on consecutive raveled rows (Green 1988
     §III: adjacent-pixel differences share signal, difference is ~√2
-    noise)."""
-    p, m, n = cube.shape
-    # rows iterate the raster row-major, so consecutive rows are horizontal
-    # pixel neighbors — the shift-difference pairs
-    X = cube.reshape(p, m * n).T.astype(np.float64).copy()
+    noise) — the raveled-consecutive pairing the reference's noise
+    estimator uses (transform.py:104-118 via pysptools' np.diff), i.e.
+    including the (row, n−1)→(row+1, 0) wrap pairs."""
+    X = np.asarray(X, dtype=np.float64).copy()
     X[X == nodata] = 0.0
     dX = np.diff(X, axis=0)
     noise_cov = (dX.T @ dX) / (2.0 * (dX.shape[0] - 1))
@@ -70,46 +74,72 @@ def mnf_rotate(cube: np.ndarray, nodata: float = NODATA):
     Xc = X - mu
     signal_cov = (Xc.T @ Xc) / (X.shape[0] - 1)
     R, snr = mnf_rotation_matrix(signal_cov, noise_cov)
-    Y = Xc @ R
+    return R, mu, snr
+
+
+def mnf_rotate(cube: np.ndarray, nodata: float = NODATA):
+    """Single-node kernel over a (p, m, n) cube → ((p, m, n) rotated cube,
+    snr eigenvalues). Delegates the fit to ``mnf_fit`` on the raveled
+    matrix (rows iterate the raster row-major, so consecutive rows are
+    horizontal pixel neighbors — the shift-difference pairs)."""
+    p, m, n = cube.shape
+    X = cube.reshape(p, m * n).T.astype(np.float64).copy()
+    X[X == nodata] = 0.0
+    R, mu, snr = mnf_fit(X, nodata)
+    Y = (X - mu) @ R
     return Y.T.reshape(p, m, n), snr
 
 
 def mnf_fit_distributed(cells: DataFrame, band_cols: list[str],
                         nodata: float = NODATA):
-    """Pass 1: partial covariance sums per Arrow batch → driver eigh.
+    """Pass 1 of the distributed MNF: EXACT shift-difference fit.
 
-    Noise is estimated from consecutive-row differences WITHIN each batch
-    (cells arrive sorted by cell_id per partition → spatial neighbors),
-    dropping the cross-batch seam — an O(1/batch) approximation that keeps
-    the pass embarrassingly parallel.
-    Returns (rotation R, mean mu, snr)."""
+    The noise covariance pairs each cell with its raveled-order successor
+    via a ``cell_id + 1`` equi-self-join — the same pairing the
+    single-node kernel's ``np.diff`` uses on the dense raveled matrix
+    (and the reference's pysptools noise estimator, transform.py:104-118).
+    This makes the fit a pure function of the DATA, independent of
+    partition layout (the previous within-Arrow-batch estimator dropped
+    cross-batch seams and varied with partitioning). On a sparse cell
+    table, pairs exist only where both neighbors exist — still intrinsic.
+
+    All sums run JVM-side (whole-stage codegen): signal covariance via
+    ``covar_samp``/``avg`` (stable co-moment aggregation), noise via the
+    21 pairwise difference-product sums after the join. At cluster scale
+    the self-join co-locates when the table is bucketed by cell_id; the
+    aggregation outputs are O(p²) rows regardless of data size. Requires a
+    ``cell_id`` column. Returns (rotation R, mean mu, snr);
+    parity with ``mnf_fit`` pinned in tests/test_mnf_distributed.py."""
     p = len(band_cols)
-    schema = ("n long, ndiff long, sx array<double>, sxx array<double>, "
-              "sdd array<double>")
+    z = [F.when(F.col(c) == float(nodata), F.lit(0.0))
+          .otherwise(F.col(c).cast("double")).alias(f"z{i}")
+         for i, c in enumerate(band_cols)]
+    base = cells.select(F.col("cell_id").cast("long").alias("cell_id"), *z)
 
-    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            X = pdf[band_cols].to_numpy(dtype=np.float64)
-            X[X == nodata] = 0.0
-            d = np.diff(X, axis=0) if len(X) > 1 else np.zeros((0, p))
-            yield pd.DataFrame({
-                "n": [len(X)], "ndiff": [len(d)],
-                "sx": [X.sum(axis=0)],
-                "sxx": [(X.T @ X).ravel()],
-                "sdd": [(d.T @ d).ravel()],
-            })
+    sig_aggs = [F.count(F.lit(1)).alias("n")]
+    sig_aggs += [F.avg(f"z{i}").alias(f"m{i}") for i in range(p)]
+    sig_aggs += [F.covar_samp(f"z{i}", f"z{j}").alias(f"c_{i}_{j}")
+                 for i in range(p) for j in range(i, p)]
+    srow = base.agg(*sig_aggs).collect()[0]
 
-    parts = cells.mapInPandas(_partial, schema).collect()
-    n = sum(r["n"] for r in parts)
-    ndiff = sum(r["ndiff"] for r in parts)
-    sx = np.sum([np.asarray(r["sx"]) for r in parts], axis=0)
-    sxx = np.sum([np.asarray(r["sxx"]) for r in parts], axis=0).reshape(p, p)
-    sdd = np.sum([np.asarray(r["sdd"]) for r in parts], axis=0).reshape(p, p)
-    mu = sx / n
-    signal_cov = (sxx - n * np.outer(mu, mu)) / (n - 1)
-    noise_cov = sdd / (2.0 * max(ndiff - 1, 1))
+    nxt = base.select((F.col("cell_id") - F.lit(1)).alias("cell_id"),
+                      *[F.col(f"z{i}").alias(f"r{i}") for i in range(p)])
+    diffs = (base.join(nxt, "cell_id")
+             .select(*[(F.col(f"r{i}") - F.col(f"z{i}")).alias(f"d{i}")
+                       for i in range(p)]))
+    noi_aggs = [F.count(F.lit(1)).alias("nd")]
+    noi_aggs += [F.sum(F.col(f"d{i}") * F.col(f"d{j}")).alias(f"dd_{i}_{j}")
+                 for i in range(p) for j in range(i, p)]
+    nrow = diffs.agg(*noi_aggs).collect()[0]
+
+    mu = np.array([srow[f"m{i}"] for i in range(p)])
+    signal_cov = np.zeros((p, p))
+    noise_cov = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            signal_cov[i, j] = signal_cov[j, i] = srow[f"c_{i}_{j}"]
+            noise_cov[i, j] = noise_cov[j, i] = nrow[f"dd_{i}_{j}"]
+    noise_cov /= 2.0 * max((nrow["nd"] or 0) - 1, 1)
     R, snr = mnf_rotation_matrix(signal_cov, noise_cov)
     return R, mu, snr
 

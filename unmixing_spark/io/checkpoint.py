@@ -55,22 +55,26 @@ class BatchCheckpointer:
         if os.path.exists(bdir):
             shutil.rmtree(bdir)  # re-run of an uncommitted/failed batch
         t0 = time.time()
-        df.write.mode("overwrite").parquet(bdir)
         # per-batch metrics: row count + per-numeric-column min/max/mean/std
         # (the reference stamps these on every raster write — dump_raster,
-        # utils.py:582-614; Iceberg keeps them as column metrics)
-        written = df.sparkSession.read.parquet(bdir)
-        n_rows = written.count()
-        stats: dict[str, dict] = {}
-        num_cols = [f.name for f in written.schema.fields
+        # utils.py:582-614; Iceberg keeps them as column metrics). Collected
+        # via df.observe() DURING the write — one Spark job per batch, no
+        # read-back second pass.
+        from pyspark.sql import Observation
+        num_cols = [f.name for f in df.schema.fields
                     if f.dataType.typeName() in
                     ("double", "float", "long", "integer", "short")]
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        metrics += [x for c in num_cols for x in (
+            F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
+            F.avg(c).alias(f"avg_{c}"), F.stddev(c).alias(f"std_{c}"),
+        )]
+        obs = Observation(f"batch-{batch_id}")
+        df.observe(obs, *metrics).write.mode("overwrite").parquet(bdir)
+        row = obs.get  # available once the write action finished
+        n_rows = row["rows"]
+        stats: dict[str, dict] = {}
         if num_cols and n_rows:
-            from pyspark.sql import functions as F
-            row = written.agg(*[x for c in num_cols for x in (
-                F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
-                F.avg(c).alias(f"avg_{c}"), F.stddev(c).alias(f"std_{c}"),
-            )]).collect()[0]
             stats = {c: {"min": row[f"min_{c}"], "max": row[f"max_{c}"],
                          "mean": row[f"avg_{c}"], "std": row[f"std_{c}"]}
                      for c in num_cols}

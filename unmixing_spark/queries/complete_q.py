@@ -194,6 +194,59 @@ sql_template("q_bilinear_regrid", _bilinear_regrid,
              "grid-to-grid join with bilinear resampling (intersect_rasters, utils.py:676-731)")
 
 
+# ---- cross-CRS regrid (J2 full semantics: UTM source -> lon/lat grid) ------------------
+
+UTM_EPSG = 32618       # UTM zone 18N — contains the NYC hotspot (lon -78..-72)
+UTM_CELL_M = 6000.0    # source cell ~ target cell size (0.05 deg), so the nearest-neighbor gather is well-posed
+
+
+def _crosscrs_regrid(d: str) -> str:
+    """intersect_rasters across CRSs (utils.py:676-731; the reference uses
+    gdal.ReprojectImage at utils.py:714, default nearest-neighbor): the
+    SOURCE raster lives on a 2400 m UTM zone-18N grid (built here by
+    forward-projecting zone pages with the Snyder transform and
+    aggregating), the TARGET is the WORLD_GRID lon/lat raster. Each
+    occupied target cell's center is forward-projected into the source
+    CRS and gathers the containing source cell's value — the
+    cell-center-reprojection + equi-join plan (broadcast-able: the
+    projected target-cell keys are tiny next to the page table; target
+    cells with an empty source cell keep NULL = NoData, gdal's fill)."""
+    from unmixing_spark.spatial.reproject import utm_forward_sql
+    g = WORLD_GRID
+    zone = (f"SELECT lon, lat, text, cell_id FROM ({geo_pages_sql(d)}) "
+            f"WHERE lon >= {D.dbl(-78.0)} AND lon < {D.dbl(-72.0)} "
+            f"AND lat > {D.dbl(0.0)} AND lat < {D.dbl(84.0)}")
+    src_pages = utm_forward_sql(zone, UTM_EPSG)
+    cell_m = D.dbl(UTM_CELL_M)
+    centers = (f"SELECT cell_id, "
+               f"{g.cell_center_lon_sql('cell_id')} AS lon, "
+               f"{g.cell_center_lat_sql('cell_id')} AS lat "
+               f"FROM (SELECT cell_id FROM ({zone}) GROUP BY cell_id)")
+    tgt = utm_forward_sql(centers, UTM_EPSG)
+    return f"""
+    WITH src AS (
+      SELECT {D.idiv('easting', cell_m)} AS ei,
+             {D.idiv('northing', cell_m)} AS ni,
+             round(avg(length(text)), 6) AS v,
+             cast(count(*) as bigint) AS src_pages
+      FROM ({src_pages})
+      GROUP BY {D.idiv('easting', cell_m)}, {D.idiv('northing', cell_m)}
+    ),
+    tgt AS (
+      SELECT cell_id,
+             {D.idiv('easting', cell_m)} AS ei,
+             {D.idiv('northing', cell_m)} AS ni
+      FROM ({tgt})
+    )
+    SELECT t.cell_id, t.ei, t.ni, s.v AS text_len_resampled, s.src_pages
+    FROM tgt t LEFT JOIN src s ON t.ei = s.ei AND t.ni = s.ni
+    """
+
+
+sql_template("q_crosscrs_regrid", _crosscrs_regrid,
+             "cross-CRS raster regrid: UTM 32618 source raster gathered onto the WORLD_GRID via cell-center reprojection (gdal.ReprojectImage, utils.py:714)")
+
+
 # ---- LEDAPS modal-keep mask (P8 second half) -------------------------------------------
 
 def _ledaps_modal_keep(d: str) -> str:

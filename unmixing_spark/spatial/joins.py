@@ -123,9 +123,24 @@ def _knn_probe(cells: DataFrame, qspecs: list[tuple[str, float, float, int]],
     clat = 90.0 - (F.floor(F.col("cell_id") / g.nx) + 0.5) * g.deg
     d2 = (clon - F.col("qlon")) ** 2 + (clat - F.col("qlat")) ** 2
     from pyspark.sql import Window
-    w = Window.partitionBy("name").orderBy(d2.asc(), F.col("cell_id").asc())
-    topk = (joined.withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
+    scored = joined.withColumn("d2", d2)
+    if exhaustive:
+        # brute-force fallback: the global per-name window would sort the
+        # whole corpus x queries product on |queries| reducers. Bound it
+        # with a map-side combine: local top-k per (input partition, name)
+        # first — keeps every global top-k candidate (ordering is total:
+        # d2, cell_id), shrinks the final sort to <= k * n_parts * |queries|
+        # rows. At a stored-table scale this is the k-limited equivalent of
+        # a partial aggregation.
+        wl = Window.partitionBy("_pid", "name").orderBy(
+            F.col("d2").asc(), F.col("cell_id").asc())
+        scored = (scored.withColumn("_pid", F.spark_partition_id())
+                  .withColumn("_lrn", F.row_number().over(wl))
+                  .filter(F.col("_lrn") <= k)
+                  .drop("_pid", "_lrn"))
+    w = Window.partitionBy("name").orderBy(F.col("d2").asc(),
+                                           F.col("cell_id").asc())
+    topk = (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("name", "cell_id", "d2", "rn"))
     return topk, exhaustive

@@ -66,6 +66,62 @@ def utm_from_lonlat(lon, lat, epsg: int) -> tuple[np.ndarray, np.ndarray]:
     return e, n
 
 
+def utm_forward_sql(src_select: str, epsg: int,
+                    lon: str = "lon", lat: str = "lat") -> str:
+    """Render the forward Transverse-Mercator transform (the same Snyder
+    eqs. 8-9..8-14 as ``utm_from_lonlat``) as portable SQL: wraps
+    ``src_select`` adding ``easting``/``northing`` columns.
+
+    The SQL text is identical under both dialects (only sin/cos/tan/sqrt/
+    radians, shared ANSI), so the dual-rendered oracle compares like for
+    like. Engine-libm last-ulp differences in the trig functions can in
+    principle flip a later floor() at a cell boundary — the probability is
+    ~1e-12 per value (the ASOF-tie class); parity with the NumPy reference
+    is pinned to < 1e-6 m in tests/test_crosscrs_regrid.py.
+
+    Replaces the reference's OGR coordinate transform in the raster
+    reprojection path (gdal.ReprojectImage, utils.py:714; CRS transforms
+    at utils.py:657-673)."""
+    from unmixing_spark import dialect as D
+
+    lam0, north = _zone_params(epsg)
+    false_n = 0.0 if north else _FALSE_N_SOUTH
+    c0 = 1 - _E2 / 4 - 3 * _E4 / 64 - 5 * _E6 / 256
+    c1 = 3 * _E2 / 8 + 3 * _E4 / 32 + 45 * _E6 / 1024
+    c2 = 15 * _E4 / 256 + 45 * _E6 / 1024
+    c3 = 35 * _E6 / 3072
+    a, k0, e2, ep2 = D.dbl(_A), D.dbl(_K0), D.dbl(_E2), D.dbl(_EP2)
+    return f"""
+    SELECT *,
+      {k0} * nn * (aa + (1 - tt + cc) * aa * aa * aa / 6
+        + (5 - 18 * tt + tt * tt + 72 * cc - 58 * {ep2})
+          * aa * aa * aa * aa * aa / 120) + {D.dbl(_FALSE_E)} AS easting,
+      {k0} * (mm + nn * tanp * (aa * aa / 2
+        + (5 - tt + 9 * cc + 4 * cc * cc) * aa * aa * aa * aa / 24
+        + (61 - 58 * tt + tt * tt + 600 * cc - 330 * {ep2})
+          * aa * aa * aa * aa * aa * aa / 720)) + {D.dbl(false_n)} AS northing
+    FROM (
+      SELECT *,
+        {a} / sqrt(1 - {e2} * sinp * sinp) AS nn,
+        tanp * tanp AS tt,
+        {ep2} * cosp * cosp AS cc,
+        cosp * dlam AS aa,
+        {a} * ({D.dbl(c0)} * phi - {D.dbl(c1)} * sin2p
+               + {D.dbl(c2)} * sin4p - {D.dbl(c3)} * sin6p) AS mm
+      FROM (
+        SELECT *, sin(phi) AS sinp, cos(phi) AS cosp, tan(phi) AS tanp,
+               sin(2 * phi) AS sin2p, sin(4 * phi) AS sin4p,
+               sin(6 * phi) AS sin6p
+        FROM (
+          SELECT *, radians({lat}) AS phi,
+                 radians({lon}) - {D.dbl(lam0)} AS dlam
+          FROM ({src_select})
+        )
+      )
+    )
+    """
+
+
 def lonlat_from_utm(easting, northing, epsg: int) -> tuple[np.ndarray, np.ndarray]:
     """(easting, northing) meters → (lon, lat) decimal degrees
     (Snyder eqs. 8-17..8-25, footpoint-latitude inverse)."""

@@ -62,22 +62,32 @@ def _png_unfilter(ftype: int, line: np.ndarray, prev: np.ndarray,
         for lane in range(bpp):
             out[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.uint64) % 256
         return out
-    out = np.zeros_like(line)
+    # Average/Paeth carry a left-pixel recurrence, so the loop runs over
+    # PIXELS while every per-step op is vectorized across the bpp lanes —
+    # h·w numpy steps instead of h·w·c per-byte Python (the loop cannot be
+    # removed outright: out[x] depends on out[x-1] through floor/mod).
+    cur = line.reshape(-1, bpp).astype(np.int32)      # (w, bpp)
+    up = prev.reshape(-1, bpp).astype(np.int32)
+    res = np.empty_like(cur)
+    left = np.zeros(bpp, dtype=np.int32)
     if ftype == 3:  # Average
-        for i in range(len(line)):
-            left = int(out[i - bpp]) if i >= bpp else 0
-            out[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
-        return out
+        for x in range(cur.shape[0]):
+            left = (cur[x] + ((left + up[x]) >> 1)) & 255
+            res[x] = left
+        return res.reshape(-1).astype(np.uint8)
     if ftype == 4:  # Paeth
-        for i in range(len(line)):
-            a = int(out[i - bpp]) if i >= bpp else 0
-            b = int(prev[i])
-            cc = int(prev[i - bpp]) if i >= bpp else 0
-            p = a + b - cc
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-            out[i] = (int(line[i]) + pred) % 256
-        return out
+        ul = np.zeros(bpp, dtype=np.int32)            # up-left pixel
+        for x in range(cur.shape[0]):
+            p = left + up[x] - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - up[x])
+            pc = np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up[x], ul))
+            left = (cur[x] + pred) & 255
+            res[x] = left
+            ul = up[x]
+        return res.reshape(-1).astype(np.uint8)
     raise ValueError(f"bad PNG filter type {ftype}")
 
 
