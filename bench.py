@@ -42,6 +42,10 @@ HEADLINE = [
     "q_session_windows",
     "q_stack_multisource",
     "q_ledaps_modal_keep",
+    # end-to-end multi-stage pipelines — what a real user runs
+    "q_lsma_classic_pipeline",
+    "q_sasma_interpolation",
+    "q_fcls3_closed_form",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Baseline JPEG decoder vs an INDEPENDENT decoder (gdk-pixbuf/libjpeg).
+
+Fixtures under tests/fixtures/: four real-world baseline JPEGs from
+public system packages (CPython test suite, IPython tests, Spark's mllib
+data, gsutil's vendored requests) plus their gdk-pixbuf-thumbnailer
+renderings to PNG at native size (decoded here by our own PNG decoder).
+Tolerances: 4:4:4 and grayscale differ only by IDCT rounding (≤1 LSB);
+4:2:0 adds chroma-upsampling filter differences (our triangular filter is
+libjpeg's default shape but float, not libjpeg's exact integer rounding).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from unmixing_spark.text.jpeg import decode_jpeg
+from unmixing_spark.text.multimodal import decode_image, decode_png
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+CASES = [
+    # (name, channels, mean_tol, max_tol)
+    ("gray2x2", 1, 0.0, 0),          # 2x2 grayscale: bit-exact
+    ("flower_444_dri", 3, 0.05, 1),  # 4:4:4 + restart markers: IDCT only
+    ("py16_420", 3, 1.0, 8),         # 16x16 4:2:0 icon, sharp chroma
+    ("spark_420", 3, 1.0, 8),        # 300x215 4:2:0 natural image
+]
+
+
+def _load(name):
+    jpg = open(os.path.join(FIX, f"{name}.jpg"), "rb").read()
+    ref = decode_png(open(os.path.join(FIX, f"{name}.ref.png"), "rb").read())
+    return jpg, ref
+
+
+@pytest.mark.parametrize("name,channels,mean_tol,max_tol", CASES)
+def test_decode_matches_independent_decoder(name, channels, mean_tol, max_tol):
+    jpg, ref = _load(name)
+    img = decode_jpeg(jpg)
+    assert img.shape[2] == channels
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    assert img.shape == ref.shape
+    d = np.abs(img.astype(np.int64) - ref.astype(np.int64))
+    assert d.mean() <= mean_tol, f"mean |Δ| = {d.mean()}"
+    assert d.max() <= max_tol, f"max |Δ| = {d.max()}"
+
+
+def test_decode_image_dispatches_jpeg():
+    jpg, _ = _load("py16_420")
+    img = decode_image(jpg)
+    assert img.shape == (16, 16, 3)
+
+
+def test_progressive_raises():
+    # CPython's grayscale mllib twin is progressive; synthesize the marker
+    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(sof2)
+
+
+def test_truncated_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_restart_interval_exercised():
+    """flower_444_dri carries DRI + RSTn markers; count them to prove the
+    restart path is really exercised, not just tolerated."""
+    jpg, _ = _load("flower_444_dri")
+    n_rst = sum(jpg.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst >= 10
+    assert decode_jpeg(jpg).shape == (161, 161, 3)

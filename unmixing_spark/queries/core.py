@@ -43,7 +43,7 @@ sql_template("q_cell_raster", cell_raster_sql,
              "rasterize as relational agg: per-cell multiband stats (as_array analogue)")
 
 
-# -- dedup latest crawl per (host, path-lang): window + filter ------------
+# -- dedup latest crawl per (host, lang): window + filter ------------
 def _dedup_latest(d: str) -> str:
     return f"""
     SELECT url, lang, warc_epoch

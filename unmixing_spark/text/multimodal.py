@@ -10,10 +10,12 @@ REAL codecs are implemented from the public specs with only the stdlib:
   RGB and RGBA; encode with filter 0 + zlib. Interlaced or <8-bit PNGs
   raise NotImplementedError.
 - BMP (24-bit BI_RGB): bottom-up rows, 4-byte padding, BGR order.
+- JPEG baseline (ITU-T T.81 SOF0, text/jpeg.py): Huffman + IDCT +
+  triangular chroma upsampling, gray/YCbCr, restart intervals — verified
+  against independent gdk-pixbuf/libjpeg renderings (tests/test_jpeg.py).
+  Progressive (SOF2) raises NotImplementedError.
 
-JPEG (DCT entropy coding) stays stubbed — it genuinely needs an image
-library; `decode_image` raises NotImplementedError for it. The
-deterministic `fake/raw` codec remains for synthetic video payloads.
+The deterministic `fake/raw` codec remains for synthetic video payloads.
 """
 
 from __future__ import annotations
@@ -173,9 +175,10 @@ def encode_fake_image(arr: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload → (h, w, c) uint8 array.
 
-    PNG and 24-bit BMP decode for real (stdlib implementations above);
-    JPEG stays stubbed — DCT entropy decoding genuinely needs an image
-    library not present in this container."""
+    PNG, 24-bit BMP and baseline JPEG all decode for real (stdlib+numpy
+    implementations from the public specs; JPEG in text/jpeg.py, verified
+    against independent gdk-pixbuf/libjpeg renderings). Progressive JPEG
+    raises NotImplementedError."""
     if payload[:4] == FAKE_MAGIC:
         h, w, c = struct.unpack("<HHB", payload[4:9])
         return np.frombuffer(payload[9:9 + h * w * c], dtype=np.uint8).reshape(h, w, c)
@@ -184,9 +187,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires an image library (pillow) — not in this "
-            "container; the Spark plumbing is codec-agnostic")
+        from unmixing_spark.text.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise ValueError("unknown image codec")
 
 
