@@ -69,6 +69,58 @@ def test_truncated_raises():
         decode_jpeg(b"not a jpeg")
 
 
+def _test_image():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.zeros((40, 56, 3), dtype=np.uint8)
+    img[..., 0] = (yy * 4) % 256
+    img[..., 1] = (xx * 3) % 256
+    img[..., 2] = ((yy + xx) * 2) % 256
+    img[10:20, 10:30] = [200, 40, 90]
+    return img
+
+
+def test_encoder_roundtrip():
+    from unmixing_spark.text.jpeg import encode_jpeg
+    img = _test_image()
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    d = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+    assert d.mean() < 1.0 and d.max() <= 20     # q95 quantization loss
+    gray = img[:, :, 0]
+    decg = decode_jpeg(encode_jpeg(gray, quality=95))
+    dg = np.abs(decg[:, :, 0].astype(np.int64) - gray.astype(np.int64))
+    assert dg.mean() < 0.5 and dg.max() <= 8
+
+
+def test_encoder_bitstream_readable_by_independent_decoder():
+    """The committed fixture pair proves spec conformance: the encoder is
+    deterministic (byte-equal re-encode) and gdk-pixbuf/libjpeg decoded
+    those exact bytes (encoded_rgb_q90.ref.png, generated once at fixture
+    build time) to within 2 LSB of our own decoder."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    enc = encode_jpeg(_test_image(), quality=90)
+    fixture = open(os.path.join(FIX, "encoded_rgb_q90.jpg"), "rb").read()
+    assert enc == fixture, "encoder no longer byte-reproduces the fixture"
+    ref = decode_png(open(os.path.join(FIX, "encoded_rgb_q90.ref.png"),
+                          "rb").read())
+    ours = decode_jpeg(fixture)
+    d = np.abs(ref.astype(np.int64) - ours.astype(np.int64))
+    assert d.max() <= 2
+
+
+@pytest.mark.parametrize("sub", ["422", "420"])
+def test_encoder_subsampled_bitstream_independent(sub):
+    """4:2:2 / 4:2:0 encodes: deterministic bytes + gdk-pixbuf/libjpeg
+    decoded those exact bytes within 2 LSB of our decoder — covering the
+    decoder's subsampled MCU interleave and the encoder's box filter."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    enc = encode_jpeg(_test_image(), quality=95, subsample=sub)
+    fixture = open(os.path.join(FIX, f"enc_{sub}.jpg"), "rb").read()
+    assert enc == fixture
+    ref = decode_png(open(os.path.join(FIX, f"enc_{sub}.ref.png"), "rb").read())
+    ours = decode_jpeg(fixture)
+    assert np.abs(ref.astype(np.int64) - ours.astype(np.int64)).max() <= 2
+
+
 def test_restart_interval_exercised():
     """flower_444_dri carries DRI + RSTn markers; count them to prove the
     restart path is really exercised, not just tolerated."""

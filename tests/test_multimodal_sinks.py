@@ -26,8 +26,10 @@ def test_image_codec_roundtrip():
     assert (decode_image(encode_fake_image(arr)) == arr).all()
 
 
-def test_jpeg_stubbed_unknown_rejected():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_truncated_unknown_rejected():
+    # JPEG is a real codec since r3 (text/jpeg.py; tests/test_jpeg.py) —
+    # a truncated stream is a ValueError, unknown magic still rejected
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with pytest.raises(ValueError):
         decode_image(b"GARBAGE!")

@@ -1,22 +1,27 @@
-"""Baseline JPEG decoder — ITU-T T.81 sequential DCT (SOF0), stdlib+numpy.
+"""Baseline JPEG codec — ITU-T T.81 sequential DCT (SOF0), stdlib+numpy.
 
 Re-implemented from the public spec (ITU-T Recommendation T.81, 1992:
-Annex F sequential decoding, Annex A DCT/zigzag/quantization, Annex B
-interchange format) — no image library. Retires the repo's last multimodal
-stub: the reference's multimodal surface treats images as opaque payloads;
-here the decode step is real for the three codecs a crawl actually sees
-(PNG, BMP, JPEG baseline).
+Annex F sequential coding, Annex A DCT/zigzag/quantization, Annex B
+interchange format, Annex K standard tables) — no image library. Retires
+the repo's last multimodal stub: the reference's multimodal surface
+treats images as opaque payloads; here decode AND encode are real for the
+codecs a crawl actually sees (PNG, BMP, JPEG baseline).
 
-Supported: 8-bit baseline sequential, 1 component (grayscale) or 3
+Decoder: 8-bit baseline sequential, 1 component (grayscale) or 3
 components (YCbCr → RGB, JFIF conversion), arbitrary h/v sampling factors
-(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn). Not supported (raise
+(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn). Chroma upsampling is
+the triangular filter for 2x factors (libjpeg's default shape; spec
+A.1.1 leaves the filter open), nearest otherwise. Not supported (raise
 NotImplementedError): progressive (SOF2), arithmetic coding, 12-bit,
-hierarchical. Chroma upsampling is nearest-neighbor (spec A.1.1 leaves the
-filter open; libjpeg's "fancy" upsampler differs by a few LSB on chroma
-edges — the fixture tests bound this).
+hierarchical.
+
+Encoder: baseline 4:4:4 (gray or RGB→YCbCr) with the Annex K standard
+quantization + Huffman tables and libjpeg-compatible quality scaling;
+deterministic (pure numpy).
 
 Verified against an INDEPENDENT decoder (gdk-pixbuf/libjpeg renderings of
-four real-world files) in tests/test_jpeg.py.
+four real-world files, plus gdk decoding OUR encoder's output) in
+tests/test_jpeg.py.
 """
 
 from __future__ import annotations
@@ -24,6 +29,65 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# standard quantization tables (T.81 Annex K.1, Tables K.1/K.2) in
+# natural (row-major) order
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# standard Huffman tables (T.81 Annex K.3): (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_HUFF_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  bytes(range(12)))
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]))
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]))
 
 # zigzag scan order (T.81 Figure A.6): index i in scan order -> (row, col)
 ZIGZAG = np.array([
@@ -285,3 +349,177 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---- encoder (baseline sequential, standard Annex K tables) -----------------
+
+class _BitWriter:
+    """Entropy bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _huff_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) from canonical BITS/HUFFVAL."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a signed value (T.81 F.1.2.1.1)."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of a base table (jcparam.c)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _encode_block(block: np.ndarray, q: np.ndarray,
+                  dc_codes, ac_codes, bw: _BitWriter, pred: int) -> int:
+    """FDCT + quantize + Huffman-encode one 8x8 sample block, returning
+    the updated DC predictor (T.81 F.1.2)."""
+    coef = _A @ (block - 128.0) @ _A.T                  # forward DCT
+    zz = np.round(coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t, code = _magnitude(diff)
+    c, ln = dc_codes[t]
+    bw.write(c, ln)
+    bw.write(code, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]                      # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]                          # EOB
+        bw.write(c, ln)
+    return pred
+
+
+_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: str = "444") -> bytes:
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
+    JPEG bytes (SOF0, standard Annex K quant + Huffman tables, libjpeg
+    quality scaling). ``subsample``: "444", "422" or "420" chroma
+    subsampling (box-filtered; ignored for grayscale). Deterministic:
+    pure numpy arithmetic."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg takes gray or RGB input")
+    hf, vf = _SUBSAMPLE[subsample] if nc == 3 else (1, 1)
+    mh, mw = 8 * vf, 8 * hf                      # MCU size in samples
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    padded = np.pad(arr.astype(np.float64),
+                    ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    if nc == 3:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if (hf, vf) != (1, 1):                   # box-filter downsample
+            cb = cb.reshape(ph // vf, vf, pw // hf, hf).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vf, vf, pw // hf, hf).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        factors = [(hf, vf), (1, 1), (1, 1)]
+    else:
+        planes = [padded[..., 0]]
+        factors = [(1, 1)]
+    q_lum = _scaled_q(_Q_LUM, quality)
+    q_chrom = _scaled_q(_Q_CHROM, quality)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + q_lum[ZIGZAG].astype(np.uint8).tobytes())
+    if nc == 3:
+        out += seg(0xDB, b"\x01" + q_chrom[ZIGZAG].astype(np.uint8).tobytes())
+    comp_spec = b"".join(
+        struct.pack(">BBB", ci + 1, (factors[ci][0] << 4) | factors[ci][1],
+                    0 if ci == 0 else 1)
+        for ci in range(nc))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
+    tables = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
+    if nc == 3:
+        tables += [(0x01, _HUFF_DC_CHROM), (0x11, _HUFF_AC_CHROM)]
+    for tid, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + vals)
+    scan_spec = b"".join(struct.pack(">BB", ci + 1, 0 if ci == 0 else 0x11)
+                         for ci in range(nc))
+    out += seg(0xDA, bytes([nc]) + scan_spec + b"\x00\x3f\x00")
+
+    dc_lum = _huff_codes(*_HUFF_DC_LUM)
+    ac_lum = _huff_codes(*_HUFF_AC_LUM)
+    dc_chrom = _huff_codes(*_HUFF_DC_CHROM)
+    ac_chrom = _huff_codes(*_HUFF_AC_CHROM)
+    bw = _BitWriter()
+    preds = [0] * nc
+    # interleaved MCUs (T.81 A.2.3): component ci contributes its
+    # (hf_ci x vf_ci) blocks per MCU, row-major
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            for ci in range(nc):
+                cf_h, cf_v = factors[ci]
+                qt = q_lum if ci == 0 else q_chrom
+                dc = dc_lum if ci == 0 else dc_chrom
+                ac = ac_lum if ci == 0 else ac_chrom
+                for byy in range(cf_v):
+                    for bxx in range(cf_h):
+                        y0 = (my * cf_v + byy) * 8
+                        x0 = (mx * cf_h + bxx) * 8
+                        preds[ci] = _encode_block(
+                            planes[ci][y0:y0 + 8, x0:x0 + 8],
+                            qt, dc, ac, bw, preds[ci])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
