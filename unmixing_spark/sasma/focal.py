@@ -183,80 +183,86 @@ def interpolate_endmember_tiles(tiles: DataFrame, window: np.ndarray,
                                 nodata: float = NODATA) -> DataFrame:
     """Distributed interpolate_endmember_map (sasma.py:189-265): the
     per-(endmember class × band) fan-out the reference runs as q·n
-    processes (sasma.py:245-252) becomes an exploded shuffle key
-    (dest_tile, em_class, band) — q·n·n_tiles independent groups, each an
-    S×S-supertile normalized convolution (multi-ring halo, S = 2·rings+1)
-    of ONE band masked to ONE class (binary_mask invert=True semantics,
-    sasma.py:242-244).
+    processes (sasma.py:245-252) becomes per-destination-tile halo groups,
+    each computing ALL q·n (class, band) normalized convolutions over its
+    S×S supertile (multi-ring halo, S = 2·rings+1; class masking is
+    binary_mask invert=True semantics, sasma.py:242-244).
 
     tiles: sparse payload (tile_id, p, m, n, idx, bands) where band
     ``class_band`` holds the per-pixel class label and ``spectral_bands``
     index the bands to synthesize. Before the shuffle each row is pruned
-    to exactly the (value band, class band) slices it needs — the halo
-    exchange ships 2/p of the payload per key. Output: one row per
-    (tile_id, em_class, band) with the interpolated interior; grouping
-    rows by (tile_id, em_class) regroups bands by class exactly like the
-    reference's concat (sasma.py:263-265)."""
+    to the |spectral_bands| value slices + 1 class slice it needs, shipped
+    ONCE per destination — grouping by dest alone (rather than
+    (dest, class, band), the r2 shape) cuts the halo shuffle volume
+    q·n·2/(n+1)-fold (6→1 copies of each value slice here) while keeping
+    n_tiles-wide parallelism, which at 10⁶ tiles dwarfs the core count
+    anyway. Output: one row per (tile_id, em_class, band), identical to
+    the exploded-key formulation; grouping rows by (tile_id, em_class)
+    regroups bands by class exactly like the reference's concat
+    (sasma.py:263-265)."""
     r = window.shape[-1] // 2
     t = grid.tile
     rings = _halo_rings(r, t)
     S = 2 * rings + 1
     ntx = grid.ntx
+    sb = list(spectral_bands)
 
-    keys = F.array(*[
-        F.struct(F.lit(lab).alias("em_class"), F.lit(b).alias("band"))
-        for lab in labels for b in spectral_bands])
     n_occ = F.size("idx")
     halo = (tiles
             .withColumn("dest", F.explode(_halo_dest_expr(grid, rings)))
-            .withColumn("kb", F.explode(keys))
-            .select("dest",
-                    F.col("kb.em_class").alias("em_class"),
-                    F.col("kb.band").alias("band"),
-                    "tile_id", "m", "n", "idx",
-                    F.slice("bands", F.col("kb.band") * n_occ + 1,
-                            n_occ).alias("vals"),
+            .select("dest", "tile_id", "m", "n", "idx",
+                    *[F.slice("bands", F.lit(b) * n_occ + 1, n_occ)
+                      .alias(f"vals{b}") for b in sb],
                     F.slice("bands", F.lit(class_band) * n_occ + 1,
                             n_occ).alias("cls")))
 
     schema = ("tile_id long, em_class int, band int, m int, n int, "
               "interp array<double>")
+    empty = pd.DataFrame({
+        "tile_id": pd.Series([], dtype="int64"),
+        "em_class": pd.Series([], dtype="int32"),
+        "band": pd.Series([], dtype="int32"),
+        "m": pd.Series([], dtype="int32"),
+        "n": pd.Series([], dtype="int32"),
+        "interp": pd.Series([], dtype="object"),
+    })
 
     def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dest, label, band = int(key[0]), int(key[1]), int(key[2])
+        dest = int(key[0])
         dty, dtx = divmod(dest, ntx)
-        sup = np.zeros((S * t, S * t))
+        sup_vals = {b: np.zeros((S * t, S * t)) for b in sb}
+        sup_cls = np.full((S * t, S * t), np.nan)
         center = False
-        for tile_id, idx, vals, cls in zip(
-                pdf["tile_id"], pdf["idx"], pdf["vals"], pdf["cls"]):
-            tyy, txx = divmod(int(tile_id), ntx)
+        for row in pdf.itertuples(index=False):
+            tyy, txx = divmod(int(row.tile_id), ntx)
             oy, ox = tyy - dty + rings, txx - dtx + rings
-            if int(tile_id) == dest:
+            if int(row.tile_id) == dest:
                 center = True
             if not (0 <= oy < S and 0 <= ox < S):
                 continue
-            v = np.asarray(vals, dtype=np.float64)
-            c = np.asarray(cls, dtype=np.float64)
-            masked = np.where((c == label) & (v != nodata), v, 0.0)
-            block = np.zeros(t * t)
-            block[np.asarray(idx, dtype=np.int64)] = masked
-            sup[oy * t:(oy + 1) * t, ox * t:(ox + 1) * t] = \
-                block.reshape(t, t)
+            idx = np.asarray(row.idx, dtype=np.int64)
+            ys, xs = slice(oy * t, (oy + 1) * t), slice(ox * t, (ox + 1) * t)
+            blk = np.full(t * t, np.nan)
+            blk[idx] = np.asarray(row.cls, dtype=np.float64)
+            sup_cls[ys, xs] = blk.reshape(t, t)
+            for b in sb:
+                blk = np.zeros(t * t)
+                blk[idx] = np.asarray(getattr(row, f"vals{b}"),
+                                      dtype=np.float64)
+                sup_vals[b][ys, xs] = blk.reshape(t, t)
         if not center:
-            return pd.DataFrame({
-                "tile_id": pd.Series([], dtype="int64"),
-                "em_class": pd.Series([], dtype="int32"),
-                "band": pd.Series([], dtype="int32"),
-                "m": pd.Series([], dtype="int32"),
-                "n": pd.Series([], dtype="int32"),
-                "interp": pd.Series([], dtype="object"),
-            })
-        out = normalized_convolution(sup, window, 0.0, nodata)[0]
-        interior = out[rings * t:(rings + 1) * t, rings * t:(rings + 1) * t]
-        return pd.DataFrame({"tile_id": [dest], "em_class": [label],
-                             "band": [band], "m": [t], "n": [t],
-                             "interp": [interior.ravel()]})
+            return empty
+        rows = []
+        interior = (slice(rings * t, (rings + 1) * t),) * 2
+        for label in labels:
+            for b in sb:
+                v = sup_vals[b]
+                masked = np.where((sup_cls == label) & (v != nodata), v, 0.0)
+                out = normalized_convolution(masked, window, 0.0, nodata)[0]
+                rows.append((dest, label, b, t, t,
+                             out[interior].ravel()))
+        return pd.DataFrame(rows, columns=["tile_id", "em_class", "band",
+                                           "m", "n", "interp"])
 
-    halo = _pin_group_partitions(halo, ["dest", "em_class", "band"])
-    return (halo.groupBy("dest", "em_class", "band")
-            .applyInPandas(_conv, schema))
+    halo = _pin_group_partitions(halo, ["dest"])
+    return halo.groupBy("dest").applyInPandas(_conv, schema)
