@@ -133,6 +133,38 @@ def test_sql_oracle_matches_eval_mirror():
     assert np.abs(a_sql - a_eval).max() == 0.0
 
 
+def test_mesma_kernel_matches_closed_form(spark):
+    """q_mesma3_closed_form vs the MESMA kernel (unmix_cells_mesma,
+    lsma/mapper.py): same class rule, same fixed per-class matrices,
+    per-pixel endmember switching — abundances agree to the kernel's
+    conditioning bound on every sf0.001 cell."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from unmixing_spark.lsma.mapper import unmix_cells_mesma
+    from unmixing_spark.queries.scale_q import _mesma_class_endmembers
+    from unmixing_spark import pipeline
+    ems = _mesma_class_endmembers()
+
+    cells = pipeline.cell_raster(spark, SF_SMALL)
+    classed = cells.withColumn(
+        "cls", F.when(F.col("b1") >= 2.0, 2)
+        .when(F.col("b4") >= 50.0, 1).otherwise(0))
+    mapping = F.create_map(*[x for c in sorted(ems) for x in (
+        F.lit(c), F.array(*[F.lit(float(v)) for v in ems[c].ravel()]))])
+    with_em = classed.withColumn("endmembers", mapping[F.col("cls")])
+    kernel = (unmix_cells_mesma(with_em, list(BAND_NAMES), q=3)
+              .toPandas().sort_values("cell_id").reset_index(drop=True))
+
+    from unmixing_spark.queries import registry
+    spec = registry()["q_mesma3_closed_form"]
+    sql = (spec.spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("cell_id").reset_index(drop=True))
+    assert (kernel["cell_id"].to_numpy() == sql["cell_id"].to_numpy()).all()
+    for c in ("a1", "a2", "a3"):
+        worst = np.abs(kernel[c].to_numpy() - sql[c].to_numpy()).max()
+        assert worst < KERNEL_TOL + 5e-7, f"{c}: {worst}"  # + round(6) quantum
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_rendering_matches_duckdb(spark):
     """Dual-rendering parity for the new template (the driver gate's

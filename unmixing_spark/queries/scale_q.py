@@ -193,20 +193,16 @@ sql_template("q_fcls2_closed_form", _fcls2,
 
 # ---- closed-form 3-endmember FCLS — the flagship's full-value oracle -----------
 
-def _fcls3(d: str) -> str:
-    """The FLAGSHIP problem (q=3 Heinz-Chang FCLS over the canonical
-    endmembers, same δ as lsma/fcls.py:fcls_abundance) solved exactly in
-    SQL by enumerating all 7 non-empty active sets. Per set, the
-    restricted least squares is affine in the endmember dot products
-    v_i = e_i·x (Sherman-Morrison constants precomputed in exact rational
-    arithmetic — fcls.py:fcls3_closed_form_constants); the optimum is the
-    feasible candidate with max score. Dual-rendered → full DuckDB value
-    oracle for the same abundances the pandas-UDF kernel computes
-    (parity pinned in tests/test_fcls3_closed_form.py).
-    Reference: lsma.py:179-230 (FCLS mapper), tests.py:43-82."""
+def _fcls3_select(E, src: str, where: str = "") -> str:
+    """Closed-form q=3 FCLS as a SELECT over ``src`` (a table/CTE with
+    cell_id + b1..b6): all 7 non-empty active sets enumerated, each
+    restricted least squares affine in the endmember dot products
+    v_i = e_i·x (Sherman-Morrison constants in exact rational arithmetic
+    — fcls.py:fcls3_closed_form_constants); the optimum is the feasible
+    candidate with max score. Shared by q_fcls3_closed_form and the
+    per-class branches of q_mesma3_closed_form."""
     from unmixing_spark.lsma.fcls import fcls3_closed_form_constants
     from unmixing_spark.pagegen import BAND_NAMES
-    from unmixing_spark.pipeline import CANONICAL_ENDMEMBERS as E
 
     consts = fcls3_closed_form_constants(E)
     order = [(0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,)]
@@ -243,19 +239,66 @@ def _fcls3(d: str) -> str:
         picks.append(f"round(CASE {arms} END, 6) AS a{out_i}")
 
     return f"""
-    WITH cells AS ({cell_raster_sql(d)}),
-    v AS (SELECT cell_id, {dots} FROM cells),
-    aa AS (SELECT cell_id, v1, v2, v3, {", ".join(a_cols)} FROM v),
-    sc AS (SELECT *, {", ".join(sc_cols)} FROM aa),
-    b AS (SELECT *, greatest({", ".join(f"sc{lab[S]}" for S in order)}) AS best
-          FROM sc)
     SELECT cell_id, {", ".join(picks)}
-    FROM b
+    FROM (SELECT *, greatest({", ".join(f"sc{lab[S]}" for S in order)}) AS best
+          FROM (SELECT *, {", ".join(sc_cols)}
+                FROM (SELECT cell_id, v1, v2, v3, {", ".join(a_cols)}
+                      FROM (SELECT cell_id, {dots} FROM {src}{where}))))
+    """
+
+
+def _fcls3(d: str) -> str:
+    """The FLAGSHIP problem (q=3 Heinz-Chang FCLS over the canonical
+    endmembers, same δ as lsma/fcls.py:fcls_abundance) as closed-form
+    active-set SQL. Dual-rendered → full DuckDB value oracle for the same
+    abundances the pandas-UDF kernel computes (parity pinned in
+    tests/test_fcls3_closed_form.py).
+    Reference: lsma.py:179-230 (FCLS mapper), tests.py:43-82."""
+    from unmixing_spark.pipeline import CANONICAL_ENDMEMBERS as E
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)})
+    {_fcls3_select(E, "cells")}
     """
 
 
 sql_template("q_fcls3_closed_form", _fcls3,
              "exact q=3 FCLS (the flagship problem) as closed-form active-set SQL — full driver oracle (Heinz & Chang 2001; lsma.py:179-230)")
+
+
+# ---- closed-form MESMA: per-pixel endmember switching, fully oracled ----------
+
+# fixed per-class endmember matrices for the oracled MESMA shape: the
+# canonical triangle and two deterministic variants (row-rolled; scaled)
+def _mesma_class_endmembers():
+    from unmixing_spark.pipeline import CANONICAL_ENDMEMBERS as E
+    return {0: E, 1: np.roll(E, 1, axis=0), 2: 0.8 * E}
+
+
+def _mesma3(d: str) -> str:
+    """MESMA semantics (lsma.py:159-177 __mesma2__; sasma.py §3.2) made
+    driver-provable: each pixel is unmixed against ITS class's endmember
+    matrix — class from the same QA rule q_sasma_mesma trains on
+    (b1>=2 → 2, b4>=50 → 1, else 0), matrices fixed constants. One
+    closed-form FCLS branch per class over the class's partition of the
+    table, UNION ALL — relationally identical to the kernel's per-pixel
+    endmember switching (parity with unmix_cells_mesma pinned in
+    tests/test_fcls3_closed_form.py)."""
+    ems = _mesma_class_endmembers()
+    cls = (f"CASE WHEN b1 >= {D.dbl(2.0)} THEN 2 "
+           f"WHEN b4 >= {D.dbl(50.0)} THEN 1 ELSE 0 END")
+    branches = " UNION ALL ".join(
+        "SELECT " + str(c) + " AS em_class, * FROM (" +
+        _fcls3_select(ems[c], "classed", f" WHERE cls = {c}") + ")"
+        for c in sorted(ems))
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    classed AS (SELECT *, {cls} AS cls FROM cells)
+    {branches}
+    """
+
+
+sql_template("q_mesma3_closed_form", _mesma3,
+             "MESMA per-pixel endmember switching as per-class closed-form FCLS branches — full driver oracle (lsma.py:159-177)")
 
 
 # ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
