@@ -165,6 +165,37 @@ def test_mesma_kernel_matches_closed_form(spark):
         assert worst < KERNEL_TOL + 5e-7, f"{c}: {worst}"  # + round(6) quantum
 
 
+def test_ppi_sql_twin_matches_kernels(spark):
+    """q_ppi_sql_twin == ppi_local == ppi_distributed on the same cells
+    and the same seeded skewers (k=200): identical winner sets and hit
+    counts — the relational spec and both kernels agree exactly."""
+    from unmixing_spark import pipeline
+    from unmixing_spark.lsma.ppi import ppi_distributed, skewers
+    from unmixing_spark.queries.scale_q import PPI_SQL_SKEWERS
+
+    con, ids, X = _sf_cells()
+    from unmixing_spark.queries.scale_q import _ppi_sql
+    sql_rows = con.execute(_ppi_sql(D.DUCKDB)).fetchall()
+
+    # single-node kernel with the same skewers
+    S = skewers(X.shape[1], PPI_SQL_SKEWERS, seed=42)
+    proj = X @ S
+    counts = np.zeros(len(X), dtype=np.int64)
+    # argmax with id tie-break == np.argmax on id-sorted rows (ids sorted)
+    np.add.at(counts, proj.argmax(axis=0), 1)
+    np.add.at(counts, proj.argmin(axis=0), 1)
+    order = np.lexsort((ids, -counts))[:20]
+    expect = [(int(ids[i]), int(counts[i])) for i in order]
+    assert [(r[0], r[1]) for r in sql_rows] == expect
+
+    # distributed kernel, same skewer count/seed
+    cells = pipeline.cell_raster(spark, SF_SMALL)
+    dist = (ppi_distributed(cells, list(BAND_NAMES),
+                            n_skewers=PPI_SQL_SKEWERS, top=20)
+            .collect())
+    assert [(r["cell_id"], r["hits"]) for r in dist] == expect
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_rendering_matches_duckdb(spark):
     """Dual-rendering parity for the new template (the driver gate's

@@ -301,6 +301,62 @@ sql_template("q_mesma3_closed_form", _mesma3,
              "MESMA per-pixel endmember switching as per-class closed-form FCLS branches — full driver oracle (lsma.py:159-177)")
 
 
+# ---- PPI relational twin: seeded skewers as an inline constants table ----------
+
+PPI_SQL_SKEWERS = 200
+
+
+def _ppi_sql(d: str) -> str:
+    """Pixel Purity Index (Boardman 1993; the reference wraps
+    pysptools.eea.PPI at lsma.py:118-119) as pure SQL: the seeded (p × k)
+    skewer matrix becomes an inline VALUES table; every cell × skewer
+    projection is scored, the per-(skewer, side) extreme wins (id
+    tie-break, identical to ppi_distributed's window), and hit counts
+    rank the purest cells. This is the SEMANTIC spec with a full DuckDB
+    oracle — the scale path stays lsma/ppi.py's partial+final kernel
+    (O(batches·k) shuffle instead of the |cells|·k product; parity
+    pinned in tests/test_fcls3_closed_form.py)."""
+    from unmixing_spark.lsma.ppi import skewers
+    from unmixing_spark.pagegen import BAND_NAMES
+    S = skewers(len(BAND_NAMES), PPI_SQL_SKEWERS, seed=42)  # (p, k)
+    rows = ", ".join(
+        "(" + str(k) + ", " + ", ".join(D.dbl(float(S[i, k]))
+                                        for i in range(S.shape[0])) + ")"
+        for k in range(S.shape[1]))
+    cols = ", ".join(f"d{i+1}" for i in range(S.shape[0]))
+    dot = " + ".join(f"c.{b} * s.d{i+1}" for i, b in enumerate(BAND_NAMES))
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    sk AS (SELECT * FROM (VALUES {rows}) AS t(skewer, {cols})),
+    proj AS (
+      SELECT c.cell_id, s.skewer, ({dot}) AS val
+      FROM cells c CROSS JOIN sk s
+    ),
+    sided AS (
+      SELECT skewer, cell_id, val, 1 AS side FROM proj
+      UNION ALL
+      SELECT skewer, cell_id, val, -1 AS side FROM proj
+    ),
+    ranked AS (
+      SELECT skewer, side, cell_id,
+             row_number() OVER (
+               PARTITION BY skewer, side
+               ORDER BY CASE WHEN side = 1 THEN -val ELSE val END,
+                        cell_id) AS rn
+      FROM sided
+    )
+    SELECT cell_id, cast(count(*) as bigint) AS hits
+    FROM ranked WHERE rn = 1
+    GROUP BY cell_id
+    ORDER BY hits DESC, cell_id
+    LIMIT 20
+    """
+
+
+sql_template("q_ppi_sql_twin", _ppi_sql,
+             "PPI as pure SQL (seeded skewer VALUES table, per-skewer extremes, hit counts) — the oracled semantic twin of the distributed kernel (lsma.py:118-119)")
+
+
 # ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
