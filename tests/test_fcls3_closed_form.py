@@ -196,6 +196,40 @@ def test_ppi_sql_twin_matches_kernels(spark):
     assert [(r["cell_id"], r["hits"]) for r in dist] == expect
 
 
+def test_focal_idw_twin_matches_kernel():
+    """q_focal_idw_twin == normalized_convolution on the densified
+    raster: embed the sparse cells in a dense window (missing = 0 =
+    masked), run the single-node kernel, compare at every occupied cell
+    that has at least one occupied neighbor."""
+    from unmixing_spark.queries.scale_q import _focal_idw
+    from unmixing_spark.sasma.focal import normalized_convolution
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID
+
+    g = WORLD_GRID
+    con, ids, X = _sf_cells()
+    rows = con.execute(_focal_idw(D.DUCKDB) + " ORDER BY cell_id").fetchall()
+    got = {r[0]: r[1] for r in rows}
+
+    iy, ix = ids // g.nx, ids % g.nx
+    y0, y1 = iy.min() - 3, iy.max() + 4
+    x0, x1 = ix.min() - 3, ix.max() + 4
+    dense = np.zeros((y1 - y0, x1 - x0))
+    dense[iy - y0, ix - x0] = X[:, 1]            # b2
+    out = normalized_convolution(dense, kernel_idw_l1(5), 0.0)[0]
+
+    checked = 0
+    for cid, yy, xx in zip(ids, iy - y0, ix - x0):
+        v = out[yy, xx]
+        if cid in got:
+            assert not np.isnan(v)
+            assert abs(round(v, 6) - got[cid]) <= 1e-6, cid
+            checked += 1
+        else:
+            assert np.isnan(v)                    # no occupied neighbor
+    assert checked > 100
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_rendering_matches_duckdb(spark):
     """Dual-rendering parity for the new template (the driver gate's

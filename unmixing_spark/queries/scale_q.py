@@ -357,6 +357,54 @@ sql_template("q_ppi_sql_twin", _ppi_sql,
              "PPI as pure SQL (seeded skewer VALUES table, per-skewer extremes, hit counts) — the oracled semantic twin of the distributed kernel (lsma.py:118-119)")
 
 
+# ---- focal normalized convolution as a relational stencil ----------------------
+
+def _focal_idw(d: str) -> str:
+    """The SASMA normalized convolution (sasma.py:268-293; W3) as a
+    relational stencil with a full oracle: the 5×5 IDW-L1 kernel becomes
+    a (dy, dx, w) VALUES table; each occupied cell joins its occupied
+    neighbors by closed-form cell_id offset (row/column bounds guarded)
+    and the weighted mean excludes missing (= masked-zero) pixels from
+    the normalizer — exactly ``normalized_convolution``'s semantics on
+    the sparse cell raster (parity pinned in
+    tests/test_fcls3_closed_form.py). The equi-join on derived
+    neighbor ids is the scale shape: co-located under cell_id
+    bucketing, no Python, no dense materialization."""
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID
+    g = WORLD_GRID
+    W = kernel_idw_l1(5)
+    r = W.shape[0] // 2
+    rows = ", ".join(
+        f"({dy}, {dx}, {D.dbl(float(W[dy + r, dx + r]))})"
+        for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+        if W[dy + r, dx + r] != 0.0)
+    ix = g.cell_to_ix("c.cell_id")
+    iy = g.cell_to_iy("c.cell_id")
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    offs AS (SELECT * FROM (VALUES {rows}) AS t(dy, dx, w)),
+    contrib AS (
+      SELECT c.cell_id, o.w, n.b2 AS v
+      FROM cells c
+      JOIN offs o
+        ON ({ix}) + o.dx >= 0 AND ({ix}) + o.dx < {g.nx}
+       AND ({iy}) + o.dy >= 0 AND ({iy}) + o.dy < {g.ny}
+      JOIN cells n
+        ON n.cell_id = (({iy}) + o.dy) * {g.nx} + (({ix}) + o.dx)
+    )
+    SELECT cell_id,
+           round(sum(w * v) / sum(w), 6) AS b2_interp,
+           cast(count(*) as bigint) AS n_neighbors
+    FROM contrib
+    GROUP BY cell_id
+    """
+
+
+sql_template("q_focal_idw_twin", _focal_idw,
+             "normalized-convolution focal interpolation as a relational stencil (offsets VALUES + neighbor equi-join) — oracled twin of sasma/focal.py (sasma.py:268-293)")
+
+
 # ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
