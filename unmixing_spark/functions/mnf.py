@@ -120,7 +120,6 @@ def mnf_fit_distributed(cells: DataFrame, band_cols: list[str],
     sig_aggs += [F.avg(f"z{i}").alias(f"m{i}") for i in range(p)]
     sig_aggs += [F.covar_samp(f"z{i}", f"z{j}").alias(f"c_{i}_{j}")
                  for i in range(p) for j in range(i, p)]
-    srow = base.agg(*sig_aggs).collect()[0]
 
     nxt = base.select((F.col("cell_id") - F.lit(1)).alias("cell_id"),
                       *[F.col(f"z{i}").alias(f"r{i}") for i in range(p)])
@@ -130,16 +129,18 @@ def mnf_fit_distributed(cells: DataFrame, band_cols: list[str],
     noi_aggs = [F.count(F.lit(1)).alias("nd")]
     noi_aggs += [F.sum(F.col(f"d{i}") * F.col(f"d{j}")).alias(f"dd_{i}_{j}")
                  for i in range(p) for j in range(i, p)]
-    nrow = diffs.agg(*noi_aggs).collect()[0]
+    # both 1-row aggregates in ONE action (cross join of single rows):
+    # Catalyst runs the two branches as parallel stages of one job
+    row = base.agg(*sig_aggs).crossJoin(diffs.agg(*noi_aggs)).collect()[0]
 
-    mu = np.array([srow[f"m{i}"] for i in range(p)])
+    mu = np.array([row[f"m{i}"] for i in range(p)])
     signal_cov = np.zeros((p, p))
     noise_cov = np.zeros((p, p))
     for i in range(p):
         for j in range(i, p):
-            signal_cov[i, j] = signal_cov[j, i] = srow[f"c_{i}_{j}"]
-            noise_cov[i, j] = noise_cov[j, i] = nrow[f"dd_{i}_{j}"]
-    noise_cov /= 2.0 * max((nrow["nd"] or 0) - 1, 1)
+            signal_cov[i, j] = signal_cov[j, i] = row[f"c_{i}_{j}"]
+            noise_cov[i, j] = noise_cov[j, i] = row[f"dd_{i}_{j}"]
+    noise_cov /= 2.0 * max((row["nd"] or 0) - 1, 1)
     R, snr = mnf_rotation_matrix(signal_cov, noise_cov)
     return R, mu, snr
 
