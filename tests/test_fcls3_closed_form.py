@@ -230,6 +230,55 @@ def test_focal_idw_twin_matches_kernel():
     assert checked > 100
 
 
+def test_focal_class_idw_twin_matches_halo_kernel(spark):
+    """q_focal_class_idw_twin == interpolate_endmember_tiles (the
+    distributed halo-exchange SASMA kernel) at every occupied cell: same
+    class rule, same 5×5 IDW kernel, values equal after round(6); a
+    (cell, class) present in one is present in the other."""
+    from pyspark.sql import functions as F
+    from unmixing_spark import pipeline
+    from unmixing_spark.queries.scale_q import _focal_class_idw
+    from unmixing_spark.raster.rasterize import assemble_tiles
+    from unmixing_spark.sasma.focal import interpolate_endmember_tiles
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID
+
+    g = WORLD_GRID
+    con, ids, X = _sf_cells()
+    twin = {(r[0], r[1]): r[2] for r in
+            con.execute(_focal_class_idw(D.DUCKDB)).fetchall()}
+
+    cells = (pipeline.cell_raster(spark, SF_SMALL)
+             .withColumn("cls", F.when(F.col("b1") >= 2.0, 2.0)
+                         .when(F.col("b4") >= 50.0, 1.0).otherwise(0.0)))
+    tiles = assemble_tiles(cells, ["b2", "cls"])
+    out = interpolate_endmember_tiles(
+        tiles, kernel_idw_l1(5), class_band=1, spectral_bands=[0],
+        labels=[0, 1, 2])
+    kern = {}
+    for row in out.collect():
+        interp = np.array([np.nan if x is None else float(x)
+                           for x in row["interp"]])
+        kern[(row["tile_id"], row["em_class"])] = interp
+
+    t = g.tile
+    checked = 0
+    for cid in ids:
+        iy, ix = divmod(int(cid), g.nx)
+        tile_id = (iy // t) * g.ntx + (ix // t)
+        pos = (iy % t) * t + (ix % t)
+        for label in (0, 1, 2):
+            v = kern[(tile_id, label)][pos]
+            key = (int(cid), label)
+            if np.isnan(v):
+                assert key not in twin
+            else:
+                assert key in twin, key
+                assert abs(round(float(v), 6) - twin[key]) <= 1e-6, key
+                checked += 1
+    assert checked > 150
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_rendering_matches_duckdb(spark):
     """Dual-rendering parity for the new template (the driver gate's

@@ -405,6 +405,54 @@ sql_template("q_focal_idw_twin", _focal_idw,
              "normalized-convolution focal interpolation as a relational stencil (offsets VALUES + neighbor equi-join) — oracled twin of sasma/focal.py (sasma.py:268-293)")
 
 
+def _focal_class_idw(d: str) -> str:
+    """The full SASMA interpolation semantic (q_sasma_interpolation /
+    interpolate_endmember_tiles) as a relational stencil: per (cell,
+    endmember class), the 5×5 IDW-L1 weighted mean of neighbors BELONGING
+    TO THAT CLASS (binary_mask invert=True masking, sasma.py:242-244) —
+    classes from the same QA rule the pipeline uses. Cells with no
+    class-matched neighbor are absent for that class (the kernel's NaN).
+    Full oracle for the class-masked interpolation the halo-exchange
+    kernel computes; cross-implementation parity pinned in
+    tests/test_fcls3_closed_form.py."""
+    from unmixing_spark.sasma.kernels import kernel_idw_l1
+    from unmixing_spark.spatial.grid import WORLD_GRID
+    g = WORLD_GRID
+    W = kernel_idw_l1(5)
+    r = W.shape[0] // 2
+    rows = ", ".join(
+        f"({dy}, {dx}, {D.dbl(float(W[dy + r, dx + r]))})"
+        for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+        if W[dy + r, dx + r] != 0.0)
+    ix = g.cell_to_ix("c.cell_id")
+    iy = g.cell_to_iy("c.cell_id")
+    cls = (f"CASE WHEN b1 >= {D.dbl(2.0)} THEN 2 "
+           f"WHEN b4 >= {D.dbl(50.0)} THEN 1 ELSE 0 END")
+    return f"""
+    WITH cells AS ({cell_raster_sql(d)}),
+    classed AS (SELECT *, {cls} AS cls FROM cells),
+    offs AS (SELECT * FROM (VALUES {rows}) AS t(dy, dx, w)),
+    contrib AS (
+      SELECT c.cell_id, n.cls AS em_class, o.w, n.b2 AS v
+      FROM classed c
+      JOIN offs o
+        ON ({ix}) + o.dx >= 0 AND ({ix}) + o.dx < {g.nx}
+       AND ({iy}) + o.dy >= 0 AND ({iy}) + o.dy < {g.ny}
+      JOIN classed n
+        ON n.cell_id = (({iy}) + o.dy) * {g.nx} + (({ix}) + o.dx)
+    )
+    SELECT cell_id, em_class,
+           round(sum(w * v) / sum(w), 6) AS b2_interp,
+           cast(count(*) as bigint) AS n_neighbors
+    FROM contrib
+    GROUP BY cell_id, em_class
+    """
+
+
+sql_template("q_focal_class_idw_twin", _focal_class_idw,
+             "class-masked normalized convolution (the SASMA interpolation semantic) as a relational stencil — full oracle beside the halo-exchange kernel (sasma.py:189-265)")
+
+
 # ---- LSH ANN (approximate — rows-only; recall pinned in tests) -----------------
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
