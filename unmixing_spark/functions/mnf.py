@@ -133,6 +133,18 @@ def mnf_fit_distributed(cells: DataFrame, band_cols: list[str],
     # Catalyst runs the two branches as parallel stages of one job
     row = base.agg(*sig_aggs).crossJoin(diffs.agg(*noi_aggs)).collect()[0]
 
+    # Degenerate inputs null out the aggregates (covar_samp needs n >= 2;
+    # the noise sums need >= 1 adjacent cell_id pair) — fail with a clear
+    # message instead of a TypeError when None hits the numpy fill below.
+    if (row["nd"] or 0) == 0:
+        raise ValueError(
+            "mnf_fit_distributed: no adjacent cell_id pairs — need at least "
+            "two cells with consecutive cell_ids to estimate noise")
+    if (row["n"] or 0) < 2:
+        raise ValueError(
+            "mnf_fit_distributed: need >= 2 cells for signal covariance, "
+            "got %d" % (row["n"] or 0))
+
     mu = np.array([row[f"m{i}"] for i in range(p)])
     signal_cov = np.zeros((p, p))
     noise_cov = np.zeros((p, p))

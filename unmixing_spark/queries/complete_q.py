@@ -223,19 +223,25 @@ def _crosscrs_regrid(d: str) -> str:
                f"{g.cell_center_lat_sql('cell_id')} AS lat "
                f"FROM (SELECT cell_id FROM ({zone}) GROUP BY cell_id)")
     tgt = utm_forward_sql(centers, UTM_EPSG)
+    # Quantize projected coords to 1e-6 m BEFORE the floor() binning: a
+    # last-ulp libm sin/cos divergence between JVM and DuckDB could
+    # otherwise flip a cell assignment exactly at a 6000 m boundary
+    # (flaky value-hash gate). Micrometer quantization keeps the binning a
+    # pure function of the (identical to <1e-6 m) projected values.
+    eq, nq = "round(easting, 6)", "round(northing, 6)"
     return f"""
     WITH src AS (
-      SELECT {D.idiv('easting', cell_m)} AS ei,
-             {D.idiv('northing', cell_m)} AS ni,
+      SELECT {D.idiv(eq, cell_m)} AS ei,
+             {D.idiv(nq, cell_m)} AS ni,
              round(avg(length(text)), 6) AS v,
              cast(count(*) as bigint) AS src_pages
       FROM ({src_pages})
-      GROUP BY {D.idiv('easting', cell_m)}, {D.idiv('northing', cell_m)}
+      GROUP BY {D.idiv(eq, cell_m)}, {D.idiv(nq, cell_m)}
     ),
     tgt AS (
       SELECT cell_id,
-             {D.idiv('easting', cell_m)} AS ei,
-             {D.idiv('northing', cell_m)} AS ni
+             {D.idiv(eq, cell_m)} AS ei,
+             {D.idiv(nq, cell_m)} AS ni
       FROM ({tgt})
     )
     SELECT t.cell_id, t.ei, t.ni, s.v AS text_len_resampled, s.src_pages

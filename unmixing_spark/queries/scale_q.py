@@ -236,7 +236,13 @@ def _fcls3_select(E, src: str, where: str = "") -> str:
             f"WHEN sc{lab[S]} = best THEN " +
             (f"a{lab[S]}_{out_i}" if (out_i - 1) in S else D.dbl(0.0))
             for S in order)
-        picks.append(f"round(CASE {arms} END, 6) AS a{out_i}")
+        # all-infeasible guard: if every candidate hit the -inf sentinel the
+        # NNLS/kernel answer is all-zero, not the full-set candidate's
+        # negative abundances (unreachable with nonnegative band data, but
+        # keeps the SQL == fcls3_closed_form_eval contract for any E).
+        picks.append(
+            f"round(CASE WHEN best = {neg_inf} THEN {D.dbl(0.0)} "
+            f"{arms} END, 6) AS a{out_i}")
 
     return f"""
     SELECT cell_id, {", ".join(picks)}

@@ -290,6 +290,22 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     if frame is None:
         raise ValueError("JPEG missing SOF before SOS")
     h_img, w_img, comps = frame["h"], frame["w"], frame["comps"]
+    # This decoder handles the single interleaved scan covering every frame
+    # component (the shape every baseline encoder in practice emits). T.81
+    # also allows per-component scans (ns < nc, non-interleaved data-unit
+    # order per A.2.2) and 4-component Adobe CMYK frames — refuse those
+    # explicitly rather than mis-decode.
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "JPEG per-component scans (ns %d != nc %d): single interleaved "
+            "scan only" % (len(scan), len(comps)))
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            "JPEG with %d components (grayscale/YCbCr only)" % len(comps))
+    if len(comps) == 1 and (comps[0]["h"] > 1 or comps[0]["v"] > 1):
+        raise NotImplementedError(
+            "single-component JPEG with sampling factors >1 requires "
+            "non-interleaved data-unit order (T.81 A.2.2)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * hmax))
