@@ -114,3 +114,60 @@ def test_max_volume_dict_with_ref_asserts_group_count(mnf7):
         out, two, ref_target=ref, gt=gt)
     assert spectra.shape == (3, 3)
     assert coords[0] == ref
+
+
+def test_nfindr_planted_simplex_reaches_global_argmax():
+    """q_nfindr's correctness argument, verified directly: with three
+    planted vertices whose triangle strictly contains every other
+    candidate, N-FINDR's positional-swap local search converges to the
+    global max-|det| simplex (each swap maximizes a linear functional,
+    attained at a convex-hull vertex = a planted vertex)."""
+    from itertools import combinations
+
+    from unmixing_spark.lsma.endmembers import nfindr
+    from unmixing_spark.queries.linalg_q import NFINDR_PLANTED
+
+    rng = np.random.default_rng(7)
+    interior = rng.uniform([40.0, 8.0], [600.0, 110.0], size=(60, 2))
+    planted = np.array([[x, y] for _, x, y in NFINDR_PLANTED])
+    X = np.vstack([planted, interior])
+
+    idx = nfindr(X, q=3)
+
+    def vol(ids):
+        (x1, y1), (x2, y2), (x3, y3) = X[list(ids)]
+        return abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1))
+
+    best = max(combinations(range(len(X)), 3), key=vol)
+    assert sorted(idx) == sorted(best) == [0, 1, 2]
+
+
+def test_eigen_power_sums_match_eigvalsh():
+    """q_eigen_power_sums' Newton-identities claim: the SQL's normalized
+    power sums r_k = tr(S^k)/tr(S)^k equal sum(lambda^k)/sum(lambda)^k of
+    the SAME rounded covariance matrix's eigenvalues."""
+    import duckdb
+
+    from unmixing_spark.pagegen import BAND_NAMES, cell_raster_sql
+    from unmixing_spark.queries.linalg_q import _eigen_power_sums
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    row = con.sql(_eigen_power_sums("duckdb")).df().iloc[0]
+
+    p = len(BAND_NAMES)
+    cov_cols = ", ".join(
+        f"round(covar_samp({BAND_NAMES[i]}, {BAND_NAMES[j]}), 4) AS c_{i}_{j}"
+        for i in range(p) for j in range(i, p))
+    crow = con.sql(
+        f"SELECT {cov_cols} FROM ({cell_raster_sql('duckdb')})").df().iloc[0]
+    S = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            S[i, j] = S[j, i] = crow[f"c_{i}_{j}"]
+    lam = np.linalg.eigvalsh(S)
+    assert abs(row["t1"] - round(lam.sum(), 4)) < 1e-9
+    for k in range(2, p + 1):
+        want = (lam ** k).sum() / lam.sum() ** k
+        assert abs(row[f"r{k}"] - want) < 1e-7, (k, row[f"r{k}"], want)

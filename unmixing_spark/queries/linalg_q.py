@@ -185,3 +185,132 @@ def _band_covariance(d: str) -> str:
 
 sql_template("q_band_covariance", _band_covariance,
              "band covariance matrix entries — partial-agg stage of the eigendecomposition (visualize.py:265-277)")
+
+
+# ---- NFINDR (L3, lsma.py:122-123) with a planted-simplex full-value oracle --
+
+# Three synthetic vertices whose (s1, s2) triangle strictly contains every
+# data candidate (b2 <= ~600, b4 <= ~100 by construction of pagegen's cell
+# raster): with all real candidates strictly interior, the global max-|det|
+# simplex over the union is exactly the planted triangle, and the N-FINDR
+# positional-swap sweep provably converges to it (each swap maximizes a
+# linear functional over the candidate set, which is attained at a convex-
+# hull vertex = a planted vertex). That turns the local search into a
+# globally-checkable computation: the oracle is the exhaustive argmax.
+NFINDR_PLANTED = ((-3, -10000.0, -10000.0),
+                  (-2, 50000.0, -10000.0),
+                  (-1, -10000.0, 50000.0))
+NFINDR_TOPN = 60
+
+
+def _nfindr_candidates(d: str) -> str:
+    planted = " UNION ALL ".join(
+        f"SELECT cast({cid} as bigint) AS cell_id, "
+        f"{D.dbl(x)} AS s1, {D.dbl(y)} AS s2"
+        for cid, x, y in NFINDR_PLANTED)
+    return f"""
+    cand AS (
+      SELECT cell_id, s1, s2 FROM (
+        SELECT cell_id, b2 AS s1, b4 AS s2
+        FROM ({cell_raster_sql(d)})
+        ORDER BY b1 DESC, b2 DESC, cell_id
+        LIMIT {NFINDR_TOPN}
+      )
+      UNION ALL
+      {planted}
+    )"""
+
+
+def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-FINDR endmember extraction (Winter 1999; reference wraps
+    pysptools.eea.NFINDR at lsma.py:122-123) in the distributed-candidate
+    shape: the Spark stage is the top-N candidate pre-filter (the same
+    pruning PPI survivors give at scale), the collected candidate matrix is
+    tiny by construction, and the swap search runs on the driver. The
+    planted simplex (see NFINDR_PLANTED) makes the result equal to the
+    exhaustive max-|det| oracle."""
+    from unmixing_spark.lsma.endmembers import nfindr
+    from unmixing_spark.pipeline import register_tables
+
+    register_tables(spark, sf_dir, ("documents",))
+    cand = spark.sql(
+        f"WITH {_nfindr_candidates(D.SPARK)} SELECT cell_id, s1, s2 FROM cand")
+    pdf = cand.toPandas().sort_values("cell_id").reset_index(drop=True)
+    idx = nfindr(pdf[["s1", "s2"]].to_numpy(), q=3)
+    sel = pdf.iloc[idx].sort_values("cell_id")
+    (x1, y1), (x2, y2), (x3, y3) = sel[["s1", "s2"]].to_numpy()
+    vol = abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1))
+    ids = [int(v) for v in sel["cell_id"]]
+    return spark.createDataFrame(
+        [(ids[0], ids[1], ids[2], float(round(vol, 4)))],
+        "em1 bigint, em2 bigint, em3 bigint, volume double")
+
+
+def _nfindr_oracle(d: str) -> str:
+    # exhaustive argmax of the bordered determinant |det [1 1 1; x; y]| —
+    # the same volume functional nfindr() maximizes (endmembers.py:207-210)
+    det = "(b.s1 - a.s1) * (c.s2 - a.s2) - (c.s1 - a.s1) * (b.s2 - a.s2)"
+    return f"""
+    WITH {_nfindr_candidates(d)}
+    SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
+           round(abs({det}), 4) AS volume
+    FROM cand a JOIN cand b ON a.cell_id < b.cell_id
+                JOIN cand c ON b.cell_id < c.cell_id
+    ORDER BY abs({det}) DESC, a.cell_id, b.cell_id, c.cell_id
+    LIMIT 1
+    """
+
+
+register("q_nfindr", QuerySpec(
+    spark_fn=_nfindr_spark, oracle=_nfindr_oracle(D.DUCKDB),
+    doc="N-FINDR simplex-volume endmember extraction, planted-simplex full oracle (Winter 1999; lsma.py:122-123)"))
+
+
+# ---- eigen power sums (A10 value oracle via Newton's identities) ------------
+
+def _eigen_power_sums(d: str) -> str:
+    """Full-value oracle for the covariance eigendecomposition surface
+    (visualize.py:265-277 / q_eigen_spectrum): the eigenvalues of the p=6
+    band covariance S are determined by the power sums tr(S^k) = sum(λ^k),
+    k=1..6 (Newton's identities), and matrix powers of a 6x6 are plain SQL
+    arithmetic over the covar_samp aggregates.
+
+    Bit-parity: the base entries are rounded aggregates (identical doubles
+    under both dialects per the q_band_covariance discipline); every later
+    op is the same IEEE expression tree in both renderings, so the chain
+    stays value-identical. Outputs are t1 (~1e4, round 4) and the
+    scale-free ratios r_k = tr(S^k)/tr(S)^k (≤ 1, round 9) so no rounding
+    happens at 1e25 magnitudes. pytest ties r_k to np.linalg.eigvalsh."""
+    from unmixing_spark.pagegen import BAND_NAMES
+    p = len(BAND_NAMES)
+
+    def m(k: int, i: int, j: int) -> str:
+        i, j = min(i, j), max(i, j)
+        return f"m{k}_{i}_{j}"
+
+    cov_cols = ", ".join(
+        f"round(covar_samp({BAND_NAMES[i]}, {BAND_NAMES[j]}), 4) AS {m(1, i, j)}"
+        for i in range(p) for j in range(i, p))
+    ctes = [f"p1 AS (SELECT {cov_cols} FROM ({cell_raster_sql(d)}))"]
+    for k in range(2, p + 1):
+        carry = [m(lv, i, j) for lv in range(1, k)
+                 for i in range(p) for j in range(i, p)]
+        new = []
+        for i in range(p):
+            for j in range(i, p):
+                terms = " + ".join(f"{m(k - 1, i, l)} * {m(1, l, j)}"
+                                   for l in range(p))
+                new.append(f"({terms}) AS {m(k, i, j)}")
+        ctes.append(f"p{k} AS (SELECT {', '.join(carry + new)} FROM p{k - 1})")
+    t1 = "(" + " + ".join(m(1, i, i) for i in range(p)) + ")"
+    outs = [f"round({t1}, 4) AS t1"]
+    for k in range(2, p + 1):
+        tk = "(" + " + ".join(m(k, i, i) for i in range(p)) + ")"
+        denom = " * ".join([t1] * k)
+        outs.append(f"round({tk} / ({denom}), 9) AS r{k}")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT {', '.join(outs)} FROM p{p}")
+
+
+sql_template("q_eigen_power_sums", _eigen_power_sums,
+             "covariance eigen spectrum as power sums tr(S^k)=sum(lambda^k) — Newton-identities value oracle for A10 (visualize.py:265-277)")
