@@ -345,12 +345,16 @@ def _lsma_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, mu, snr = mnf_fit_distributed(masked, bands)
     mnf = mnf_transform_distributed(masked, bands, R, mu).cache()
     mnf_cols = [f"mnf{i+1}" for i in range(len(bands))]
-    # endmember induction: PPI top-3 in MNF space
+    # endmember induction: PPI top-3 in MNF space. The top-k ids and their
+    # MNF spectra are gathered in ONE driver action: broadcast the 3-row
+    # winner set back onto the cached mnf table instead of a second
+    # collect-then-isin round trip (2 driver actions total for the whole
+    # pipeline: the MNF fit aggregate and this gather).
     import numpy as np
-    top = ppi_distributed(mnf, mnf_cols[:3], n_skewers=500, top=3).collect()
-    em_ids = [r["cell_id"] for r in top]
-    em_rows = (mnf.filter(F.col("cell_id").isin(em_ids))
+    top = ppi_distributed(mnf, mnf_cols[:3], n_skewers=500, top=3)
+    em_rows = (mnf.join(F.broadcast(top.select("cell_id")), "cell_id")
                .orderBy("cell_id").collect())
+    em_ids = [r["cell_id"] for r in em_rows]
     E = np.array([[r[c] for c in mnf_cols] for r in em_rows])
     # FCLS on the q-1 leading MNF components (Settle & Drake constraint)
     q = len(em_ids)
