@@ -94,19 +94,35 @@ def run_all(sf_dir: str, only: list[str] | None = None,
 
 
 if __name__ == "__main__":
+    import json
     import sys
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     res = run_all(sf, only)
     bad = 0
+    report: dict[str, dict] = {}
     for name, probs in sorted(res.items()):
         real = [p for p in probs if not p.startswith("(rows-only")]
         status = "OK" if not real else "FAIL"
         extra = next((p for p in probs if p.startswith("(rows-only")), "")
         if real:
             bad += 1
+        report[name] = {"status": status,
+                        "oracle": "rows-only" if extra else "full-value",
+                        "problems": real}
         print(f"{status:4} {name} {extra}")
         for p in real:
             print(f"      {p}")
     print(f"\n{len(res) - bad}/{len(res)} passing")
+    # committed per-round evidence artifact (ORACLE_r{N}.json): the judge
+    # audits the queries the driver's fixed 50-key sample never exercises
+    out_path = os.environ.get("ORACLE_REPORT")
+    if out_path:
+        full = sum(1 for r in report.values() if r["oracle"] == "full-value")
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": sf, "total": len(report),
+                       "passing": len(res) - bad,
+                       "full_value_oracles": full,
+                       "queries": report}, fh, indent=1)
+        print(f"report written to {out_path}")
     sys.exit(1 if bad else 0)
