@@ -55,11 +55,36 @@ def test_decode_image_dispatches_jpeg():
     assert img.shape == (16, 16, 3)
 
 
-def test_progressive_raises():
-    # CPython's grayscale mllib twin is progressive; synthesize the marker
-    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+PROG_CASES = [
+    # prog_444: nodejs doc image, 4:4:4, spectral-selection luma bands
+    # (1-8 / 9-63) + chroma AC successive approximation (Al=1 → refine).
+    # Differs from libjpeg by IDCT rounding only.
+    ("prog_444", 0.05, 2),
+    # prog_422: rust embedded-book photo, 4:2:2, the canonical libjpeg
+    # scan script — interleaved DC first at Al=1 + interleaved DC
+    # refinement, luma AC in three bands at Al=2 with an Ah=2→1
+    # refinement pass, chroma refinement — over subsampled
+    # (non-interleaved ceil-grid) component geometry.
+    ("prog_422", 0.6, 4),
+]
+
+
+@pytest.mark.parametrize("name,mean_tol,max_tol", PROG_CASES)
+def test_progressive_decode_matches_independent_decoder(name, mean_tol,
+                                                        max_tol):
+    jpg, ref = _load(name)
+    img = decode_jpeg(jpg)
+    assert img.shape == ref.shape
+    d = np.abs(img.astype(np.int64) - ref.astype(np.int64))
+    assert d.mean() <= mean_tol, f"mean |Δ| = {d.mean()}"
+    assert d.max() <= max_tol, f"max |Δ| = {d.max()}"
+
+
+def test_arithmetic_coding_raises():
+    # SOF9 (arithmetic sequential) stays out of scope
+    sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg(sof2)
+        decode_jpeg(sof9)
 
 
 def test_truncated_raises():

@@ -7,13 +7,15 @@ the repo's last multimodal stub: the reference's multimodal surface
 treats images as opaque payloads; here decode AND encode are real for the
 codecs a crawl actually sees (PNG, BMP, JPEG baseline).
 
-Decoder: 8-bit baseline sequential, 1 component (grayscale) or 3
-components (YCbCr → RGB, JFIF conversion), arbitrary h/v sampling factors
-(4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn). Chroma upsampling is
-the triangular filter for 2x factors (libjpeg's default shape; spec
-A.1.1 leaves the filter open), nearest otherwise. Not supported (raise
-NotImplementedError): progressive (SOF2), arithmetic coding, 12-bit,
-hierarchical.
+Decoder: 8-bit baseline sequential (SOF0) AND progressive (SOF2, Annex
+G.2: spectral selection + successive approximation, interleaved DC /
+non-interleaved AC scans, EOB runs, refinement bits), 1 component
+(grayscale) or 3 components (YCbCr → RGB, JFIF conversion), arbitrary
+h/v sampling factors (4:4:4, 4:2:2, 4:2:0), restart intervals
+(DRI/RSTn). Chroma upsampling is the triangular filter for 2x factors
+(libjpeg's default shape; spec A.1.1 leaves the filter open), nearest
+otherwise. Not supported (raise NotImplementedError): arithmetic
+coding, 12-bit, hierarchical, per-component baseline scans, CMYK.
 
 Encoder: baseline 4:4:4 (gray or RGB→YCbCr) with the Annex K standard
 quantization + Huffman tables and libjpeg-compatible quality scaling;
@@ -196,6 +198,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _Huffman] = {}
     huff_ac: dict[int, _Huffman] = {}
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient arrays
     restart_interval = 0
     pos = 2
     while pos < len(data):
@@ -231,7 +234,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = seg[i + 17:i + 17 + n]
                 (huff_ac if cls else huff_dc)[tid] = _Huffman(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
@@ -239,11 +242,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (baseline sequential only)")
+                f"JPEG SOF marker 0xFF{marker:02X} "
+                "(baseline sequential + progressive only)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — scan follows
@@ -252,9 +257,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tt >> 4, tt & 15)
+            if frame is not None and frame["progressive"]:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_progressive_scan(
+                    data, pos + 2 + length, frame, scan, huff_dc, huff_ac,
+                    restart_interval, ss, se, ahal >> 4, ahal & 15, coefs)
+                continue
             return _decode_scan(data, pos + 2 + length, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         pos += 2 + length
+    if frame is not None and frame["progressive"] and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("JPEG truncated before SOS")
 
 
@@ -351,6 +367,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
+    return _finish_planes(comps, planes, h_img, w_img, hmax, vmax)
+
+
+def _finish_planes(comps, planes, h_img, w_img, hmax, vmax):
+    """Upsample chroma, crop to image size, YCbCr→RGB (JFIF)."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -365,6 +386,215 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---- progressive decoding (T.81 Annex G.2, Huffman) -------------------------
+#
+# A progressive image is a sequence of scans, each delivering one band of
+# zigzag coefficients (spectral selection Ss..Se) at one bit-precision
+# level (successive approximation Ah→Al) for one or all components.
+# Coefficients accumulate in per-component integer arrays; the IDCT and
+# color conversion run once, after all scans (G.1.1.1.1: AC scans are
+# single-component and non-interleaved; DC scans may interleave).
+
+
+def _alloc_coefs(frame):
+    """Per-component (blocks_y, blocks_x, 64) zigzag coefficient arrays
+    sized to the MCU-padded grid (interleaved DC scans write the padding
+    blocks; A.2.3's dummy data units)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+            for c in comps]
+
+
+def _first_ac_block(rd, blk, ac, ss, se, al, eobrun):
+    """One block of an AC first scan (G.2.2, Figure G.3/G.5): run-length
+    coding with EOBn end-of-band runs; new coefficients arrive scaled by
+    2^Al. Returns the updated EOB run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode_huff(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:              # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1    # EOBn: this block + 2^r-1+ext more
+            if r:
+                eobrun += rd.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun in progressive scan")
+        blk[k] = _extend(rd.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac_block(rd, blk, ac, ss, se, al, eobrun):
+    """One block of an AC refinement scan (G.1.2.3): each
+    already-nonzero coefficient in the band receives a correction bit;
+    newly-nonzero coefficients are inserted at ±2^Al after skipping r
+    zero-history positions. Mirrors the spec's decision flow (the same
+    one libjpeg's jdphuff.c implements)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode_huff(ac)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:          # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                # ZRL: r=15 → skip 16 zero-history coefficients below
+            else:                    # s == 1 per G.1.2.3
+                newval = p1 if rd.read_bits(1) else -p1
+            while k <= se:           # advance r zero-history positions,
+                v = int(blk[k])      # refining nonzero-history ones
+                if v != 0:
+                    if rd.read_bits(1) and not (v & p1):
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:               # inside an EOB run every remaining
+            v = int(blk[k])          # nonzero coefficient still refines
+            if v != 0:
+                if rd.read_bits(1) and not (v & p1):
+                    blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data, pos):
+    """Position of the next real marker at/after ``pos`` (skipping
+    stuffed 0xFF00 and stray RSTn)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, huff_dc, huff_ac,
+                             dri, ss, se, ah, al, coefs):
+    """Decode one progressive scan into ``coefs``; returns the stream
+    position of the marker following the entropy-coded segment."""
+    comps = frame["comps"]
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    members = [cidx[cid] for cid in scan]     # SOS order
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss != 0 and len(members) != 1:
+        raise ValueError(
+            "progressive AC scan with %d components (G.1.1.1.1 allows 1)"
+            % len(members))
+    rd = _BitReader(data, pos)
+    if len(members) == 1:
+        # non-interleaved: row-major over the component's OWN data-unit
+        # grid, ceil(comp_size/8) per side (A.2.2) — smaller than the
+        # MCU-padded allocation for subsampled edge blocks.
+        ci = members[0]
+        c = comps[ci]
+        cw = -(-(frame["w"] * c["h"]) // hmax)   # ceil component size (A.1.1)
+        ch = -(-(frame["h"] * c["v"]) // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        td, ta = scan[c["id"]]
+        pred, eobrun, unit = 0, 0, 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and unit and unit % dri == 0:
+                    rd.align_and_consume_rst()
+                    pred, eobrun = 0, 0
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        t = rd.decode_huff(huff_dc[td])
+                        pred += _extend(rd.read_bits(t), t)
+                        blk[0] = pred << al
+                    elif rd.read_bits(1):
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _first_ac_block(
+                        rd, blk, huff_ac[ta], ss, se, al, eobrun)
+                else:
+                    eobrun = _refine_ac_block(
+                        rd, blk, huff_ac[ta], ss, se, al, eobrun)
+                unit += 1
+    else:
+        # interleaved DC scan over the MCU grid (A.2.3)
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+        preds = {ci: 0 for ci in members}
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu and mcu % dri == 0:
+                    rd.align_and_consume_rst()
+                    preds = {ci: 0 for ci in members}
+                for ci in members:
+                    c = comps[ci]
+                    td, _ = scan[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + by,
+                                            mx * c["h"] + bx]
+                            if ah == 0:
+                                t = rd.decode_huff(huff_dc[td])
+                                preds[ci] += _extend(rd.read_bits(t), t)
+                                blk[0] = preds[ci] << al
+                            elif rd.read_bits(1):
+                                blk[0] |= 1 << al
+                mcu += 1
+    return _next_marker(data, rd.pos)
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient arrays (batched
+    einsum over all blocks — the per-bit work happened scan-side)."""
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            "JPEG with %d components (grayscale/YCbCr only)" % len(comps))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        cf = coefs[ci]
+        nby, nbx = cf.shape[:2]
+        blocks = np.zeros((nby, nbx, 64))
+        # qt tables are kept in DQT (zigzag) order, matching cf's indexing
+        blocks[:, :, ZIGZAG] = cf.astype(np.float64) * qt[c["tq"]]
+        blocks = blocks.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ux,ijuv,vy->ijxy", _A, blocks, _A) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _finish_planes(comps, planes, frame["h"], frame["w"], hmax, vmax)
 
 
 # ---- encoder (baseline sequential, standard Annex K tables) -----------------
