@@ -77,8 +77,71 @@ spark.stop()
 '''
 
 
-def run_level(sf: str, repl: int, cores: int) -> dict:
-    code = WORKER % {"repo": REPO, "sf": sf, "repl": repl, "cores": cores}
+WORKER_SASMA = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from unmixing_spark.session import get_spark
+from unmixing_spark.pagegen import cell_raster_sql
+from unmixing_spark import dialect as D
+from unmixing_spark.raster.rasterize import assemble_tiles
+from unmixing_spark.sasma.focal import interpolate_endmember_tiles
+from unmixing_spark.sasma.kernels import kernel_idw_l1
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = get_spark(app_name="scaling-bench-sasma", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("%(sf)s/documents.parquet")
+repl = %(repl)d
+replicated = (docs.repartition(cores * 3)
+              .crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "rep")))
+              .withColumn("doc_id", F.col("doc_id") * repl + F.col("rep"))
+              .drop("rep"))
+replicated.createOrReplaceTempView("documents")
+
+def run_pipeline():
+    # q_sasma_interpolation's exact job (queries/pipeline_q.py): cell
+    # raster -> 3-class label -> sparse tiles -> halo-exchanged
+    # normalized-convolution interpolation per (tile, class, band)
+    cells = (spark.sql(cell_raster_sql(D.SPARK))
+             .withColumn("cls", F.when(F.col("b1") >= 2.0, 2.0)
+                         .when(F.col("b4") >= 50.0, 1.0).otherwise(0.0)))
+    tiles = assemble_tiles(cells, ["b2", "b4", "cls"])
+    out = interpolate_endmember_tiles(
+        tiles, kernel_idw_l1(5), class_band=2, spectral_bands=[0, 1],
+        labels=[0, 1, 2])
+    per_row = out.select(
+        "tile_id",
+        F.round(F.aggregate("interp", F.lit(0.0),
+                            lambda a, v: a + F.coalesce(
+                                F.nanvl(v, F.lit(0.0)), F.lit(0.0))), 4)
+        .alias("s"))
+    return per_row.agg(F.count("*").alias("groups"),
+                       F.count_distinct("tile_id").alias("tiles"),
+                       F.sum("s").alias("checksum")).collect()[0]
+
+docs.limit(200).createOrReplaceTempView("documents")
+run_pipeline()                      # warmup: JIT + python workers
+replicated.createOrReplaceTempView("documents")
+
+t0 = time.time()
+agg = run_pipeline()
+wall = time.time() - t0
+print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
+                  "tiles": agg["tiles"], "pixels": agg["groups"],
+                  "tiles_per_sec": round(agg["tiles"] / wall, 2),
+                  "rmse_sum": round(float(agg["checksum"]), 4)}))
+spark.stop()
+'''
+
+WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA}
+
+
+def run_level(sf: str, repl: int, cores: int, job: str = "fcls") -> dict:
+    code = WORKERS[job] % {"repo": REPO, "sf": sf, "repl": repl,
+                           "cores": cores}
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -93,6 +156,7 @@ def main() -> None:
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    job = sys.argv[5] if len(sys.argv) > 5 else "fcls"
 
     # The sandbox host shows variable external load (loadavg ~10 with no
     # local consumer), so single runs are noisy: alternate the two levels
@@ -100,24 +164,29 @@ def main() -> None:
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     runs_small, runs_big = [], []
     for _ in range(repeats):
-        runs_small.append(run_level(sf, repl, small))
-        runs_big.append(run_level(sf, repl, big))
+        runs_small.append(run_level(sf, repl, small, job))
+        runs_big.append(run_level(sf, repl, big, job))
     r_small = min(runs_small, key=lambda r: r["wall_s"])
     r_big = min(runs_big, key=lambda r: r["wall_s"])
 
     factor = big / small
     eff = (r_big["tiles_per_sec"] / r_small["tiles_per_sec"]) / factor
+    # checksum tolerance: both jobs sum per-row round() values, where only
+    # the double summation order varies with partitioning (~1e-12 relative)
     same = (r_small["tiles"] == r_big["tiles"]
             and r_small["pixels"] == r_big["pixels"]
             and abs(r_small["rmse_sum"] - r_big["rmse_sum"]) < 1e-6)
     result = {
-        "metric": f"FCLS tiles/sec scaling local[{small}] -> local[{big}]",
+        "metric": f"{job} tiles/sec scaling local[{small}] -> local[{big}]",
         "sf_dir": sf, "replication": repl,
         "small": r_small, "big": r_big,
         "scaling_efficiency": round(eff, 3),
         "outputs_identical_across_parallelism": same,
     }
     print(json.dumps(result))
+    if job != "fcls":
+        return      # non-flagship jobs: numbers are folded into BASELINE.md
+                    # by hand (the md template below is the flagship table)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
