@@ -65,8 +65,12 @@ def convex_hull(points, indices: bool = False):
     upper = half(reversed(pts))
     hull = lower + upper[1:-1]
     if indices:
-        src = list(map(tuple, points))
-        return [src.index(h) for h in hull], hull
+        # dict lookup instead of list.index: O(n + h), first occurrence
+        # wins for duplicate points (same answer list.index gave)
+        first_at: dict[tuple, int] = {}
+        for i, p in enumerate(map(tuple, points)):
+            first_at.setdefault(p, i)
+        return [first_at[h] for h in hull], hull
     return hull
 
 
