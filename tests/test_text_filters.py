@@ -1,0 +1,73 @@
+"""q_gopher_repetition / q_boilerplate_ngrams vs an independent numpy
+brute force (the dual-rendered SQL shares its logic between dialects, so
+dialect parity alone can't catch a wrong metric — this pins the metric)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+from unmixing_spark.queries import registry
+
+
+def _docs():
+    return pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _brute_repetition(text: str):
+    toks = re.split(" +", text)
+    n = len(toks)
+    grams = [(i, f"{toks[i]} {toks[i + 1]}") for i in range(n - 1)]
+    counts: dict[str, int] = {}
+    for _, g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    top2 = max(counts.values()) if counts else 0
+    covered: set[int] = set()
+    for i, g in grams:
+        if counts[g] > 1:
+            covered.update((i, i + 1))
+    return n, round(2.0 * top2 / n, 6), round(len(covered) / n, 6)
+
+
+def test_gopher_repetition_matches_brute_force(spark):
+    out = (registry()["q_gopher_repetition"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    assert len(out) == len(docs)
+    for _, row in docs.iterrows():
+        n, top2, dup2 = _brute_repetition(row["text"])
+        got = out.loc[row["doc_id"]]
+        assert int(got["n_tok"]) == n
+        assert abs(got["top2_frac"] - top2) < 1e-9, row["doc_id"]
+        assert abs(got["dup2_frac"] - dup2) < 1e-9, row["doc_id"]
+    # the corpus must actually exercise the interval-union branch
+    assert (out["dup2_frac"] > 0).sum() > 100
+
+
+def test_boilerplate_ngrams_matches_brute_force(spark):
+    from unmixing_spark.queries.text_q import BOILER_DF, BOILER_N
+
+    out = (registry()["q_boilerplate_ngrams"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    per_doc: dict[int, list[str]] = {}
+    df_count: dict[str, set[int]] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(" +", row["text"])
+        grams = [" ".join(toks[i:i + BOILER_N])
+                 for i in range(len(toks) - BOILER_N + 1)]
+        per_doc[row["doc_id"]] = grams
+        for g in set(grams):
+            df_count.setdefault(g, set()).add(row["doc_id"])
+    boiler = {g for g, ids in df_count.items() if len(ids) >= BOILER_DF}
+    assert boiler, "corpus must exercise the boilerplate branch"
+    for doc_id, grams in per_doc.items():
+        if not grams:
+            continue
+        hits = sum(1 for g in grams if g in boiler)
+        got = out.loc[doc_id]
+        assert int(got["n_grams5"]) == len(grams)
+        assert int(got["boiler_hits"]) == hits
+        assert abs(got["boiler_frac"] - round(hits / len(grams), 6)) < 1e-9

@@ -429,3 +429,140 @@ def _embedding_neardup(d: str) -> str:
 sql_template("q_embedding_neardup", _embedding_neardup,
              "embedding-cosine near-dup pairs (sign-LSH blocked, hot-bucket capped)",
              tables=("embeddings",))
+
+
+# ---- repetition + boilerplate filters (Gopher / C4-style) -------------------
+#
+# The two corpus-hygiene passes every 100 TB text pipeline runs before
+# training (Rae et al. 2021 "Gopher" §A1.1; Raffel et al. 2020 C4):
+# within-document repetition signals and cross-document boilerplate
+# n-grams. Both are pure SQL — n-grams via lead() windows keyed by
+# doc_id (one shuffle, per-doc windows), interval union via classic
+# gaps-and-islands, the cross-doc pass keyed by gram with the small
+# HAVING-filtered boilerplate set on the build side of the final join
+# (broadcast at scale; ultra-common-gram skew is AQE's case).
+
+BOILER_N = 5        # cross-doc boilerplate n-gram length
+BOILER_DF = 3       # min distinct docs for a gram to count as boilerplate
+
+
+def _pos_tokens(d: str) -> str:
+    """(doc_id, pos [1-based], tok) over whitespace tokens."""
+    if d == D.SPARK:
+        return """(
+      SELECT doc_id, pos0 + 1 AS pos, tok
+      FROM documents
+      LATERAL VIEW posexplode(split(text, ' +')) t AS pos0, tok
+    )"""
+    return """(
+      SELECT doc_id, cast(i as int) AS pos,
+             list_extract(string_split_regex(text, ' +'), cast(i as int)) AS tok
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, len(string_split_regex(text, ' +')) + 1)) AS i
+            FROM documents)
+    )"""
+
+
+def _lead_gram(n: int) -> str:
+    """n-token gram at each position via lead() over window w."""
+    return " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, n)])
+
+
+def _gopher_repetition(d: str) -> str:
+    # Gopher's within-doc repetition family, word-adapted to this corpus:
+    # top2_frac = fraction of tokens inside the single most frequent
+    # 2-gram (count*2 / n_tok; Gopher's "fraction of characters in most
+    # common 2-gram"), dup2_frac = fraction of token POSITIONS covered by
+    # at least one 2-gram that repeats within the document ("fraction of
+    # characters in duplicate n-grams") — overlapping occurrences counted
+    # once via interval union (gaps-and-islands over [pos, pos+1]).
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ntok AS (SELECT doc_id, count(*) AS n_tok FROM pos GROUP BY doc_id),
+    ng2 AS (
+      SELECT doc_id, pos, gram FROM (
+        SELECT doc_id, pos, {_lead_gram(2)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    top2 AS (
+      SELECT doc_id, max(c) AS max2 FROM (
+        SELECT doc_id, gram, count(*) AS c FROM ng2 GROUP BY doc_id, gram) g
+      GROUP BY doc_id
+    ),
+    dup AS (
+      SELECT doc_id, pos AS s, pos + 1 AS e FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c FROM ng2) r
+      WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, sum(ext) AS covered FROM (
+        SELECT doc_id, gid, max(e) - min(s) + 1 AS ext
+        FROM grp GROUP BY doc_id, gid) g
+      GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.n_tok,
+           round(cast(2 as double) * coalesce(t.max2, 0) / n.n_tok, 6)
+             AS top2_frac,
+           round(cast(coalesce(c.covered, 0) as double) / n.n_tok, 6)
+             AS dup2_frac
+    FROM ntok n
+    LEFT JOIN top2 t ON t.doc_id = n.doc_id
+    LEFT JOIN cov c ON c.doc_id = n.doc_id
+    """
+
+
+sql_template("q_gopher_repetition", _gopher_repetition,
+             "within-doc repetition signals: top-2-gram fraction + "
+             "duplicated-2-gram coverage via interval union (Gopher A1.1)")
+
+
+def _boilerplate_ngrams(d: str) -> str:
+    # C4/CCNet-style cross-document boilerplate: 5-grams occurring in
+    # >= BOILER_DF distinct documents, and each document's coverage by
+    # them. The gram-keyed shuffle is the corpus-wide pass; the HAVING
+    # filter makes the boilerplate set small enough to broadcast back
+    # onto the per-doc gram stream.
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ng AS (
+      SELECT doc_id, pos, gram FROM (
+        SELECT doc_id, pos, {_lead_gram(BOILER_N)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    boiler AS (
+      SELECT gram, count(DISTINCT doc_id) AS df
+      FROM ng GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {BOILER_DF}
+    )
+    SELECT g.doc_id,
+           cast(count(*) as bigint) AS n_grams5,
+           cast(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                as bigint) AS boiler_hits,
+           round(cast(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      as double) / count(*), 6) AS boiler_frac
+    FROM ng g LEFT JOIN boiler b ON b.gram = g.gram
+    GROUP BY g.doc_id
+    """
+
+
+sql_template("q_boilerplate_ngrams", _boilerplate_ngrams,
+             "cross-document boilerplate 5-grams (df >= 3) and per-doc "
+             "coverage (C4/CCNet-style hygiene pass)")
