@@ -71,3 +71,50 @@ def test_boilerplate_ngrams_matches_brute_force(spark):
         assert int(got["n_grams5"]) == len(grams)
         assert int(got["boiler_hits"]) == hits
         assert abs(got["boiler_frac"] - round(hits / len(grams), 6)) < 1e-9
+
+
+def test_neardup_components_match_union_find(spark):
+    """Spark CC vs an independent union-find over the same candidate
+    pairs, plus the in-query convergence proof."""
+    import duckdb
+
+    from unmixing_spark import dialect as D
+    from unmixing_spark.queries.text_q import _minhash_lsh
+
+    out = (registry()["q_neardup_components"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    assert (out["converged"] == 1).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/documents.parquet')")
+    pairs = con.execute(
+        f"WITH pairs AS ({_minhash_lsh(D.DUCKDB)}) "
+        f"SELECT doc_a, doc_b FROM pairs").fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comp_of = {d: find(d) for d in out.index}
+    sizes: dict[int, int] = {}
+    for c in comp_of.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    for doc_id, row in out.iterrows():
+        assert int(row["component"]) == comp_of[doc_id]
+        assert int(row["comp_size"]) == sizes[comp_of[doc_id]]
+        assert int(row["keep"]) == (1 if doc_id == comp_of[doc_id] else 0)
+    # transitive closure must actually differ from the greedy rule (keep
+    # docs with no smaller-id neighbor) on this corpus — chains exist, so
+    # CC keeps strictly fewer docs; otherwise this query adds nothing
+    # over q_minhash_dedup_keep
+    greedy_keepers = set(out.index) - {b for _, b in pairs}
+    assert int(out["keep"].sum()) < len(greedy_keepers)

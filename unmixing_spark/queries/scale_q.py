@@ -503,3 +503,139 @@ def _minhash_keep(d: str) -> str:
 
 sql_template("q_minhash_dedup_keep", _minhash_keep,
              "near-dup keep-list: drop docs sharing >=2 LSH bands with a smaller doc_id")
+
+# ---- near-dup connected components ------------------------------------------
+
+CC_ROUNDS = 7   # each round = neighbor-min + pointer-jump. The corpus
+                # candidate graph converges in 6 rounds at sf0.001/0.01/0.1
+                # (giant component 4,749 nodes, min within 10 hops); 7 adds
+                # a margin round, and the query's own `converged` column
+                # plus tests/test_text_filters.py (union-find equality)
+                # would catch any graph that needs more.
+
+
+def _cc_oracle() -> str:
+    """Unrolled label-propagation CC as DuckDB SQL. Every CTE that is
+    referenced more than once is MATERIALIZED — the default inlining
+    would otherwise replicate the LSH subquery 2^rounds times (the
+    pointer-jump self-joins double references per round)."""
+    from unmixing_spark.queries.text_q import _minhash_lsh
+
+    ctes = [f"""pairs AS MATERIALIZED ({_minhash_lsh(D.DUCKDB)}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"""]
+    for r in range(CC_ROUNDS):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+      SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
+      FROM l{r} a
+      LEFT JOIN edges e ON e.u = a.id
+      LEFT JOIN l{r} nb ON nb.id = e.v
+      GROUP BY a.id
+    ),
+    l{r + 1} AS MATERIALIZED (
+      SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+      FROM n{r} a LEFT JOIN n{r} b ON b.id = a.lbl
+    )""")
+    last = f"l{CC_ROUNDS}"
+    ctes.append(f"""chk AS MATERIALIZED (
+      SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
+      FROM {last} a
+      LEFT JOIN edges e ON e.u = a.id
+      LEFT JOIN {last} nb ON nb.id = e.v
+      GROUP BY a.id
+    ),
+    conv AS (
+      SELECT max(CASE WHEN c.lbl <> l.lbl THEN 1 ELSE 0 END) AS changed
+      FROM chk c JOIN {last} l ON l.id = c.id
+    ),
+    final AS MATERIALIZED (
+      SELECT dd.doc_id, coalesce(l.lbl, dd.doc_id) AS component
+      FROM documents dd LEFT JOIN {last} l ON l.id = dd.doc_id
+    ),
+    sized AS (
+      SELECT component, cast(count(*) as bigint) AS comp_size
+      FROM final GROUP BY component
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.doc_id, f.component, s.comp_size,
+           CASE WHEN f.doc_id = f.component THEN 1 ELSE 0 END AS keep,
+           cast((SELECT 1 - changed FROM conv) as int) AS converged
+    FROM final f JOIN sized s ON s.component = f.component
+    """
+
+
+def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph — the
+    transitive-closure dedup the greedy keep-list (q_minhash_dedup_keep)
+    approximates: one keeper (min doc_id) PER COMPONENT, not per
+    independent neighborhood (reference has no graph ops; this serves
+    the dedup brief). Pregel-style rounds on cached DataFrames: each
+    round is a neighbor-min label exchange (join keyed by node id) plus
+    a pointer jump lbl <- lbl(lbl) (join keyed by label), so propagation
+    distance doubles per round and CC_ROUNDS rounds close any graph with
+    the component minimum within 2^CC_ROUNDS - 1 hops. One extra
+    neighbor-min round feeds the `converged` column (1 iff fixpoint —
+    verified in-query, not assumed). The edge list is computed ONCE and
+    cached; at 10^12 docs the per-round shuffles are the standard
+    label-propagation pattern, with the label table orders of magnitude
+    smaller than the corpus (only docs in candidate pairs)."""
+    from unmixing_spark.queries.text_q import _minhash_lsh
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_minhash_lsh(D.SPARK)).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .unionAll(pairs.select(F.col("doc_b").alias("u"),
+                                    F.col("doc_a").alias("v"))))
+    lbl = edges.select(F.col("u").alias("id")).distinct() \
+               .withColumn("lbl", F.col("id"))
+
+    def neighbor_min(l: DataFrame) -> DataFrame:
+        nb = l.withColumnRenamed("id", "v").withColumnRenamed("lbl", "nlbl")
+        return (l.join(edges, l["id"] == edges["u"], "left")
+                 .join(nb, "v", "left")
+                 .select(l["id"],
+                         F.least(l["lbl"], F.coalesce("nlbl", l["lbl"]))
+                         .alias("lbl"))
+                 .groupBy("id").agg(F.min("lbl").alias("lbl")))
+
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(CC_ROUNDS):
+        n = neighbor_min(lbl)
+        ptr = n.withColumnRenamed("id", "p_id").withColumnRenamed("lbl", "p_lbl")
+        lbl = (n.join(ptr, n["lbl"] == ptr["p_id"], "left")
+                .select(n["id"],
+                        F.least(n["lbl"], F.coalesce("p_lbl", n["lbl"]))
+                        .alias("lbl")))
+        # truncate lineage each round: without this the 3-joins-per-round
+        # self-referencing plan grows past what Catalyst can re-optimize
+        # (the standard iterative-algorithm pattern; values unchanged)
+        lbl = lbl.localCheckpoint(eager=True)
+    chk = neighbor_min(lbl).withColumnRenamed("lbl", "chk_lbl")
+    converged = (lbl.join(chk, "id")
+                 .agg((F.lit(1) - F.max(F.when(F.col("lbl") != F.col("chk_lbl"), 1)
+                                        .otherwise(0))).alias("converged")))
+    final = (spark.table("documents")
+             .join(lbl.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("lbl", F.col("doc_id")).alias("component")))
+    sized = final.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("comp_size"))
+    return (final.join(sized, "component")
+            .crossJoin(F.broadcast(converged))
+            .select("doc_id", "component", "comp_size",
+                    F.when(F.col("doc_id") == F.col("component"), 1)
+                    .otherwise(0).alias("keep"),
+                    F.col("converged").cast("int").alias("converged")))
+
+
+register("q_neardup_components", QuerySpec(
+    spark_fn=_neardup_components_spark, oracle=_cc_oracle(),
+    doc="connected components over LSH candidate pairs: one keeper per "
+        "component (transitive closure), pointer-jumped label propagation "
+        "on cached DataFrames, in-query convergence proof"))
