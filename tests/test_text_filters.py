@@ -118,3 +118,75 @@ def test_neardup_components_match_union_find(spark):
     # over q_minhash_dedup_keep
     greedy_keepers = set(out.index) - {b for _, b in pairs}
     assert int(out["keep"].sum()) < len(greedy_keepers)
+
+
+def _md5_rank(doc_id: int) -> int:
+    import hashlib
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def test_stratified_sample_matches_brute_force(spark):
+    from unmixing_spark.queries.text_q import STRATUM_QUOTA
+
+    out = (registry()["q_stratified_sample"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    docs = _docs()
+    docs["rank"] = [(_md5_rank(i), i) for i in docs["doc_id"]]
+    expect = (docs.sort_values("rank")
+              .groupby(["lang", "source"]).head(STRATUM_QUOTA))
+    assert set(out["doc_id"]) == set(expect["doc_id"])
+    assert (out.groupby(["lang", "source"])["doc_id"].count()
+            <= STRATUM_QUOTA).all()
+
+
+def test_sequence_packing_matches_brute_force(spark):
+    import re
+
+    from unmixing_spark.queries.text_q import PACK_BUDGET
+
+    out = (registry()["q_sequence_packing"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id"))
+    docs = _docs().sort_values("doc_id")
+    cum: dict[str, int] = {}
+    for _, row in docs.iterrows():
+        n = len(re.split(" +", row["text"]))
+        prefix = cum.get(row["lang"], 0)
+        cum[row["lang"]] = prefix + n
+        got = out.loc[row["doc_id"]]
+        assert int(got["tokens"]) == n
+        assert int(got["seq_id"]) == prefix // PACK_BUDGET
+        assert int(got["seq_offset"]) == prefix % PACK_BUDGET
+        assert int(got["boundary_crossings"]) == (
+            (prefix + n) // PACK_BUDGET - prefix // PACK_BUDGET)
+    # packing must produce multi-sequence output and straddling docs
+    assert out["seq_id"].max() > 10
+    assert (out["boundary_crossings"] > 0).any()
+
+
+def test_decontaminate_matches_brute_force(spark):
+    import re
+
+    from unmixing_spark.queries.text_q import DECON_EVAL_MOD, DECON_N
+
+    out = (registry()["q_decontaminate"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id"))
+    docs = _docs()
+    grams_of = {}
+    for _, row in docs.iterrows():
+        toks = re.split(" +", row["text"])
+        grams_of[row["doc_id"]] = [" ".join(toks[i:i + DECON_N])
+                                   for i in range(len(toks) - DECON_N + 1)]
+    ev = set()
+    for doc_id, grams in grams_of.items():
+        if doc_id % DECON_EVAL_MOD == 0:
+            ev.update(grams)
+    n_contaminated = 0
+    for doc_id, grams in grams_of.items():
+        if doc_id % DECON_EVAL_MOD == 0 or not grams:
+            continue
+        hits = sum(1 for g in grams if g in ev)
+        got = out.loc[doc_id]
+        assert int(got["shared_gram_hits"]) == hits
+        assert int(got["contaminated"]) == (1 if hits else 0)
+        n_contaminated += 1 if hits else 0
+    assert n_contaminated > 0   # the corpus must exercise the flag

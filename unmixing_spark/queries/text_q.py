@@ -566,3 +566,104 @@ def _boilerplate_ngrams(d: str) -> str:
 sql_template("q_boilerplate_ngrams", _boilerplate_ngrams,
              "cross-document boilerplate 5-grams (df >= 3) and per-doc "
              "coverage (C4/CCNet-style hygiene pass)")
+
+
+# ---- corpus assembly: sampling, packing, decontamination --------------------
+#
+# The three steps between "filtered corpus" and "training batches":
+# stratified quota sampling (data mixing), concat-then-chunk sequence
+# packing, and eval-set decontamination (Brown et al. 2020 §C n-gram
+# overlap). All dual-rendered SQL.
+
+STRATUM_QUOTA = 20   # docs kept per (lang, source) stratum
+PACK_BUDGET = 256    # tokens per packed training sequence
+DECON_N = 4          # decontamination n-gram length
+DECON_EVAL_MOD = 25  # eval set = doc_id % 25 == 0 (deterministic stand-in)
+
+
+def _stratified_sample(d: str) -> str:
+    # Exact per-stratum quotas with a deterministic hash order (the
+    # md5-ranked twin of np.random.choice per group). One shuffle keyed
+    # by stratum; at 10^12 docs the window becomes a map-side per-group
+    # top-k + merge (the semi-join-above-agg trick in spatial/joins.py) —
+    # the quota semantics stay identical.
+    h = D.md5_slice(D.to_str("doc_id", d), 1, d)
+    return f"""
+    SELECT doc_id, lang, source, cast(rn as bigint) AS rn
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY ({h}), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {STRATUM_QUOTA}
+    """
+
+
+sql_template("q_stratified_sample", _stratified_sample,
+             "exact per-(lang, source) quota sample, md5-ranked "
+             "(deterministic data-mixing step)")
+
+
+def _sequence_packing(d: str) -> str:
+    # Concat-then-chunk packing: documents are concatenated per lang in
+    # doc_id order and split every PACK_BUDGET tokens. Pure running-sum
+    # bookkeeping: a doc starts in sequence floor(prefix/B) at offset
+    # prefix % B and crosses floor(cum/B) - floor(prefix/B) boundaries.
+    # One shuffle keyed by lang; the cumulative window is the only
+    # order-dependent step and its order (doc_id) is total.
+    ws = ("size(split(text, ' +'))" if d == D.SPARK
+          else "len(string_split_regex(text, ' +'))")
+    b = PACK_BUDGET
+    return f"""
+    WITH t AS (SELECT doc_id, lang, cast({ws} as bigint) AS tokens
+               FROM documents),
+    c AS (
+      SELECT doc_id, lang, tokens,
+             sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, tokens,
+           cast({D.idiv("(cum - tokens)", str(b))} as bigint) AS seq_id,
+           cast((cum - tokens) % {b} as bigint) AS seq_offset,
+           cast({D.idiv("cum", str(b))} - {D.idiv("(cum - tokens)", str(b))}
+                as bigint) AS boundary_crossings
+    FROM c
+    """
+
+
+sql_template("q_sequence_packing", _sequence_packing,
+             "concat-then-chunk sequence packing per lang: seq id, offset, "
+             "boundary crossings from one cumulative window")
+
+
+def _decontaminate(d: str) -> str:
+    # GPT-3-style n-gram decontamination: a training doc is contaminated
+    # if it shares any DECON_N-gram with the eval set. The eval gram set
+    # is DISTINCT-collapsed and lands on the build side of a broadcast
+    # left join onto the training gram stream (eval sets are tiny next
+    # to the corpus, always broadcastable).
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ng AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, {_lead_gram(DECON_N)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT gram FROM ng
+           WHERE doc_id % {DECON_EVAL_MOD} = 0)
+    SELECT g.doc_id,
+           CASE WHEN sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS contaminated,
+           cast(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                as bigint) AS shared_gram_hits
+    FROM ng g LEFT JOIN ev e ON e.gram = g.gram
+    WHERE g.doc_id % {DECON_EVAL_MOD} <> 0
+    GROUP BY g.doc_id
+    """
+
+
+sql_template("q_decontaminate", _decontaminate,
+             "eval-set n-gram decontamination (Brown et al. 2020 C): "
+             "flag training docs sharing any 4-gram with the eval split")
