@@ -614,7 +614,12 @@ def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("lbl")))
         # truncate lineage each round: without this the 3-joins-per-round
         # self-referencing plan grows past what Catalyst can re-optimize
-        # (the standard iterative-algorithm pattern; values unchanged)
+        # (the standard iterative-algorithm pattern; values unchanged).
+        # Measured at sf0.1: ~0.5 s/round is per-STAGE fixed cost — the
+        # same wall with eager/lazy checkpoints and with shuffle
+        # partitions scoped down to 2, so neither knob is worth its
+        # complexity; at cluster scale the identical ~20 stages amortize
+        # over arbitrarily large candidate graphs.
         lbl = lbl.localCheckpoint(eager=True)
     chk = neighbor_min(lbl).withColumnRenamed("lbl", "chk_lbl")
     converged = (lbl.join(chk, "id")
