@@ -131,7 +131,11 @@ def main() -> None:
             if name in timings and timings[name] > 1.3 * floor + 0.25)
 
     extra_passes = 0
-    last_retry_start = bench_start
+    # space the FIRST retry from the end of the base passes (not from
+    # bench_start: base passes typically take > spacer, which would make
+    # the first retry run back-to-back with the sample that flagged the
+    # suspect — inside the same slow window the spacing exists to escape)
+    last_retry_start = time.perf_counter()
     while suspects() and time.perf_counter() - bench_start < budget:
         # force wall-time spacing between retry passes so consecutive
         # samples of a suspect can't share one multi-minute slow window

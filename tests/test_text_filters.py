@@ -23,12 +23,18 @@ def _brute_repetition(text: str):
     counts: dict[str, int] = {}
     for _, g in grams:
         counts[g] = counts.get(g, 0) + 1
-    top2 = max(counts.values()) if counts else 0
-    covered: set[int] = set()
+    top_covered: set[int] = set()
+    if counts:
+        # same tie-break as the SQL: max count, then smallest gram
+        top_gram = min(counts, key=lambda g: (-counts[g], g))
+        for i, g in grams:
+            if g == top_gram:
+                top_covered.update((i, i + 1))
+    dup_covered: set[int] = set()
     for i, g in grams:
         if counts[g] > 1:
-            covered.update((i, i + 1))
-    return n, round(2.0 * top2 / n, 6), round(len(covered) / n, 6)
+            dup_covered.update((i, i + 1))
+    return (n, round(len(top_covered) / n, 6), round(len(dup_covered) / n, 6))
 
 
 def test_gopher_repetition_matches_brute_force(spark):
@@ -42,8 +48,11 @@ def test_gopher_repetition_matches_brute_force(spark):
         assert int(got["n_tok"]) == n
         assert abs(got["top2_frac"] - top2) < 1e-9, row["doc_id"]
         assert abs(got["dup2_frac"] - dup2) < 1e-9, row["doc_id"]
-    # the corpus must actually exercise the interval-union branch
+    # the corpus must actually exercise the interval-union branch, and
+    # both metrics are true coverage fractions (bounded — the naive
+    # count*2/n_tok formula exceeds 1.0 on repetitive docs)
     assert (out["dup2_frac"] > 0).sum() > 100
+    assert (out["top2_frac"] <= 1.0).all() and (out["dup2_frac"] <= 1.0).all()
 
 
 def test_boilerplate_ngrams_matches_brute_force(spark):

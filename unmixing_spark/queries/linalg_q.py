@@ -221,6 +221,15 @@ def _nfindr_candidates(d: str) -> str:
     )"""
 
 
+# the planted simplex pins the winning SIMPLEX to a data-independent
+# constant (that is what makes the swap search provably exact); the audit
+# aggregate re-introduces data dependence so the driver's value hash still
+# detects Spark/DuckDB divergence in the candidate pre-filter itself
+_NFINDR_AUDIT = ("cast(count(*) as bigint) AS n_cand, "
+                 "round(sum(round(s1, 3)) + sum(round(s2, 3)), 2) "
+                 "AS cand_checksum")
+
+
 def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-FINDR endmember extraction (Winter 1999; reference wraps
     pysptools.eea.NFINDR at lsma.py:122-123) in the distributed-candidate
@@ -228,7 +237,9 @@ def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning PPI survivors give at scale), the collected candidate matrix is
     tiny by construction, and the swap search runs on the driver. The
     planted simplex (see NFINDR_PLANTED) makes the result equal to the
-    exhaustive max-|det| oracle."""
+    exhaustive max-|det| oracle; the audit columns (computed by Spark SQL
+    over the same cand CTE the oracle aggregates) keep the row
+    data-dependent."""
     from unmixing_spark.lsma.endmembers import nfindr
     from unmixing_spark.pipeline import register_tables
 
@@ -236,14 +247,18 @@ def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spark.sql(
         f"WITH {_nfindr_candidates(D.SPARK)} SELECT cell_id, s1, s2 FROM cand")
     pdf = cand.toPandas().sort_values("cell_id").reset_index(drop=True)
+    audit = spark.sql(f"WITH {_nfindr_candidates(D.SPARK)} "
+                      f"SELECT {_NFINDR_AUDIT} FROM cand").collect()[0]
     idx = nfindr(pdf[["s1", "s2"]].to_numpy(), q=3)
     sel = pdf.iloc[idx].sort_values("cell_id")
     (x1, y1), (x2, y2), (x3, y3) = sel[["s1", "s2"]].to_numpy()
     vol = abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1))
     ids = [int(v) for v in sel["cell_id"]]
     return spark.createDataFrame(
-        [(ids[0], ids[1], ids[2], float(round(vol, 4)))],
-        "em1 bigint, em2 bigint, em3 bigint, volume double")
+        [(ids[0], ids[1], ids[2], float(round(vol, 4)),
+          int(audit["n_cand"]), float(audit["cand_checksum"]))],
+        "em1 bigint, em2 bigint, em3 bigint, volume double, "
+        "n_cand bigint, cand_checksum double")
 
 
 def _nfindr_oracle(d: str) -> str:
@@ -251,13 +266,16 @@ def _nfindr_oracle(d: str) -> str:
     # the same volume functional nfindr() maximizes (endmembers.py:207-210)
     det = "(b.s1 - a.s1) * (c.s2 - a.s2) - (c.s1 - a.s1) * (b.s2 - a.s2)"
     return f"""
-    WITH {_nfindr_candidates(d)}
-    SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
-           round(abs({det}), 4) AS volume
-    FROM cand a JOIN cand b ON a.cell_id < b.cell_id
-                JOIN cand c ON b.cell_id < c.cell_id
-    ORDER BY abs({det}) DESC, a.cell_id, b.cell_id, c.cell_id
-    LIMIT 1
+    WITH {_nfindr_candidates(d)},
+    audit AS (SELECT {_NFINDR_AUDIT} FROM cand)
+    SELECT em1, em2, em3, volume, n_cand, cand_checksum FROM (
+      SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
+             round(abs({det}), 4) AS volume
+      FROM cand a JOIN cand b ON a.cell_id < b.cell_id
+                  JOIN cand c ON b.cell_id < c.cell_id
+      ORDER BY abs({det}) DESC, a.cell_id, b.cell_id, c.cell_id
+      LIMIT 1
+    ) w CROSS JOIN audit
     """
 
 

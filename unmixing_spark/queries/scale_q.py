@@ -584,7 +584,11 @@ def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified in-query, not assumed). The edge list is computed ONCE and
     cached; at 10^12 docs the per-round shuffles are the standard
     label-propagation pattern, with the label table orders of magnitude
-    smaller than the corpus (only docs in candidate pairs)."""
+    smaller than the corpus (only docs in candidate pairs). Note
+    localCheckpoint trades fault tolerance for speed (severed lineage,
+    executor-local blocks) — right for this single-JVM harness; on a
+    lossy multi-executor cluster substitute reliable checkpoint() or a
+    table write per round, same semantics."""
     from unmixing_spark.queries.text_q import _minhash_lsh
 
     pipeline.register_tables(spark, sf_dir, ("documents",))

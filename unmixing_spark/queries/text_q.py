@@ -447,7 +447,10 @@ BOILER_DF = 3       # min distinct docs for a gram to count as boilerplate
 
 
 def _pos_tokens(d: str) -> str:
-    """(doc_id, pos [1-based], tok) over whitespace tokens."""
+    """(doc_id, pos [1-based], tok) over whitespace tokens. Both
+    renderings split the text exactly once per document (the DuckDB
+    zipped double-unnest replaces an earlier list_extract form that
+    re-split the text per token — O(tokens²) per doc)."""
     if d == D.SPARK:
         return """(
       SELECT doc_id, pos0 + 1 AS pos, tok
@@ -455,11 +458,13 @@ def _pos_tokens(d: str) -> str:
       LATERAL VIEW posexplode(split(text, ' +')) t AS pos0, tok
     )"""
     return """(
-      SELECT doc_id, cast(i as int) AS pos,
-             list_extract(string_split_regex(text, ' +'), cast(i as int)) AS tok
-      FROM (SELECT doc_id, text,
-                   unnest(range(1, len(string_split_regex(text, ' +')) + 1)) AS i
-            FROM documents)
+      SELECT doc_id, cast(pos as int) AS pos, tok
+      FROM (
+        SELECT doc_id,
+               unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS tok
+        FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+              FROM documents) t)
     )"""
 
 
@@ -469,14 +474,41 @@ def _lead_gram(n: int) -> str:
         ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, n)])
 
 
+def _interval_union(src: str, pfx: str) -> str:
+    """CTE chain: per-doc union length of the [s, e] intervals in CTE
+    ``src``(doc_id, s, e) via gaps-and-islands; result is
+    ``{pfx}cov``(doc_id, covered)."""
+    return f"""{pfx}isl AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM {src}
+    ),
+    {pfx}grp AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS gid
+      FROM {pfx}isl
+    ),
+    {pfx}cov AS (
+      SELECT doc_id, sum(ext) AS covered FROM (
+        SELECT doc_id, gid, max(e) - min(s) + 1 AS ext
+        FROM {pfx}grp GROUP BY doc_id, gid) g
+      GROUP BY doc_id
+    )"""
+
+
 def _gopher_repetition(d: str) -> str:
-    # Gopher's within-doc repetition family, word-adapted to this corpus:
-    # top2_frac = fraction of tokens inside the single most frequent
-    # 2-gram (count*2 / n_tok; Gopher's "fraction of characters in most
-    # common 2-gram"), dup2_frac = fraction of token POSITIONS covered by
-    # at least one 2-gram that repeats within the document ("fraction of
-    # characters in duplicate n-grams") — overlapping occurrences counted
-    # once via interval union (gaps-and-islands over [pos, pos+1]).
+    # Gopher's within-doc repetition family, word-adapted to this corpus;
+    # BOTH metrics are true position-coverage fractions in [0, 1]
+    # (overlapping occurrences counted once via interval union — a naive
+    # count*2/n_tok exceeds 1.0 on e.g. 'a a a a'):
+    # top2_frac = fraction of token positions covered by the single most
+    # frequent 2-gram (ties broken to the lexicographically smallest
+    # gram, identically in both dialects); dup2_frac = fraction covered
+    # by any 2-gram that repeats within the document.
     return f"""
     WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
     ntok AS (SELECT doc_id, count(*) AS n_tok FROM pos GROUP BY doc_id),
@@ -486,45 +518,34 @@ def _gopher_repetition(d: str) -> str:
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       WHERE gram IS NOT NULL
     ),
-    top2 AS (
-      SELECT doc_id, max(c) AS max2 FROM (
-        SELECT doc_id, gram, count(*) AS c FROM ng2 GROUP BY doc_id, gram) g
-      GROUP BY doc_id
+    topg AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram) AS rn
+        FROM ng2 GROUP BY doc_id, gram) r
+      WHERE rn = 1
     ),
+    tpos AS (
+      SELECT n.doc_id, n.pos AS s, n.pos + 1 AS e
+      FROM ng2 n JOIN topg t ON t.doc_id = n.doc_id AND t.gram = n.gram
+    ),
+    {_interval_union("tpos", "t_")},
     dup AS (
       SELECT doc_id, pos AS s, pos + 1 AS e FROM (
         SELECT doc_id, pos,
                count(*) OVER (PARTITION BY doc_id, gram) AS c FROM ng2) r
       WHERE c > 1
     ),
-    isl AS (
-      SELECT doc_id, s, e,
-             max(e) OVER (PARTITION BY doc_id ORDER BY s
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS pmax
-      FROM dup
-    ),
-    grp AS (
-      SELECT doc_id, s, e,
-             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s
-                     ROWS UNBOUNDED PRECEDING) AS gid
-      FROM isl
-    ),
-    cov AS (
-      SELECT doc_id, sum(ext) AS covered FROM (
-        SELECT doc_id, gid, max(e) - min(s) + 1 AS ext
-        FROM grp GROUP BY doc_id, gid) g
-      GROUP BY doc_id
-    )
+    {_interval_union("dup", "d_")}
     SELECT n.doc_id, n.n_tok,
-           round(cast(2 as double) * coalesce(t.max2, 0) / n.n_tok, 6)
+           round(cast(coalesce(t.covered, 0) as double) / n.n_tok, 6)
              AS top2_frac,
            round(cast(coalesce(c.covered, 0) as double) / n.n_tok, 6)
              AS dup2_frac
     FROM ntok n
-    LEFT JOIN top2 t ON t.doc_id = n.doc_id
-    LEFT JOIN cov c ON c.doc_id = n.doc_id
+    LEFT JOIN t_cov t ON t.doc_id = n.doc_id
+    LEFT JOIN d_cov c ON c.doc_id = n.doc_id
     """
 
 
