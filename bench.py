@@ -141,7 +141,9 @@ def main() -> None:
         # samples of a suspect can't share one multi-minute slow window
         wait = spacer - (time.perf_counter() - last_retry_start)
         if wait > 0:
-            time.sleep(min(wait, budget - (time.perf_counter() - bench_start)))
+            # clamp: elapsed can cross the budget between the while-check
+            # and here, which would hand sleep() a negative duration
+            time.sleep(max(0.0, min(wait, budget - (time.perf_counter() - bench_start))))
         if time.perf_counter() - bench_start >= budget:
             break
         last_retry_start = time.perf_counter()

@@ -129,6 +129,45 @@ def test_neardup_components_match_union_find(spark):
     assert int(out["keep"].sum()) < len(greedy_keepers)
 
 
+def test_cc_labels_long_path_converges(spark):
+    """Planted path graph with diameter far beyond the old fixed
+    7-round unroll's 2^7 - 1 = 127-hop cover: the adaptive loop must
+    iterate until the component minimum has travelled the full path and
+    return a PROVEN fixpoint (every label == 0) instead of stale labels
+    flagged unconverged."""
+    from pyspark.sql import functions as F
+
+    from unmixing_spark.queries.scale_q import cc_labels
+
+    n_nodes = 300  # min label travels 299 hops -> needs ~9 doubling rounds
+    path = spark.range(n_nodes - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    edges = path.unionAll(path.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+    labels, rounds = cc_labels(edges)
+    rows = labels.select("id", "lbl", "prev").toPandas()
+    assert len(rows) == n_nodes
+    assert (rows["lbl"] == 0).all()
+    assert (rows["prev"] == rows["lbl"]).all()  # the in-query proof holds
+    assert rounds > 7  # the old unroll could not have finished this graph
+
+
+def test_cc_labels_round_cap_raises(spark):
+    """Past max_rounds the loop must fail loudly, never hand back
+    stale labels."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from unmixing_spark.queries.scale_q import cc_labels
+
+    path = spark.range(40).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    edges = path.unionAll(path.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+    with pytest.raises(RuntimeError, match="stale component labels"):
+        cc_labels(edges, max_rounds=2)  # 2^2 - 1 = 3-hop cover < 40 hops
+
+
 def _md5_rank(doc_id: int) -> int:
     import hashlib
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)

@@ -11,7 +11,7 @@ different physical plan, bit-equal results.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from unmixing_spark import dialect as D
@@ -506,12 +506,19 @@ sql_template("q_minhash_dedup_keep", _minhash_keep,
 
 # ---- near-dup connected components ------------------------------------------
 
-CC_ROUNDS = 7   # each round = neighbor-min + pointer-jump. The corpus
-                # candidate graph converges in 6 rounds at sf0.001/0.01/0.1
-                # (giant component 4,749 nodes, min within 10 hops); 7 adds
-                # a margin round, and the query's own `converged` column
-                # plus tests/test_text_filters.py (union-find equality)
-                # would catch any graph that needs more.
+CC_ORACLE_ROUNDS = 7   # fixed unroll depth for the DuckDB oracle ONLY. The
+                       # corpus candidate graph converges in 6 rounds at
+                       # sf0.001/0.01/0.1 (giant component 4,749 nodes, min
+                       # within 10 hops); 7 adds a margin round. The Spark
+                       # side no longer unrolls a fixed count — it iterates
+                       # to a PROVEN fixpoint (cc_labels below) — so this
+                       # constant only needs to stay >= the observed
+                       # convergence round count of the test corpora.
+
+CC_MAX_ROUNDS = 40     # hard cap for the adaptive loop: 2^40 - 1 hop cover.
+                       # Reaching it means the candidate graph is broken
+                       # (or adversarial) — cc_labels raises rather than
+                       # returning stale labels.
 
 
 def _cc_oracle() -> str:
@@ -528,7 +535,7 @@ def _cc_oracle() -> str:
       SELECT doc_b AS u, doc_a AS v FROM pairs
     ),
     l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"""]
-    for r in range(CC_ROUNDS):
+    for r in range(CC_ORACLE_ROUNDS):
         ctes.append(f"""n{r} AS MATERIALIZED (
       SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
       FROM l{r} a
@@ -540,7 +547,7 @@ def _cc_oracle() -> str:
       SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
       FROM n{r} a LEFT JOIN n{r} b ON b.id = a.lbl
     )""")
-    last = f"l{CC_ROUNDS}"
+    last = f"l{CC_ORACLE_ROUNDS}"
     ctes.append(f"""chk AS MATERIALIZED (
       SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
       FROM {last} a
@@ -570,25 +577,85 @@ def _cc_oracle() -> str:
     """
 
 
+def cc_labels(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
+    """Label-propagation connected components over a directed edge list
+    (columns u, v; pass both directions for an undirected graph), iterated
+    to a PROVEN fixpoint. Each round is a neighbor-min label exchange
+    (join keyed by node id) plus a pointer jump lbl <- lbl(lbl) (join
+    keyed by label), so propagation distance doubles per round. The
+    neighbor-min of round k carries the previous label through the
+    aggregate, and an attached Observation reads max(lbl < prev) during
+    the SAME job the eager localCheckpoint runs — convergence detection
+    costs zero extra Spark jobs. The loop exits when a round proves no
+    label changed (so fixpoint held at entry to that round) and RAISES
+    past max_rounds rather than returning stale labels.
+
+    Returns (n, rounds): `n` is the checkpointed final neighbor-min
+    table with columns (id, lbl, prev) where lbl == prev row-wise —
+    callers can re-derive the convergence proof in-query from it —
+    and `rounds` is the number of full (exchange + jump) rounds run.
+
+    localCheckpoint trades fault tolerance for speed (severed lineage,
+    executor-local blocks) — right for this single-JVM harness; on a
+    lossy multi-executor cluster substitute reliable checkpoint() or a
+    table write per round, same semantics. Lineage truncation each round
+    is load-bearing: without it the 3-joins-per-round self-referencing
+    plan grows past what Catalyst can re-optimize."""
+    edges = edges.localCheckpoint(eager=True)
+    lbl = edges.select(F.col("u").alias("id")).distinct() \
+               .withColumn("lbl", F.col("id"))
+    rounds = 0
+    while True:
+        nb = lbl.withColumnRenamed("id", "v").withColumnRenamed("lbl", "nlbl")
+        n = (lbl.join(edges, lbl["id"] == edges["u"], "left")
+                .join(nb, "v", "left")
+                .select(lbl["id"], lbl["lbl"].alias("prev"),
+                        F.least(lbl["lbl"], F.coalesce("nlbl", lbl["lbl"]))
+                        .alias("lbl"))
+                .groupBy("id").agg(F.min("lbl").alias("lbl"),
+                                   F.min("prev").alias("prev")))
+        obs = Observation()
+        n = n.observe(obs, F.coalesce(
+            F.max((F.col("lbl") < F.col("prev")).cast("int")),
+            F.lit(0)).alias("changed"))
+        n = n.localCheckpoint(eager=True)
+        if not obs.get["changed"]:
+            return n, rounds
+        rounds += 1
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"cc_labels: no fixpoint after {max_rounds} rounds "
+                f"(2^{max_rounds} - 1 hop cover) — refusing to return "
+                "stale component labels")
+        ptr = n.select(F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl"))
+        lbl = (n.join(ptr, n["lbl"] == ptr["p_id"], "left")
+                .select(n["id"],
+                        F.least(n["lbl"], F.coalesce("p_lbl", n["lbl"]))
+                        .alias("lbl")))
+        # Measured at sf0.1: ~0.5 s/round is per-STAGE fixed cost — the
+        # same wall with eager/lazy checkpoints and with shuffle
+        # partitions scoped down to 2, so neither knob is worth its
+        # complexity; at cluster scale the identical stages amortize
+        # over arbitrarily large candidate graphs.
+        lbl = lbl.localCheckpoint(eager=True)
+
+
 def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph — the
     transitive-closure dedup the greedy keep-list (q_minhash_dedup_keep)
     approximates: one keeper (min doc_id) PER COMPONENT, not per
     independent neighborhood (reference has no graph ops; this serves
-    the dedup brief). Pregel-style rounds on cached DataFrames: each
-    round is a neighbor-min label exchange (join keyed by node id) plus
-    a pointer jump lbl <- lbl(lbl) (join keyed by label), so propagation
-    distance doubles per round and CC_ROUNDS rounds close any graph with
-    the component minimum within 2^CC_ROUNDS - 1 hops. One extra
-    neighbor-min round feeds the `converged` column (1 iff fixpoint —
-    verified in-query, not assumed). The edge list is computed ONCE and
-    cached; at 10^12 docs the per-round shuffles are the standard
-    label-propagation pattern, with the label table orders of magnitude
-    smaller than the corpus (only docs in candidate pairs). Note
-    localCheckpoint trades fault tolerance for speed (severed lineage,
-    executor-local blocks) — right for this single-JVM harness; on a
-    lossy multi-executor cluster substitute reliable checkpoint() or a
-    table write per round, same semantics."""
+    the dedup brief). The label iteration is cc_labels above: adaptive
+    driver-checked convergence (exits at proven fixpoint, raises past
+    CC_MAX_ROUNDS) instead of a fixed unroll, so a candidate graph of
+    any diameter either finishes or fails loudly. The edge list is
+    computed ONCE and cached; at 10^12 docs the per-round shuffles are
+    the standard label-propagation pattern, with the label table orders
+    of magnitude smaller than the corpus (only docs in candidate
+    pairs). The `converged` output column is still an in-query proof:
+    it aggregates the final neighbor-min table's (lbl, prev) comparison
+    that the loop exit was decided on — recomputed lazily from
+    checkpointed blocks when the result executes, not a literal."""
     from unmixing_spark.queries.text_q import _minhash_lsh
 
     pipeline.register_tables(spark, sf_dir, ("documents",))
@@ -596,39 +663,12 @@ def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
              .unionAll(pairs.select(F.col("doc_b").alias("u"),
                                     F.col("doc_a").alias("v"))))
-    lbl = edges.select(F.col("u").alias("id")).distinct() \
-               .withColumn("lbl", F.col("id"))
-
-    def neighbor_min(l: DataFrame) -> DataFrame:
-        nb = l.withColumnRenamed("id", "v").withColumnRenamed("lbl", "nlbl")
-        return (l.join(edges, l["id"] == edges["u"], "left")
-                 .join(nb, "v", "left")
-                 .select(l["id"],
-                         F.least(l["lbl"], F.coalesce("nlbl", l["lbl"]))
-                         .alias("lbl"))
-                 .groupBy("id").agg(F.min("lbl").alias("lbl")))
-
-    edges = edges.localCheckpoint(eager=True)
-    for _ in range(CC_ROUNDS):
-        n = neighbor_min(lbl)
-        ptr = n.withColumnRenamed("id", "p_id").withColumnRenamed("lbl", "p_lbl")
-        lbl = (n.join(ptr, n["lbl"] == ptr["p_id"], "left")
-                .select(n["id"],
-                        F.least(n["lbl"], F.coalesce("p_lbl", n["lbl"]))
-                        .alias("lbl")))
-        # truncate lineage each round: without this the 3-joins-per-round
-        # self-referencing plan grows past what Catalyst can re-optimize
-        # (the standard iterative-algorithm pattern; values unchanged).
-        # Measured at sf0.1: ~0.5 s/round is per-STAGE fixed cost — the
-        # same wall with eager/lazy checkpoints and with shuffle
-        # partitions scoped down to 2, so neither knob is worth its
-        # complexity; at cluster scale the identical ~20 stages amortize
-        # over arbitrarily large candidate graphs.
-        lbl = lbl.localCheckpoint(eager=True)
-    chk = neighbor_min(lbl).withColumnRenamed("lbl", "chk_lbl")
-    converged = (lbl.join(chk, "id")
-                 .agg((F.lit(1) - F.max(F.when(F.col("lbl") != F.col("chk_lbl"), 1)
-                                        .otherwise(0))).alias("converged")))
+    n, _rounds = cc_labels(edges)
+    converged = n.agg(
+        (F.lit(1) - F.coalesce(
+            F.max((F.col("lbl") < F.col("prev")).cast("int")), F.lit(0)))
+        .alias("converged"))
+    lbl = n.select("id", "lbl")
     final = (spark.table("documents")
              .join(lbl.withColumnRenamed("id", "doc_id"), "doc_id", "left")
              .select("doc_id",
