@@ -17,7 +17,7 @@ def _docs():
 
 
 def _brute_repetition(text: str):
-    toks = re.split(" +", text)
+    toks = re.split(r"\s+", text)
     n = len(toks)
     grams = [(i, f"{toks[i]} {toks[i + 1]}") for i in range(n - 1)]
     counts: dict[str, int] = {}
@@ -64,7 +64,7 @@ def test_boilerplate_ngrams_matches_brute_force(spark):
     per_doc: dict[int, list[str]] = {}
     df_count: dict[str, set[int]] = {}
     for _, row in docs.iterrows():
-        toks = re.split(" +", row["text"])
+        toks = re.split(r"\s+", row["text"])
         grams = [" ".join(toks[i:i + BOILER_N])
                  for i in range(len(toks) - BOILER_N + 1)]
         per_doc[row["doc_id"]] = grams
@@ -168,6 +168,55 @@ def test_cc_labels_round_cap_raises(spark):
         cc_labels(edges, max_rounds=2)  # 2^2 - 1 = 3-hop cover < 40 hops
 
 
+def test_whitespace_class_tokenization_parity(spark, tmp_path):
+    """The token-based operators must stay dialect-parity-green on text
+    containing tabs, newlines, and runs of mixed whitespace — the
+    synthetic corpus is single-spaced, so the standard oracle run can't
+    exercise the \\s+ split class. Injects messy whitespace into a slice
+    of the real corpus and replays the driver comparison on it."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from unmixing_spark.queries import registry
+
+    docs = _docs().head(40).copy()
+    texts = list(docs["text"])
+    for i in range(len(texts)):
+        t = texts[i].split(" ")
+        glued = []
+        seps = ["\t", "\n", "  ", " \t ", "\r\n", " "]
+        for j, tok in enumerate(t):
+            glued.append(tok)
+            glued.append(seps[(i + j) % len(seps)])
+        texts[i] = "".join(glued[:-1])
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    reg = registry()
+    import __spark_entry__ as ent
+    oracles = ent.oracle_sql()
+    token_queries = ["q_token_count", "q_quality_score", "q_doc_fingerprint",
+                     "q_gopher_repetition", "q_boilerplate_ngrams",
+                     "q_sequence_packing", "q_decontaminate"]
+    for name in token_queries:
+        sdf = reg[name].spark_fn(spark, sf_dir).toPandas()
+        ddf = con.sql(oracles[name]).df()
+        problems = compare(sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, name
+    # the messy fixture must actually change the token counts vs a
+    # space-only split (i.e. the test is not vacuous)
+    tc = reg["q_token_count"].spark_fn(spark, sf_dir).toPandas()
+    naive = docs["text"].str.split(" ").str.len()
+    assert (tc.sort_values("doc_id")["ws_tokens"].to_numpy()
+            != naive.to_numpy()).any()
+
+
 def _md5_rank(doc_id: int) -> int:
     import hashlib
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
@@ -197,7 +246,7 @@ def test_sequence_packing_matches_brute_force(spark):
     docs = _docs().sort_values("doc_id")
     cum: dict[str, int] = {}
     for _, row in docs.iterrows():
-        n = len(re.split(" +", row["text"]))
+        n = len(re.split(r"\s+", row["text"]))
         prefix = cum.get(row["lang"], 0)
         cum[row["lang"]] = prefix + n
         got = out.loc[row["doc_id"]]
@@ -221,7 +270,7 @@ def test_decontaminate_matches_brute_force(spark):
     docs = _docs()
     grams_of = {}
     for _, row in docs.iterrows():
-        toks = re.split(" +", row["text"])
+        toks = re.split(r"\s+", row["text"])
         grams_of[row["doc_id"]] = [" ".join(toks[i:i + DECON_N])
                                    for i in range(len(toks) - DECON_N + 1)]
     ev = set()

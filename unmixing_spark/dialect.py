@@ -70,6 +70,18 @@ def regexp_count(expr: str, pattern: str, dialect: str) -> str:
     return f"len(regexp_extract_all({expr}, {pattern}))"
 
 
+def ws_split(expr: str, dialect: str) -> str:
+    """Whitespace-class token split (regex ``\\s+``). Verified identical
+    semantics in both dialects, including retention of a trailing empty
+    token when the text ends in whitespace: Spark's split keeps trailing
+    empties (Java limit=-1) and so does DuckDB's string_split_regex.
+    Spark SQL string literals process backslash escapes (so the SQL text
+    is ``'\\\\s+'``); DuckDB's standard literals do not (``'\\s+'``)."""
+    if dialect == SPARK:
+        return f"split({expr}, '\\\\s+')"
+    return f"string_split_regex({expr}, '\\s+')"
+
+
 def idiv(a: str, b: str) -> str:
     """Portable non-negative integer division (inputs < 2^52)."""
     return f"cast(floor(({a}) / ({b})) as bigint)"

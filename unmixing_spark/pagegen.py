@@ -98,8 +98,8 @@ def cell_raster_sql(dialect: str, documents: str = "documents",
     cell, 6 'band' statistics. This is the long/sparse form of the raster
     cube (SURVEY.md §1.5) — tile assembly to dense (p,m,n) arrays happens
     in raster/rasterize.py via applyInPandas."""
-    tokens = f"size(split(text, ' +'))" if dialect == D.SPARK else \
-             f"len(string_split_regex(text, ' +'))"
+    tokens = f"size({D.ws_split('text', dialect)})" if dialect == D.SPARK \
+        else f"len({D.ws_split('text', dialect)})"
     doy = D.idiv(f"warc_epoch - {EPOCH_2025}", "86400")
     return f"""
     SELECT cell_id,

@@ -18,11 +18,13 @@ from unmixing_spark.queries import sql_template
 
 
 def _tokens(d: str, rel: str = "documents") -> str:
-    """Exploded (doc_id, tok) over whitespace tokens."""
+    """Exploded (doc_id, tok) over whitespace-class tokens (``\\s+`` —
+    tabs/newlines split too; a space-only split would glue tokens across
+    line breaks in real text)."""
     if d == D.SPARK:
         return (f"(SELECT doc_id, tok FROM {rel} "
-                f"LATERAL VIEW explode(split(text, ' +')) t AS tok)")
-    return (f"(SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok "
+                f"LATERAL VIEW explode({D.ws_split('text', d)}) t AS tok)")
+    return (f"(SELECT doc_id, unnest({D.ws_split('text', d)}) AS tok "
             f"FROM {rel})")
 
 
@@ -281,8 +283,8 @@ sql_template("q_quality_score", _quality,
 # ---- token counting ---------------------------------------------------------
 
 def _token_count(d: str) -> str:
-    ws = ("size(split(text, ' +'))" if d == D.SPARK
-          else "len(string_split_regex(text, ' +'))")
+    ws = (f"size({D.ws_split('text', d)})" if d == D.SPARK
+          else f"len({D.ws_split('text', d)})")
     bpe = D.regexp_count("text", "'[a-z]{1,4}'", d)
     return f"""
     SELECT doc_id,
@@ -447,23 +449,24 @@ BOILER_DF = 3       # min distinct docs for a gram to count as boilerplate
 
 
 def _pos_tokens(d: str) -> str:
-    """(doc_id, pos [1-based], tok) over whitespace tokens. Both
-    renderings split the text exactly once per document (the DuckDB
-    zipped double-unnest replaces an earlier list_extract form that
-    re-split the text per token — O(tokens²) per doc)."""
+    """(doc_id, pos [1-based], tok) over whitespace-class tokens
+    (``\\s+`` — robust to tabs/newlines in real text). Both renderings
+    split the text exactly once per document (the DuckDB zipped
+    double-unnest replaces an earlier list_extract form that re-split
+    the text per token — O(tokens²) per doc)."""
     if d == D.SPARK:
-        return """(
+        return f"""(
       SELECT doc_id, pos0 + 1 AS pos, tok
       FROM documents
-      LATERAL VIEW posexplode(split(text, ' +')) t AS pos0, tok
+      LATERAL VIEW posexplode({D.ws_split('text', d)}) t AS pos0, tok
     )"""
-    return """(
+    return f"""(
       SELECT doc_id, cast(pos as int) AS pos, tok
       FROM (
         SELECT doc_id,
                unnest(range(1, len(toks) + 1)) AS pos,
                unnest(toks) AS tok
-        FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        FROM (SELECT doc_id, {D.ws_split('text', d)} AS toks
               FROM documents) t)
     )"""
 
@@ -632,8 +635,8 @@ def _sequence_packing(d: str) -> str:
     # prefix % B and crosses floor(cum/B) - floor(prefix/B) boundaries.
     # One shuffle keyed by lang; the cumulative window is the only
     # order-dependent step and its order (doc_id) is total.
-    ws = ("size(split(text, ' +'))" if d == D.SPARK
-          else "len(string_split_regex(text, ' +'))")
+    ws = (f"size({D.ws_split('text', d)})" if d == D.SPARK
+          else f"len({D.ws_split('text', d)})")
     b = PACK_BUDGET
     return f"""
     WITH t AS (SELECT doc_id, lang, cast({ws} as bigint) AS tokens
