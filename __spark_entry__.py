@@ -6,7 +6,7 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 106 queries, 94 with full DuckDB oracles (89%); the 12
+Current registry: 110 queries, 98 with full DuckDB oracles (89%); the 12
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
 SASMA-MESMA + distributed endmember interpolation, LSH ANN,
 forward-model/eigen) whose numerics are verified in tests/ instead

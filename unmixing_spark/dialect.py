@@ -70,6 +70,25 @@ def regexp_count(expr: str, pattern: str, dialect: str) -> str:
     return f"len(regexp_extract_all({expr}, {pattern}))"
 
 
+def rx_lit(pattern: str, dialect: str) -> str:
+    """Render a raw regex string as a SQL string literal. Spark SQL
+    literals process backslash escapes (so every ``\\`` must double);
+    DuckDB's standard literals do not."""
+    if dialect == SPARK:
+        return "'" + pattern.replace("\\", "\\\\").replace("'", "''") + "'"
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+def regexp_replace_all(expr: str, pattern: str, repl: str,
+                       dialect: str) -> str:
+    """Replace EVERY match (pattern/repl are SQL string literals,
+    single-quoted by the caller). Spark's regexp_replace is global by
+    default; DuckDB's replaces only the first match without 'g'."""
+    if dialect == SPARK:
+        return f"regexp_replace({expr}, {pattern}, {repl})"
+    return f"regexp_replace({expr}, {pattern}, {repl}, 'g')"
+
+
 def ws_split(expr: str, dialect: str) -> str:
     """Whitespace-class token split (regex ``\\s+``). Verified identical
     semantics in both dialects, including retention of a trailing empty

@@ -57,4 +57,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.pipeline_q  # noqa: F401
     import unmixing_spark.queries.scale_q  # noqa: F401
     import unmixing_spark.queries.complete_q  # noqa: F401
+    import unmixing_spark.queries.hygiene_q  # noqa: F401
     return dict(_REGISTRY)

@@ -1,0 +1,236 @@
+"""Corpus-hygiene operators a 100 TB training-data pipeline runs between
+crawl and training (task brief; the reference has no text surface):
+
+- q_duplicated_spans — substring-level exact dedup (Lee et al. 2021,
+  "Deduplicating Training Data Makes Language Models Better"): maximal
+  token spans of length >= SPAN_K occurring >= 2 times anywhere in the
+  corpus (across OR within documents), as (doc_id, span_start, span_len).
+- q_pii_redact — email / IPv4 / phone detection + redaction counts with a
+  SHA-256 of the redacted text (C4-style corpus hygiene pass).
+- q_canonical_url — RFC 3986-flavoured URL canonicalization (scheme/host
+  case, default ports, fragments, www prefix, query-param sort) plus
+  registered-domain (eTLD+1) extraction over a declared public-suffix
+  subset.
+- q_domain_quota — per-registered-domain quota sampling (source-mix
+  control), the md5-ranked exact-quota window from q_stratified_sample
+  keyed by registered domain.
+
+All dual-rendered (Spark executes, DuckDB is the driver's oracle) and
+hash-deterministic. Scale notes per operator in the docstrings below.
+"""
+
+from __future__ import annotations
+
+from unmixing_spark import dialect as D
+from unmixing_spark.queries import sql_template
+from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens
+
+# ---- substring-level duplicated spans ---------------------------------------
+
+SPAN_K = 6   # minimum duplicated span length in tokens (Lee et al. use 50
+             # BPE tokens at corpus scale; 6 keeps the synthetic corpus'
+             # repetition structure exercised — 1,157 duplicated 6-grams
+             # at sf0.001)
+
+
+def _duplicated_spans(d: str) -> str:
+    """Positions whose SPAN_K-gram occurs >= 2 times corpus-wide cover
+    intervals [pos, pos + K - 1]; merging overlapping/adjacent intervals
+    (gaps-and-islands, same machinery as q_gopher_repetition) yields the
+    MAXIMAL duplicated spans. Scale shape: one gram-keyed shuffle for the
+    global HAVING count >= 2 (map-side partial agg), one gram-keyed join
+    back onto the gram stream (the duplicated-gram set is corpus-sized in
+    the worst case, so it shuffles rather than broadcasts — the standard
+    repeated-substring pass), then one doc_id-keyed window. No all-pairs
+    anywhere."""
+    k = SPAN_K
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    g AS (
+      SELECT doc_id, pos, gram FROM (
+        SELECT doc_id, pos, {_lead_gram(k)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON dup.gram = g.gram),
+    gaps AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w2 IS NULL
+                       OR pos - lag(pos) OVER w2 > {k} THEN 1 ELSE 0 END
+               AS new_island
+      FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM gaps
+    )
+    SELECT doc_id,
+           cast(min(pos) as bigint)                    AS span_start,
+           cast(max(pos) + {k} - min(pos) as bigint)   AS span_len,
+           cast(count(*) as bigint)                    AS n_dup_grams
+    FROM isl
+    GROUP BY doc_id, island
+    """
+
+
+sql_template("q_duplicated_spans", _duplicated_spans,
+             "substring-level dedup (Lee et al. 2021): maximal >=K-token "
+             "spans occurring >=2 times corpus-wide, gaps-and-islands merge")
+
+
+# ---- PII detection / redaction ----------------------------------------------
+
+# RE2-and-Java-compatible patterns (no lookaround / backreferences);
+# cross-engine byte-parity is pinned by tests/test_hygiene.py on a
+# planted-PII fixture. Declared scope: the standard C4-style regex pass —
+# not a full NER PII system.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RX = r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+
+
+def _pii_redact(d: str) -> str:
+    """Counts on the ORIGINAL text per pattern; redaction is sequential
+    email -> IPv4 -> phone (emails can embed digit runs; IPv4 must be
+    consumed before the looser phone pattern can bite into it). Pure
+    per-row string work — embarrassingly parallel, no shuffle at all."""
+    e = D.rx_lit(PII_EMAIL_RX, d)
+    i = D.rx_lit(PII_IPV4_RX, d)
+    p = D.rx_lit(PII_PHONE_RX, d)
+    red = D.regexp_replace_all("text", e, "'[EMAIL]'", d)
+    red = D.regexp_replace_all(red, i, "'[IP]'", d)
+    red = D.regexp_replace_all(red, p, "'[PHONE]'", d)
+    return f"""
+    SELECT doc_id,
+           cast({D.regexp_count("text", e, d)} as bigint) AS n_emails,
+           cast({D.regexp_count("text", i, d)} as bigint) AS n_ips,
+           cast({D.regexp_count("text", p, d)} as bigint) AS n_phones,
+           {D.sha256_(red, d)}                            AS redacted_sha,
+           cast(length({red}) as bigint)                  AS redacted_len
+    FROM documents
+    """
+
+
+sql_template("q_pii_redact", _pii_redact,
+             "PII hygiene pass: email/IPv4/phone counts + SHA-256 of the "
+             "sequentially redacted text (byte-parity pinned on a planted "
+             "fixture)")
+
+
+# ---- URL canonicalization + registered domain --------------------------------
+
+# Declared public-suffix subset (the full PSL is a data file, not logic;
+# swapping in the complete list is a broadcast-join against a suffix
+# table — same plan shape, more rows).
+PSL_2LEVEL = ("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br",
+              "co.in", "co.nz", "github.io")
+
+DOMAIN_QUOTA = 40  # per-registered-domain keep quota
+
+
+def _messy_url(d: str) -> str:
+    """Deterministic messy-URL synthesis (pure function of doc_id — the
+    clean pagegen URLs exercise none of the canonicalization rules):
+    five variants covering host case, explicit default ports, fragments,
+    unsorted query strings, a www prefix, and a two-level public
+    suffix."""
+    sid = D.to_str("doc_id", d)
+    return f"""CASE doc_id % 5
+      WHEN 0 THEN 'https://' || source || '.Example.COM/' || lang || '/p' || {sid}
+      WHEN 1 THEN 'HTTPS://' || source || '.example.com:443/' || lang || '/p' || {sid} || '#sec2'
+      WHEN 2 THEN 'https://www.' || source || '.example.com/' || lang || '/p' || {sid} || '?b=2&a=1&utm=x'
+      WHEN 3 THEN 'http://' || source || '.example.com:80/' || lang || '/p' || {sid} || '?a=1&b=2'
+      ELSE 'https://' || source || '.example.co.uk/' || lang || '/p' || {sid}
+    END"""
+
+
+def _canon_cte(d: str) -> str:
+    """Shared canonicalization CTE chain ending in relation `canon`
+    (doc_id, url, canon_url, host, registered_domain)."""
+    if d == D.SPARK:
+        qs_sort = "array_join(array_sort(split(qs, '&')), '&')"
+    else:
+        qs_sort = "array_to_string(list_sort(string_split(qs, '&')), '&')"
+    last2 = f"regexp_extract(host, {D.rx_lit(r'([^.]+[.][^.]+)$', d)}, 1)"
+    last3 = f"regexp_extract(host, {D.rx_lit(r'([^.]+[.][^.]+[.][^.]+)$', d)}, 1)"
+    psl = ", ".join(f"'{s}'" for s in PSL_2LEVEL)
+    return f"""raw AS (SELECT doc_id, {_messy_url(d)} AS url FROM documents),
+    p1 AS (
+      SELECT doc_id, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             split_part(split_part(url, '://', 2), '#', 1) AS rest
+      FROM raw
+    ),
+    p2 AS (
+      SELECT *, split_part(rest, '/', 1) AS hostport,
+             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathqs
+      FROM p1
+    ),
+    p3 AS (
+      SELECT *, lower(split_part(hostport, ':', 1)) AS rawhost,
+             split_part(hostport, ':', 2) AS port
+      FROM p2
+    ),
+    p4 AS (
+      SELECT *,
+             CASE WHEN rawhost LIKE 'www.%' THEN substr(rawhost, 5)
+                  ELSE rawhost END AS host,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS keep_port,
+             split_part(pathqs, '?', 1) AS path,
+             split_part(pathqs, '?', 2) AS qs
+      FROM p3
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || keep_port || path ||
+               CASE WHEN qs = '' THEN '' ELSE '?' || {qs_sort} END
+               AS canon_url,
+             host,
+             CASE WHEN {last2} IN ({psl}) AND {last3} <> '' THEN {last3}
+                  ELSE {last2} END AS registered_domain
+      FROM p4
+    )"""
+
+
+def _canonical_url(d: str) -> str:
+    """Per-row string work only — no shuffle. The eTLD+1 CASE is the
+    broadcast-PSL-join collapsed to a literal IN list."""
+    return f"""
+    WITH {_canon_cte(d)}
+    SELECT doc_id, url, canon_url, host, registered_domain FROM canon
+    """
+
+
+sql_template("q_canonical_url", _canonical_url,
+             "URL canonicalization (scheme/host case, default ports, "
+             "fragment, www, query sort) + registered-domain (eTLD+1) "
+             "over a declared PSL subset")
+
+
+def _domain_quota(d: str) -> str:
+    """Exact per-registered-domain quotas, md5-ranked (the deterministic
+    twin of uniform downsampling) — how CC-scale pipelines cap any one
+    domain's share of the training mix. One shuffle keyed by domain; at
+    10^12 docs the window becomes a map-side per-group top-k + merge
+    (same escalation note as q_stratified_sample)."""
+    h = D.md5_slice(D.to_str("doc_id", d), 1, d)
+    return f"""
+    WITH {_canon_cte(d)}
+    SELECT doc_id, registered_domain, cast(rn as bigint) AS rn
+    FROM (
+      SELECT doc_id, registered_domain,
+             row_number() OVER (PARTITION BY registered_domain
+                                ORDER BY ({h}), doc_id) AS rn
+      FROM canon)
+    WHERE rn <= {DOMAIN_QUOTA}
+    """
+
+
+sql_template("q_domain_quota", _domain_quota,
+             "per-registered-domain exact quota sample (md5-ranked) — "
+             "per-domain source-mix control")
