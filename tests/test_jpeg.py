@@ -153,3 +153,102 @@ def test_restart_interval_exercised():
     n_rst = sum(jpg.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
     assert n_rst >= 10
     assert decode_jpeg(jpg).shape == (161, 161, 3)
+
+
+# ---- malformed-stream guards (T.81 G.1.1.1.1 / G.1.2.3) ----
+
+def _jpeg_segments(data):
+    """[(marker, start, end)] — SOS segments include their entropy data."""
+    import struct
+    from unmixing_spark.text.jpeg import _next_marker
+    segs = []
+    pos = 2
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            segs.append((marker, pos, pos + 2))
+            break
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        end = pos + 2 + length
+        if marker == 0xDA:
+            end = _next_marker(data, end)
+        segs.append((marker, pos, end))
+        pos = end
+    return segs
+
+
+def _scan_blocks(data):
+    """Group segments into (prelude, [scan_block...], trailer) where each
+    scan block carries the DHT/DRI segments immediately preceding its SOS
+    (progressive encoders emit per-scan tables)."""
+    segs = _jpeg_segments(data)
+    prelude_end = next(i for i, s in enumerate(segs) if s[0] == 0xDA)
+    while prelude_end and segs[prelude_end - 1][0] in (0xC4, 0xDD):
+        prelude_end -= 1
+    blocks, cur = [], []
+    for s in segs[prelude_end:]:
+        if s[0] == 0xD9:
+            break
+        cur.append(s)
+        if s[0] == 0xDA:
+            blocks.append(cur)
+            cur = []
+    prelude = data[:segs[prelude_end][1]]
+    return prelude, [b"".join(data[s[1]:s[2]] for s in blk)
+                     for blk in blocks], b"\xff\xd9"
+
+
+def test_progressive_ac_scan_before_dc_raises():
+    jpg, _ = _load("prog_444")
+    prelude, scans, eoi = _scan_blocks(jpg)
+    assert len(scans) >= 2
+    # first scan of a progressive file is the DC scan; move it last
+    reordered = prelude + b"".join(scans[1:]) + scans[0] + eoi
+    with pytest.raises(ValueError, match="AC scan before|missing DHT"):
+        decode_jpeg(reordered)
+
+
+def test_progressive_missing_dht_raises():
+    jpg, _ = _load("prog_444")
+    segs = _jpeg_segments(jpg)
+    # drop every DHT segment: the first SOS must refuse, not KeyError
+    keep = b"".join(jpg[s:e] for m, s, e in segs if m != 0xC4)
+    with pytest.raises(ValueError, match="missing DHT"):
+        decode_jpeg(b"\xff\xd8" + keep)
+
+
+def test_progressive_refinement_ah_mismatch_raises():
+    jpg, _ = _load("prog_444")
+    segs = _jpeg_segments(jpg)
+    data = bytearray(jpg)
+    for m, s, e in segs:
+        if m != 0xDA:
+            continue
+        ns = data[s + 4]
+        ss_off = s + 5 + 2 * ns
+        ss, ahal = data[ss_off], data[ss_off + 2]
+        ah = ahal >> 4
+        if ss != 0 and ah != 0:
+            # claim one more refinement level than was delivered
+            data[ss_off + 2] = ((ah + 1) << 4) | (ahal & 15)
+            break
+    else:
+        pytest.skip("fixture has no AC refinement scan")
+    with pytest.raises(ValueError, match="G.1.1.1.1"):
+        decode_jpeg(bytes(data))
+
+
+def test_refine_ac_bad_magnitude_raises():
+    from unmixing_spark.text.jpeg import _refine_ac_block
+
+    class _FakeReader:
+        def decode_huff(self, _table):
+            return 0x02            # r=0, s=2: illegal in a refinement scan
+
+        def read_bits(self, n):
+            return 0
+
+    blk = np.zeros(64, dtype=np.int32)
+    with pytest.raises(ValueError, match="G.1.2.3"):
+        _refine_ac_block(_FakeReader(), blk, None, 1, 5, 0, 0)

@@ -322,6 +322,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         raise NotImplementedError(
             "single-component JPEG with sampling factors >1 requires "
             "non-interleaved data-unit order (T.81 A.2.2)")
+    for c in comps:
+        td, ta = scan[c["id"]]
+        if td not in huff_dc:
+            raise ValueError("missing DHT DC table %d for scan" % td)
+        if ta not in huff_ac:
+            raise ValueError("missing DHT AC table %d for scan" % ta)
+        if c["tq"] not in qt:
+            raise ValueError("missing DQT table %d for scan" % c["tq"])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w_img // (8 * hmax))
@@ -457,8 +465,14 @@ def _refine_ac_block(rd, blk, ac, ss, se, al, eobrun):
                         eobrun += rd.read_bits(r)
                     break
                 # ZRL: r=15 → skip 16 zero-history coefficients below
-            else:                    # s == 1 per G.1.2.3
+            elif s == 1:             # newly-nonzero coefficient
                 newval = p1 if rd.read_bits(1) else -p1
+            else:
+                # G.1.2.3 allows only s in (0, 1) in a refinement scan;
+                # anything else means the stream is desynchronized.
+                raise ValueError(
+                    "AC refinement scan with magnitude %d "
+                    "(G.1.2.3 allows 0 or 1)" % s)
             while k <= se:           # advance r zero-history positions,
                 v = int(blk[k])      # refining nonzero-history ones
                 if v != 0:
@@ -515,6 +529,47 @@ def _decode_progressive_scan(data, pos, frame, scan, huff_dc, huff_ac,
         raise ValueError(
             "progressive AC scan with %d components (G.1.1.1.1 allows 1)"
             % len(members))
+    # G.1.1.1.1 progression checks: every referenced entropy table must
+    # exist, the DC band must arrive before any AC band of the same
+    # component, and a refinement scan's Ah must equal the Al at which the
+    # band was previously delivered — violations decode garbage silently
+    # if let through, so refuse them the way the codec refuses other
+    # malformed input.
+    hist = frame.setdefault("_delivered", {})   # (ci, k) -> current Al
+    for ci in members:
+        td, ta = scan[comps[ci]["id"]]
+        if ss == 0:
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("missing DHT DC table %d for scan" % td)
+            prev = hist.get((ci, 0))
+            if ah == 0:
+                if prev is not None:
+                    raise ValueError(
+                        "duplicate progressive DC first scan (G.1.1.1.1)")
+            elif prev != ah:
+                raise ValueError(
+                    "progressive DC refinement at Ah=%d but band delivered "
+                    "at Al=%s (G.1.1.1.1)" % (ah, prev))
+            hist[(ci, 0)] = al
+        else:
+            if ta not in huff_ac:
+                raise ValueError("missing DHT AC table %d for scan" % ta)
+            if hist.get((ci, 0)) is None:
+                raise ValueError(
+                    "progressive AC scan before the component's DC scan "
+                    "(G.1.1.1.1)")
+            for k in range(ss, se + 1):
+                prev = hist.get((ci, k))
+                if ah == 0:
+                    if prev is not None:
+                        raise ValueError(
+                            "overlapping progressive AC first scans for "
+                            "coefficient %d (G.1.1.1.1)" % k)
+                elif prev != ah:
+                    raise ValueError(
+                        "progressive AC refinement at Ah=%d but coefficient "
+                        "%d delivered at Al=%s (G.1.1.1.1)" % (ah, k, prev))
+                hist[(ci, k)] = al
     rd = _BitReader(data, pos)
     if len(members) == 1:
         # non-interleaved: row-major over the component's OWN data-unit
