@@ -136,7 +136,65 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 spark.stop()
 '''
 
-WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA}
+WORKER_DEDUP = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from unmixing_spark.session import get_spark
+from unmixing_spark import dialect as D
+from unmixing_spark.queries.text_q import _minhash_lsh
+from unmixing_spark.queries.scale_q import cc_labels
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = get_spark(app_name="scaling-bench-dedup", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("%(sf)s/documents.parquet")
+repl = %(repl)d
+replicated = (docs.repartition(cores * 3)
+              .crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "rep")))
+              .withColumn("doc_id", F.col("doc_id") * repl + F.col("rep"))
+              .drop("rep"))
+replicated.createOrReplaceTempView("documents")
+
+def run_pipeline():
+    # q_neardup_components' exact job: MinHash signatures -> banded LSH
+    # candidate pairs -> adaptive connected-components labels. Replication
+    # keeps text identical across replicas, so replicas are exact LSH
+    # duplicates — components fuse across replicas, which is the WORST
+    # (densest) case for the label exchange.
+    pairs = spark.sql(_minhash_lsh(D.SPARK)).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .unionAll(pairs.select(F.col("doc_b").alias("u"),
+                                    F.col("doc_a").alias("v"))))
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    labels, rounds = cc_labels(edges)
+    agg = labels.agg(F.count("*").alias("nodes"),
+                     F.sum("lbl").alias("lbl_sum"),
+                     F.sum((F.col("lbl") == F.col("id")).cast("long"))
+                     .alias("keepers")).collect()[0]
+    return {"nodes": int(agg["nodes"] or 0), "edges": n_edges,
+            "rounds": rounds,
+            "checksum": float((agg["lbl_sum"] or 0) + (agg["keepers"] or 0))}
+
+docs.limit(200).createOrReplaceTempView("documents")
+run_pipeline()                      # warmup: JIT + shingle/md5 codegen
+replicated.createOrReplaceTempView("documents")
+
+t0 = time.time()
+r = run_pipeline()
+wall = time.time() - t0
+print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
+                  "tiles": r["nodes"], "pixels": r["edges"],
+                  "tiles_per_sec": round(r["nodes"] / wall, 2),
+                  "rounds": r["rounds"],
+                  "rmse_sum": round(r["checksum"], 4)}))
+spark.stop()
+'''
+
+WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA, "dedup": WORKER_DEDUP}
 
 
 def run_level(sf: str, repl: int, cores: int, job: str = "fcls") -> dict:
