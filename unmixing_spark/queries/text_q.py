@@ -13,8 +13,10 @@ confined to the tiny candidate sets the buckets emit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from unmixing_spark import dialect as D
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 
 
 def _tokens(d: str, rel: str = "documents") -> str:
@@ -691,3 +693,77 @@ def _decontaminate(d: str) -> str:
 sql_template("q_decontaminate", _decontaminate,
              "eval-set n-gram decontamination (Brown et al. 2020 C): "
              "flag training docs sharing any 4-gram with the eval split")
+
+
+# ---- BPE token counting (rows-only: the merge loop is not SQL) ---------------
+
+def _bpe_token_count(spark, sf_dir):
+    """doc_id + whitespace vs BPE token counts via an Arrow-batched pandas
+    UDF over the packaged merge table (text/bpe.py — Sennrich 2016 /
+    GPT-2-style pre-tokenizer).
+
+    Scale: the merge table is broadcast (KBs); the UDF re-hydrates one
+    tokenizer per executor thread whose per-word LRU means each distinct
+    word pays the merge loop once per batch stream. Embarrassingly
+    parallel — no shuffle at all.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from unmixing_spark.pipeline import register_tables
+    from unmixing_spark.text.bpe import BPETokenizer, load_merges
+
+    register_tables(spark, sf_dir, ("documents",))
+    merges_bc = spark.sparkContext.broadcast(load_merges())
+
+    @pandas_udf("long")
+    def n_bpe(texts: pd.Series) -> pd.Series:
+        tok = BPETokenizer(merges_bc.value)
+        return texts.map(tok.count_tokens).astype("int64")
+
+    ws = F.expr(f"size({D.ws_split('text', D.SPARK)})")
+    return (spark.table("documents")
+            .select("doc_id",
+                    ws.cast("long").alias("ws_tokens"),
+                    n_bpe("text").alias("bpe_tokens")))
+
+
+register("q_bpe_token_count", QuerySpec(
+    spark_fn=_bpe_token_count, oracle=None,
+    doc="tokenizer-faithful token counts: pinned pure-Python BPE "
+        "(packaged merge table) as an Arrow-batched pandas UDF; "
+        "encodings pinned against the pure-Python encoder in tests"))
+
+
+def _sequence_packing_bpe(spark, sf_dir):
+    """q_sequence_packing with the budget measured in BPE tokens instead
+    of whitespace tokens — same concat-then-chunk arithmetic (one
+    cumulative window per lang), only the token-count column swaps in the
+    pandas-UDF BPE count. Rows-only (the count source is not SQL); the
+    packing arithmetic itself is the oracled q_sequence_packing's.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = _bpe_token_count(spark, sf_dir).select(
+        "doc_id", F.col("bpe_tokens").alias("tokens"))
+    docs = spark.table("documents").select("doc_id", "lang")
+    b = PACK_BUDGET
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (docs.join(counts, "doc_id")
+         .withColumn("cum", F.sum("tokens").over(w)))
+    prefix = F.col("cum") - F.col("tokens")
+    return c.select(
+        "doc_id", "lang", "tokens",
+        F.floor(prefix / b).cast("long").alias("seq_id"),
+        (prefix % b).cast("long").alias("seq_offset"),
+        (F.floor(F.col("cum") / b) - F.floor(prefix / b)).cast("long")
+        .alias("boundary_crossings"))
+
+
+register("q_sequence_packing_bpe", QuerySpec(
+    spark_fn=_sequence_packing_bpe, oracle=None,
+    doc="sequence packing with a BPE-token budget (selectable packing "
+        "budget); packing arithmetic pinned by the oracled "
+        "q_sequence_packing, counts pinned by the BPE goldens"))
