@@ -244,11 +244,16 @@ def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unmixing_spark.pipeline import register_tables
 
     register_tables(spark, sf_dir, ("documents",))
-    cand = spark.sql(
-        f"WITH {_nfindr_candidates(D.SPARK)} SELECT cell_id, s1, s2 FROM cand")
+    # single driver action: the audit aggregates ride the same 63-row
+    # collect as unpartitioned window columns (SQL-computed, so the
+    # rounding semantics stay bit-identical to the DuckDB oracle's)
+    audit_win = _NFINDR_AUDIT.replace("count(*)", "count(*) OVER ()").replace(
+        "sum(round(s1, 3))", "sum(round(s1, 3)) OVER ()").replace(
+        "sum(round(s2, 3))", "sum(round(s2, 3)) OVER ()")
+    cand = spark.sql(f"WITH {_nfindr_candidates(D.SPARK)} "
+                     f"SELECT cell_id, s1, s2, {audit_win} FROM cand")
     pdf = cand.toPandas().sort_values("cell_id").reset_index(drop=True)
-    audit = spark.sql(f"WITH {_nfindr_candidates(D.SPARK)} "
-                      f"SELECT {_NFINDR_AUDIT} FROM cand").collect()[0]
+    audit = pdf.iloc[0]
     idx = nfindr(pdf[["s1", "s2"]].to_numpy(), q=3)
     sel = pdf.iloc[idx].sort_values("cell_id")
     (x1, y1), (x2, y2), (x3, y3) = sel[["s1", "s2"]].to_numpy()
