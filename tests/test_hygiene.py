@@ -160,3 +160,44 @@ def test_domain_quota_matches_brute_force(spark):
     assert set(out["doc_id"]) == set(expect["doc_id"])
     assert (out.groupby("registered_domain")["doc_id"].count()
             <= DOMAIN_QUOTA).all()
+
+
+def test_lm_perplexity_matches_brute_force(spark):
+    import math
+
+    from unmixing_spark.queries.hygiene_q import LM_ALPHA, LM_REF_MOD
+
+    out = (registry()["q_lm_perplexity"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    bigrams: dict[int, list[tuple[str, str]]] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", row["text"])
+        bigrams[row["doc_id"]] = list(zip(toks, toks[1:]))
+    refc: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {}
+    vocab: set[str] = set()
+    for did, bg in bigrams.items():
+        if did % LM_REF_MOD == 0:
+            vocab.update(re.split(r"\s+", docs.set_index("doc_id")
+                                  .loc[did, "text"]))
+            for p in bg:
+                refc[p] = refc.get(p, 0) + 1
+                uni[p[0]] = uni.get(p[0], 0) + 1
+    v = len(vocab)
+    assert len(out) == sum(1 for bg in bigrams.values() if bg)
+    for did, bg in bigrams.items():
+        if not bg:
+            continue
+        lls = [math.log(refc.get(p, 0) + LM_ALPHA)
+               - math.log(uni.get(p[0], 0) + LM_ALPHA * v) for p in bg]
+        avg = round(sum(lls) / len(lls), 6)
+        got = out.loc[did]
+        assert int(got["n_bigrams"]) == len(bg)
+        assert abs(got["avg_ll"] - avg) < 1e-9, did
+        assert abs(got["ppl"] - round(math.exp(-avg), 4)) < 1e-9, did
+    # the filter separates: reference-slice docs must score no worse on
+    # average than the corpus at large (they ARE the training text)
+    ref_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD == 0], "ppl"]
+    other_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD != 0], "ppl"]
+    assert ref_ppl.mean() <= other_ppl.mean() * 1.05

@@ -234,3 +234,66 @@ def _domain_quota(d: str) -> str:
 sql_template("q_domain_quota", _domain_quota,
              "per-registered-domain exact quota sample (md5-ranked) — "
              "per-domain source-mix control")
+
+
+# ---- n-gram LM perplexity (CCNet-style quality filter) ------------------------
+
+LM_REF_MOD = 5   # reference slice = doc_id % 5 == 0: CCNet (Wenzek et al.
+                 # 2020) trains the LM on clean reference text (Wikipedia)
+                 # and scores the crawl by perplexity; a deterministic
+                 # corpus slice is the declared stand-in for that corpus
+LM_ALPHA = 1     # add-one (Laplace) smoothing
+
+
+def _lm_perplexity(d: str) -> str:
+    """Bigram-LM perplexity per document: P(w2|w1) = (c(w1,w2) + a) /
+    (c1(w1) + a·V) with counts from the reference slice, scored as
+    avg_ll = mean ln P over the doc's bigrams and ppl = exp(-avg_ll).
+
+    Bit-parity: every ln() takes INTEGER counts (identical in both
+    engines); avg_ll is rounded to 6 before ppl exponentiates, so both
+    engines feed exp() the identical double and round(ppl, 4) kills the
+    final ulp.
+
+    Scale shape: bigram stream = one doc_id-keyed window exchange; the
+    reference count tables are gram-/w1-keyed partial+final aggregations
+    over the (smaller) reference slice; scoring joins are keyed by
+    (w1, w2) and w1 — corpus-sized streams join shuffled on
+    high-cardinality keys, never broadcast (the LM table is large), and
+    V is a 1-row broadcast cross join. Map-side combine everywhere; no
+    all-pairs."""
+    m, a = LM_REF_MOD, LM_ALPHA
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    big AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE w2 IS NOT NULL
+    ),
+    refc AS (SELECT w1, w2, count(*) AS c FROM big
+             WHERE doc_id % {m} = 0 GROUP BY w1, w2),
+    uni AS (SELECT w1, sum(c) AS c1 FROM refc GROUP BY w1),
+    voc AS (SELECT count(DISTINCT tok) AS v FROM pos
+            WHERE doc_id % {m} = 0),
+    scored AS (
+      SELECT b.doc_id,
+             ln(coalesce(r.c, 0) + {a})
+               - ln(coalesce(u.c1, 0) + {a} * v.v) AS ll
+      FROM big b
+      LEFT JOIN refc r ON r.w1 = b.w1 AND r.w2 = b.w2
+      LEFT JOIN uni u ON u.w1 = b.w1
+      CROSS JOIN voc v
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           round(sum(ll) / count(*), 6) AS avg_ll,
+           round(exp(-round(sum(ll) / count(*), 6)), 4) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+sql_template("q_lm_perplexity", _lm_perplexity,
+             "CCNet-style quality filter (Wenzek et al. 2020): bigram-LM "
+             "perplexity vs a reference slice, add-one smoothing")
