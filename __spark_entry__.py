@@ -6,11 +6,12 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 110 queries, 98 with full DuckDB oracles (89%); the 12
+Current registry: 113 queries, 99 with full DuckDB oracles (88%); the 14
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
 SASMA-MESMA + distributed endmember interpolation, LSH ANN,
-forward-model/eigen) whose numerics are verified in tests/ instead
-(golden fixtures + property tests + pinned SHA-256 + single-node parity).
+forward-model/eigen, BPE token counting + BPE-budget packing) whose
+numerics are verified in tests/ instead (golden fixtures + property
+tests + pinned SHA-256 + single-node parity + pure-Python BPE parity).
 Coverage map: docs/COVERAGE.md.
 """
 

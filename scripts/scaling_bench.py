@@ -170,7 +170,7 @@ def run_pipeline():
                                     F.col("doc_a").alias("v"))))
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
-    labels, rounds = cc_labels(edges)
+    labels, rounds = cc_labels(edges, edges_checkpointed=True)
     agg = labels.agg(F.count("*").alias("nodes"),
                      F.sum("lbl").alias("lbl_sum"),
                      F.sum((F.col("lbl") == F.col("id")).cast("long"))

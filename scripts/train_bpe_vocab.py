@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Train the packaged BPE merge table (unmixing_spark/text/bpe_merges.txt).
+"""Train the packaged BPE merge table (unmixing_spark/text/bpe_merges.json).
 
 Deterministic: reads the sf0.001 documents corpus in doc_id order and runs
 the Sennrich 2016 trainer with lexicographic tie-breaking — re-running
@@ -33,7 +33,7 @@ def main() -> None:
     merges = train_bpe(texts, n_merges)
     save_merges(merges)
     print(f"{len(merges)} merges from {len(texts)} docs -> "
-          "unmixing_spark/text/bpe_merges.txt")
+          "unmixing_spark/text/bpe_merges.json")
 
 
 if __name__ == "__main__":

@@ -101,6 +101,16 @@ def ws_split(expr: str, dialect: str) -> str:
     return f"string_split_regex({expr}, '\\s+')"
 
 
+def canon_host(hostport: str) -> str:
+    """Canonical host from a raw authority expr (``host[:port]``):
+    lowercase, strip the port and a single ``www.`` prefix.
+    Dialect-invariant ANSI SQL — the SINGLE definition shared by
+    q_distinct_hosts and hygiene_q's URL canonicalization, so the two
+    host notions cannot silently diverge."""
+    h = f"lower(split_part({hostport}, ':', 1))"
+    return f"CASE WHEN {h} LIKE 'www.%' THEN substr({h}, 5) ELSE {h} END"
+
+
 def idiv(a: str, b: str) -> str:
     """Portable non-negative integer division (inputs < 2^52)."""
     return f"cast(floor(({a}) / ({b})) as bigint)"

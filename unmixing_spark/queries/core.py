@@ -134,16 +134,13 @@ sql_template("q_rollup_lang_source", _rollup,
 
 # -- distinct + approx distinct ---------------------------------------------
 def _distinct_hosts(d: str) -> str:
-    # canonical host, not the raw authority: lowercase, strip an explicit
-    # port and a www. prefix (the full normalization lives in
-    # hygiene_q.q_canonical_url; pagegen URLs are already clean so the
-    # values are unchanged — this keeps the two host notions identical)
-    h = "lower(split_part(split_part(url, '/', 3), ':', 1))"
-    canon_host = (f"CASE WHEN {h} LIKE 'www.%' "
-                  f"THEN substr({h}, 5) ELSE {h} END")
+    # canonical host, not the raw authority (shared D.canon_host — the
+    # same definition hygiene_q's q_canonical_url composes; pagegen URLs
+    # are already clean so the values are unchanged)
+    canon = D.canon_host("split_part(url, '/', 3)")
     return f"""
     SELECT lang,
-           cast(count(distinct {canon_host}) as bigint) AS hosts,
+           cast(count(distinct {canon}) as bigint) AS hosts,
            cast(count(*) as bigint) AS pages
     FROM ({pages_sql(d)})
     GROUP BY lang

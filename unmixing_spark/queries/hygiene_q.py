@@ -170,14 +170,12 @@ def _canon_cte(d: str) -> str:
       FROM p1
     ),
     p3 AS (
-      SELECT *, lower(split_part(hostport, ':', 1)) AS rawhost,
+      SELECT *, {D.canon_host('hostport')} AS host,
              split_part(hostport, ':', 2) AS port
       FROM p2
     ),
     p4 AS (
       SELECT *,
-             CASE WHEN rawhost LIKE 'www.%' THEN substr(rawhost, 5)
-                  ELSE rawhost END AS host,
              CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                        OR (scheme = 'https' AND port = '443') THEN ''
                   ELSE ':' || port END AS keep_port,

@@ -225,9 +225,13 @@ def _nfindr_candidates(d: str) -> str:
 # constant (that is what makes the swap search provably exact); the audit
 # aggregate re-introduces data dependence so the driver's value hash still
 # detects Spark/DuckDB divergence in the candidate pre-filter itself
-_NFINDR_AUDIT = ("cast(count(*) as bigint) AS n_cand, "
-                 "round(sum(round(s1, 3)) + sum(round(s2, 3)), 2) "
-                 "AS cand_checksum")
+def _nfindr_audit(over: str = "") -> str:
+    """Audit columns; ``over='OVER ()'`` renders the windowed form so the
+    Spark path can ride them on the candidate collect (one rendering —
+    no string surgery that could silently miss on a reformat)."""
+    return (f"cast(count(*) {over} as bigint) AS n_cand, "
+            f"round(sum(round(s1, 3)) {over} + sum(round(s2, 3)) {over}, 2) "
+            "AS cand_checksum")
 
 
 def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,11 +251,9 @@ def _nfindr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single driver action: the audit aggregates ride the same 63-row
     # collect as unpartitioned window columns (SQL-computed, so the
     # rounding semantics stay bit-identical to the DuckDB oracle's)
-    audit_win = _NFINDR_AUDIT.replace("count(*)", "count(*) OVER ()").replace(
-        "sum(round(s1, 3))", "sum(round(s1, 3)) OVER ()").replace(
-        "sum(round(s2, 3))", "sum(round(s2, 3)) OVER ()")
     cand = spark.sql(f"WITH {_nfindr_candidates(D.SPARK)} "
-                     f"SELECT cell_id, s1, s2, {audit_win} FROM cand")
+                     f"SELECT cell_id, s1, s2, {_nfindr_audit('OVER ()')} "
+                     f"FROM cand")
     pdf = cand.toPandas().sort_values("cell_id").reset_index(drop=True)
     audit = pdf.iloc[0]
     idx = nfindr(pdf[["s1", "s2"]].to_numpy(), q=3)
@@ -272,7 +274,7 @@ def _nfindr_oracle(d: str) -> str:
     det = "(b.s1 - a.s1) * (c.s2 - a.s2) - (c.s1 - a.s1) * (b.s2 - a.s2)"
     return f"""
     WITH {_nfindr_candidates(d)},
-    audit AS (SELECT {_NFINDR_AUDIT} FROM cand)
+    audit AS (SELECT {_nfindr_audit()} FROM cand)
     SELECT em1, em2, em3, volume, n_cand, cand_checksum FROM (
       SELECT a.cell_id AS em1, b.cell_id AS em2, c.cell_id AS em3,
              round(abs({det}), 4) AS volume

@@ -577,7 +577,8 @@ def _cc_oracle() -> str:
     """
 
 
-def cc_labels(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
+def cc_labels(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
+              edges_checkpointed: bool = False):
     """Label-propagation connected components over a directed edge list
     (columns u, v; pass both directions for an undirected graph), iterated
     to a PROVEN fixpoint. Each round is a neighbor-min label exchange
@@ -600,8 +601,11 @@ def cc_labels(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
     lossy multi-executor cluster substitute reliable checkpoint() or a
     table write per round, same semantics. Lineage truncation each round
     is load-bearing: without it the 3-joins-per-round self-referencing
-    plan grows past what Catalyst can re-optimize."""
-    edges = edges.localCheckpoint(eager=True)
+    plan grows past what Catalyst can re-optimize. A caller that already
+    holds a checkpointed edge list passes ``edges_checkpointed=True`` to
+    skip re-materializing a second copy of it."""
+    if not edges_checkpointed:
+        edges = edges.localCheckpoint(eager=True)
     lbl = edges.select(F.col("u").alias("id")).distinct() \
                .withColumn("lbl", F.col("id"))
     rounds = 0

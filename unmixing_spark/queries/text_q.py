@@ -702,23 +702,24 @@ def _bpe_token_count(spark, sf_dir):
     UDF over the packaged merge table (text/bpe.py — Sennrich 2016 /
     GPT-2-style pre-tokenizer).
 
-    Scale: the merge table is broadcast (KBs); the UDF re-hydrates one
-    tokenizer per executor thread whose per-word LRU means each distinct
-    word pays the merge loop once per batch stream. Embarrassingly
+    Scale: the merge table is broadcast (KBs); `cached_tokenizer` keeps
+    one tokenizer per executor PROCESS (content-keyed), so its per-word
+    LRU survives across Arrow batches and each distinct word pays the
+    merge loop once per executor, not once per batch. Embarrassingly
     parallel — no shuffle at all.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     from unmixing_spark.pipeline import register_tables
-    from unmixing_spark.text.bpe import BPETokenizer, load_merges
+    from unmixing_spark.text.bpe import cached_tokenizer, load_merges
 
     register_tables(spark, sf_dir, ("documents",))
     merges_bc = spark.sparkContext.broadcast(load_merges())
 
     @pandas_udf("long")
     def n_bpe(texts: pd.Series) -> pd.Series:
-        tok = BPETokenizer(merges_bc.value)
+        tok = cached_tokenizer(merges_bc.value)
         return texts.map(tok.count_tokens).astype("int64")
 
     ws = F.expr(f"size({D.ws_split('text', D.SPARK)})")
