@@ -201,3 +201,42 @@ def test_lm_perplexity_matches_brute_force(spark):
     ref_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD == 0], "ppl"]
     other_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD != 0], "ppl"]
     assert ref_ppl.mean() <= other_ppl.mean() * 1.05
+
+
+def test_corpus_keep_consistent_with_component_queries(spark):
+    """keep must be the exact conjunction of the standalone filters —
+    each of which has its own brute-force pin — so divergence between
+    the composite and any component is a failure here."""
+    from unmixing_spark.queries.hygiene_q import PPL_MAX
+    from unmixing_spark.queries.text_q import DECON_EVAL_MOD
+
+    keep = (registry()["q_corpus_keep"].spark_fn(spark, SF_SMALL)
+            .toPandas().set_index("doc_id").sort_index())
+    exact = (registry()["q_dedup_exact"].spark_fn(spark, SF_SMALL)
+             .toPandas())
+    keepers = set(exact["keeper"])
+    pairs = (registry()["q_minhash_lsh_pairs"].spark_fn(spark, SF_SMALL)
+             .toPandas())
+    near_dropped = set(pairs.loc[pairs["shared_bands"] >= 2, "doc_b"])
+    decon = (registry()["q_decontaminate"].spark_fn(spark, SF_SMALL)
+             .toPandas().set_index("doc_id"))
+    lm = (registry()["q_lm_perplexity"].spark_fn(spark, SF_SMALL)
+          .toPandas().set_index("doc_id"))
+    docs = _docs()
+    assert len(keep) == len(docs)
+    dup_groups = docs.groupby(docs["text"].map(hash))["doc_id"].min()
+    for did, row in keep.iterrows():
+        is_eval = did % DECON_EVAL_MOD == 0
+        assert row["is_exact_dup"] == (0 if did in keepers else 1), did
+        assert row["is_near_dup"] == (1 if did in near_dropped else 0), did
+        assert row["is_eval"] == (1 if is_eval else 0), did
+        contaminated = (not is_eval and did in decon.index
+                        and decon.loc[did, "contaminated"] == 1)
+        assert row["contaminated"] == (1 if contaminated else 0), did
+        high = lm.loc[did, "ppl"] > PPL_MAX if did in lm.index else True
+        assert row["high_ppl"] == (1 if high else 0), did
+        expect_keep = int(row[["is_exact_dup", "is_near_dup", "is_eval",
+                               "contaminated", "high_ppl"]].sum() == 0)
+        assert row["keep"] == expect_keep, did
+    # the decision is non-trivial in both directions on this corpus
+    assert 0 < keep["keep"].sum() < len(keep)

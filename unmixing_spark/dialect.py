@@ -101,6 +101,15 @@ def ws_split(expr: str, dialect: str) -> str:
     return f"string_split_regex({expr}, '\\s+')"
 
 
+def mat(dialect: str) -> str:
+    """``MATERIALIZED `` in the DuckDB rendering only — DuckDB inlines
+    every CTE by default, so a CTE referenced N times is computed N
+    times (exponentially through chains); Spark has no such keyword and
+    Catalyst decides subplan reuse itself. Use on multi-referenced CTEs:
+    ``foo AS {D.mat(d)}(SELECT ...)``."""
+    return "MATERIALIZED " if dialect == DUCKDB else ""
+
+
 def canon_host(hostport: str) -> str:
     """Canonical host from a raw authority expr (``host[:port]``):
     lowercase, strip the port and a single ``www.`` prefix.

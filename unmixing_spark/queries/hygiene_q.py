@@ -14,6 +14,11 @@ crawl and training (task brief; the reference has no text surface):
 - q_domain_quota — per-registered-domain quota sampling (source-mix
   control), the md5-ranked exact-quota window from q_stratified_sample
   keyed by registered domain.
+- q_lm_perplexity — CCNet-style quality filter (Wenzek et al. 2020):
+  bigram-LM perplexity against a reference slice, add-one smoothing.
+- q_corpus_keep — the composite curation decision (exact dup + near-dup
+  + eval split + contamination + perplexity ceiling), one flag per
+  reason.
 
 All dual-rendered (Spark executes, DuckDB is the driver's oracle) and
 hash-deterministic. Scale notes per operator in the docstrings below.
@@ -243,27 +248,12 @@ LM_REF_MOD = 5   # reference slice = doc_id % 5 == 0: CCNet (Wenzek et al.
 LM_ALPHA = 1     # add-one (Laplace) smoothing
 
 
-def _lm_perplexity(d: str) -> str:
-    """Bigram-LM perplexity per document: P(w2|w1) = (c(w1,w2) + a) /
-    (c1(w1) + a·V) with counts from the reference slice, scored as
-    avg_ll = mean ln P over the doc's bigrams and ppl = exp(-avg_ll).
-
-    Bit-parity: every ln() takes INTEGER counts (identical in both
-    engines); avg_ll is rounded to 6 before ppl exponentiates, so both
-    engines feed exp() the identical double and round(ppl, 4) kills the
-    final ulp.
-
-    Scale shape: bigram stream = one doc_id-keyed window exchange; the
-    reference count tables are gram-/w1-keyed partial+final aggregations
-    over the (smaller) reference slice; scoring joins are keyed by
-    (w1, w2) and w1 — corpus-sized streams join shuffled on
-    high-cardinality keys, never broadcast (the LM table is large), and
-    V is a 1-row broadcast cross join. Map-side combine everywhere; no
-    all-pairs."""
+def _lm_ctes(d: str) -> str:
+    """CTE chain ending in ``lm``(doc_id, n_bigrams, avg_ll, ppl);
+    expects an existing CTE ``pos``(doc_id, pos, tok) — composable, so
+    q_corpus_keep can share one token stream across its filters."""
     m, a = LM_REF_MOD, LM_ALPHA
-    return f"""
-    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
-    big AS (
+    return f"""big AS (
       SELECT doc_id, w1, w2 FROM (
         SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
@@ -282,16 +272,125 @@ def _lm_perplexity(d: str) -> str:
       LEFT JOIN refc r ON r.w1 = b.w1 AND r.w2 = b.w2
       LEFT JOIN uni u ON u.w1 = b.w1
       CROSS JOIN voc v
-    )
-    SELECT doc_id,
-           cast(count(*) as bigint) AS n_bigrams,
-           round(sum(ll) / count(*), 6) AS avg_ll,
-           round(exp(-round(sum(ll) / count(*), 6)), 4) AS ppl
-    FROM scored
-    GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS n_bigrams,
+             round(sum(ll) / count(*), 6) AS avg_ll,
+             round(exp(-round(sum(ll) / count(*), 6)), 4) AS ppl
+      FROM scored
+      GROUP BY doc_id
+    )"""
+
+
+def _lm_perplexity(d: str) -> str:
+    """Bigram-LM perplexity per document: P(w2|w1) = (c(w1,w2) + a) /
+    (c1(w1) + a·V) with counts from the reference slice, scored as
+    avg_ll = mean ln P over the doc's bigrams and ppl = exp(-avg_ll).
+
+    Bit-parity: every ln() takes INTEGER counts (identical in both
+    engines); avg_ll is rounded to 6 before ppl exponentiates, so both
+    engines feed exp() the identical double and round(ppl, 4) kills the
+    final ulp.
+
+    Scale shape: bigram stream = one doc_id-keyed window exchange; the
+    reference count tables are gram-/w1-keyed partial+final aggregations
+    over the (smaller) reference slice; scoring joins are keyed by
+    (w1, w2) and w1 — corpus-sized streams join shuffled on
+    high-cardinality keys, never broadcast (the LM table is large), and
+    V is a 1-row broadcast cross join. Map-side combine everywhere; no
+    all-pairs."""
+    return f"""
+    WITH pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    {_lm_ctes(d)}
+    SELECT doc_id, n_bigrams, avg_ll, ppl FROM lm
     """
 
 
 sql_template("q_lm_perplexity", _lm_perplexity,
              "CCNet-style quality filter (Wenzek et al. 2020): bigram-LM "
              "perplexity vs a reference slice, add-one smoothing")
+
+
+# ---- composite curation decision ----------------------------------------------
+
+PPL_MAX = 36.0  # keep threshold on bigram-LM perplexity: p95 of the
+                # synthetic corpus is ~35.6 (median ~32), so 36 drops the
+                # worst ~5% — a pinned stand-in for the corpus-specific
+                # quantile a production pipeline would calibrate
+
+
+def _corpus_keep(d: str) -> str:
+    """The end-to-end curation decision a training pipeline materializes
+    per document: keep = not an exact-dup copy, not an LSH near-dup drop,
+    not in the eval split, not eval-contaminated, and under the LM
+    perplexity ceiling — with one flag column per reason so the drop mix
+    is auditable. Composes the engine's existing filters in ONE
+    dual-rendered query (shared `pos` token stream feeds both the
+    decontamination grams and the LM bigrams).
+
+    Scale shape: every filter's own shape is unchanged (hash-window for
+    exact dup, capped LSH bucket join for near-dup, broadcast eval-gram
+    set for contamination, gram-keyed aggs for the LM); the final
+    assembly is doc_id-keyed LEFT joins where every right side is at most
+    doc-cardinality. Multi-referenced CTEs are MATERIALIZED in the DuckDB
+    rendering only (D.mat) — Catalyst handles reuse itself."""
+    from unmixing_spark.queries.text_q import (
+        DECON_EVAL_MOD,
+        DECON_N,
+        _lead_gram,
+        _minhash_lsh,
+    )
+
+    m = DECON_EVAL_MOD
+    fallback = D.dbl(999.0)   # docs with no bigrams score as unkeepable
+    return f"""
+    WITH exact AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 0 ELSE 1 END AS is_exact_dup
+      FROM documents
+    ),
+    pairs AS ({_minhash_lsh(d)}),
+    neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+                 WHERE shared_bands >= 2),
+    pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ng AS {D.mat(d)}(
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, {_lead_gram(DECON_N)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT gram FROM ng WHERE doc_id % {m} = 0),
+    contam AS (
+      SELECT DISTINCT g.doc_id
+      FROM ng g JOIN ev e ON e.gram = g.gram
+      WHERE g.doc_id % {m} <> 0
+    ),
+    {_lm_ctes(d)}
+    SELECT d0.doc_id,
+           cast(e.is_exact_dup as bigint) AS is_exact_dup,
+           cast(CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END as bigint)
+             AS is_near_dup,
+           cast(CASE WHEN d0.doc_id % {m} = 0 THEN 1 ELSE 0 END as bigint)
+             AS is_eval,
+           cast(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END as bigint)
+             AS contaminated,
+           cast(CASE WHEN coalesce(l.ppl, {fallback}) > {D.dbl(PPL_MAX)}
+                     THEN 1 ELSE 0 END as bigint) AS high_ppl,
+           cast(CASE WHEN e.is_exact_dup = 0 AND nd.doc_id IS NULL
+                          AND d0.doc_id % {m} <> 0 AND c.doc_id IS NULL
+                          AND coalesce(l.ppl, {fallback}) <= {D.dbl(PPL_MAX)}
+                     THEN 1 ELSE 0 END as bigint) AS keep
+    FROM documents d0
+    JOIN exact e ON e.doc_id = d0.doc_id
+    LEFT JOIN neardrop nd ON nd.doc_id = d0.doc_id
+    LEFT JOIN contam c ON c.doc_id = d0.doc_id
+    LEFT JOIN lm l ON l.doc_id = d0.doc_id
+    """
+
+
+sql_template("q_corpus_keep", _corpus_keep,
+             "end-to-end curation decision: exact dup + LSH near-dup + "
+             "eval split + contamination + LM perplexity ceiling, one "
+             "auditable flag per reason")
