@@ -42,11 +42,14 @@ HEADLINE = [
     "q_session_windows",
     "q_stack_multisource",
     "q_ledaps_modal_keep",
-    # round-4 corpus-hygiene additions (no floors yet — first driver
-    # artifact to include them seeds BENCH/expected.json)
+    # round-4 corpus-hygiene additions (floors seeded from BENCH_r04)
     "q_gopher_repetition",
     "q_boilerplate_ngrams",
     "q_neardup_components",
+    # round-5 corpus-hygiene additions (no floors yet — first driver
+    # artifact to include them seeds BENCH/expected.json)
+    "q_duplicated_spans",
+    "q_corpus_keep",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
