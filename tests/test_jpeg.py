@@ -252,3 +252,40 @@ def test_refine_ac_bad_magnitude_raises():
     blk = np.zeros(64, dtype=np.int32)
     with pytest.raises(ValueError, match="G.1.2.3"):
         _refine_ac_block(_FakeReader(), blk, None, 1, 5, 0, 0)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_encoder_separate_scans_bitstream_independent(sub):
+    """Per-component (non-interleaved, T.81 A.2.2) baseline scans:
+    deterministic bytes + gdk-pixbuf/libjpeg decoded those exact bytes
+    within 2 LSB of our decoder — covering the decoder's per-component
+    scan path and the encoder's A.2.2 data-unit order over the
+    component ceil-grid (narrower than the MCU-padded plane for 4:2:0
+    luma at this 40x56 size)."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    enc = encode_jpeg(_test_image(), quality=95, subsample=sub,
+                      scan_mode="separate")
+    fixture = open(os.path.join(FIX, f"enc_sep_{sub}.jpg"), "rb").read()
+    assert enc == fixture
+    ref = decode_png(open(os.path.join(FIX, f"enc_sep_{sub}.ref.png"),
+                          "rb").read())
+    ours = decode_jpeg(fixture)
+    assert np.abs(ref.astype(np.int64) - ours.astype(np.int64)).max() <= 2
+
+
+def test_separate_scan_decode_equals_interleaved():
+    """Scan layout must not change pixels: separate-scan and interleaved
+    encodes of the same image carry identical quantized coefficients, so
+    the decodes are EXACTLY equal (also covers grayscale, whose
+    single-component scan is always non-interleaved per A.2.2)."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    img = _test_image()
+    for sub in ("444", "422", "420"):
+        a = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        b = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub,
+                                    scan_mode="separate"))
+        assert np.array_equal(a, b), sub
+    g = img[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=95)),
+        decode_jpeg(encode_jpeg(g, quality=95, scan_mode="separate")))

@@ -266,11 +266,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     data, pos + 2 + length, frame, scan, huff_dc, huff_ac,
                     restart_interval, ss, se, ahal >> 4, ahal & 15, coefs)
                 continue
+            if frame is not None and (
+                    len(scan) < len(frame["comps"])
+                    or (len(frame["comps"]) == 1
+                        and (frame["comps"][0]["h"] > 1
+                             or frame["comps"][0]["v"] > 1))):
+                # per-component scans are ALWAYS non-interleaved
+                # (T.81 A.2.2) — including a single-component frame with
+                # sampling factors > 1: accumulate coefficients per
+                # scan, reconstruct at EOI
+                if len(scan) != 1:
+                    raise NotImplementedError(
+                        "baseline scan with %d of %d components (full "
+                        "interleave or one component per scan)"
+                        % (len(scan), len(frame["comps"])))
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_baseline_component_scan(
+                    data, pos + 2 + length, frame, scan, huff_dc, huff_ac,
+                    restart_interval, coefs)
+                continue
             return _decode_scan(data, pos + 2 + length, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         pos += 2 + length
-    if frame is not None and frame["progressive"] and coefs is not None:
-        return _reconstruct_progressive(frame, coefs, qt)
+    if frame is not None and coefs is not None:
+        return _reconstruct_coefs(frame, coefs, qt)
     raise ValueError("JPEG truncated before SOS")
 
 
@@ -300,6 +320,57 @@ def _upsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
     elif fx > 1:
         p = np.repeat(p, fx, axis=1)
     return p
+
+
+def _decode_baseline_component_scan(data, pos, frame, scan, huff_dc,
+                                    huff_ac, dri, coefs):
+    """One baseline sequential scan covering a SINGLE component
+    (T.81 A.2.2 non-interleaved data-unit order: row-major over the
+    component's OWN ceil(comp_size/8) block grid, not the MCU-padded
+    one). Full DC+AC coefficients land in ``coefs`` in zigzag order —
+    reconstruction happens at EOI via _reconstruct_coefs, exactly like
+    the progressive path. Returns the position of the next marker."""
+    comps = frame["comps"]
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    (cid, (td, ta)), = scan.items()
+    ci = cidx[cid]
+    c = comps[ci]
+    if td not in huff_dc:
+        raise ValueError("missing DHT DC table %d for scan" % td)
+    if ta not in huff_ac:
+        raise ValueError("missing DHT AC table %d for scan" % ta)
+    cw = -(-(frame["w"] * c["h"]) // hmax)       # ceil component size (A.1.1)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    nbx, nby = -(-cw // 8), -(-ch // 8)
+    rd = _BitReader(data, pos)
+    pred, unit = 0, 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and unit and unit % dri == 0:
+                rd.align_and_consume_rst()
+                pred = 0
+            blk = coefs[ci][by, bx]
+            t = rd.decode_huff(huff_dc[td])
+            pred += _extend(rd.read_bits(t), t)
+            blk[0] = pred
+            k = 1
+            while k < 64:
+                rs = rd.decode_huff(huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:                  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break                        # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overrun")
+                blk[k] = _extend(rd.read_bits(s), s)
+                k += 1
+            unit += 1
+    return _next_marker(data, rd.pos)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -630,9 +701,11 @@ def _decode_progressive_scan(data, pos, frame, scan, huff_dc, huff_ac,
     return _next_marker(data, rd.pos)
 
 
-def _reconstruct_progressive(frame, coefs, qt):
+def _reconstruct_coefs(frame, coefs, qt):
     """Dequantize + IDCT the accumulated coefficient arrays (batched
-    einsum over all blocks — the per-bit work happened scan-side)."""
+    einsum over all blocks) — shared by the progressive path (the
+    per-bit work happened scan-side) and baseline per-component scans
+    (each scan delivered its component's full coefficients)."""
     comps = frame["comps"]
     if len(comps) not in (1, 3):
         raise NotImplementedError(
@@ -745,12 +818,17 @@ _SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444",
+                scan_mode: str = "interleaved") -> bytes:
     """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
     JPEG bytes (SOF0, standard Annex K quant + Huffman tables, libjpeg
     quality scaling). ``subsample``: "444", "422" or "420" chroma
-    subsampling (box-filtered; ignored for grayscale). Deterministic:
-    pure numpy arithmetic."""
+    subsampling (box-filtered; ignored for grayscale). ``scan_mode``:
+    "interleaved" (one SOS, A.2.3 MCU order) or "separate" (one SOS per
+    component, A.2.2 non-interleaved data-unit order over the
+    component's own ceil-grid — the legal baseline shape our decoder's
+    per-component path exists for). Deterministic: pure numpy
+    arithmetic."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -795,14 +873,41 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         tables += [(0x01, _HUFF_DC_CHROM), (0x11, _HUFF_AC_CHROM)]
     for tid, (bits, vals) in tables:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + vals)
-    scan_spec = b"".join(struct.pack(">BB", ci + 1, 0 if ci == 0 else 0x11)
-                         for ci in range(nc))
-    out += seg(0xDA, bytes([nc]) + scan_spec + b"\x00\x3f\x00")
-
     dc_lum = _huff_codes(*_HUFF_DC_LUM)
     ac_lum = _huff_codes(*_HUFF_AC_LUM)
     dc_chrom = _huff_codes(*_HUFF_DC_CHROM)
     ac_chrom = _huff_codes(*_HUFF_AC_CHROM)
+    if scan_mode == "separate":
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        for ci in range(nc):
+            out += seg(0xDA, bytes([1])
+                       + struct.pack(">BB", ci + 1, 0 if ci == 0 else 0x11)
+                       + b"\x00\x3f\x00")
+            # A.2.2: row-major over THIS component's ceil-grid (can be
+            # narrower than the MCU-padded plane), fresh DC predictor
+            cw = -(-(w * factors[ci][0]) // hmax)
+            ch = -(-(h * factors[ci][1]) // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            qt = q_lum if ci == 0 else q_chrom
+            dc = dc_lum if ci == 0 else dc_chrom
+            ac = ac_lum if ci == 0 else ac_chrom
+            bw = _BitWriter()
+            pred = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    pred = _encode_block(
+                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                        qt, dc, ac, bw, pred)
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+    if scan_mode != "interleaved":
+        raise ValueError(f"unknown scan_mode {scan_mode!r}")
+    scan_spec = b"".join(struct.pack(">BB", ci + 1, 0 if ci == 0 else 0x11)
+                         for ci in range(nc))
+    out += seg(0xDA, bytes([nc]) + scan_spec + b"\x00\x3f\x00")
+
     bw = _BitWriter()
     preds = [0] * nc
     # interleaved MCUs (T.81 A.2.3): component ci contributes its
