@@ -289,3 +289,42 @@ def test_separate_scan_decode_equals_interleaved():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(g, quality=95)),
         decode_jpeg(encode_jpeg(g, quality=95, scan_mode="separate")))
+
+
+def test_encoder_progressive_bitstream_independent():
+    """Progressive (SOF2, spectral-selection scan script) encode with
+    DRI: gdk-pixbuf/libjpeg decoded these exact bytes within 2 LSB of
+    our decoder — the first independent-decoder coverage of the
+    progressive RESTART path (the real-file fixtures carry no DRI)."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    enc = encode_jpeg(_test_image(), quality=95, subsample="420",
+                      scan_mode="progressive", dri=4)
+    fixture = open(os.path.join(FIX, "enc_prog_dri_420.jpg"), "rb").read()
+    assert enc == fixture, "progressive encoder no longer byte-reproduces"
+    n_rst = sum(fixture.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst >= 10, "fixture must actually exercise restarts"
+    ref = decode_png(open(os.path.join(FIX, "enc_prog_dri_420.ref.png"),
+                          "rb").read())
+    ours = decode_jpeg(fixture)
+    assert np.abs(ref.astype(np.int64) - ours.astype(np.int64)).max() <= 2
+
+
+def test_progressive_encode_decode_equals_baseline():
+    """Spectral-selection framing must not change pixels: the scan
+    script delivers the same quantized coefficients, so our decode of
+    our progressive encode equals the baseline decode EXACTLY — for all
+    subsamplings, with and without restart intervals."""
+    from unmixing_spark.text.jpeg import encode_jpeg
+    img = _test_image()
+    for sub in ("444", "422", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        for dri in (0, 4):
+            prog = decode_jpeg(encode_jpeg(
+                img, quality=95, subsample=sub,
+                scan_mode="progressive", dri=dri))
+            assert np.array_equal(base, prog), (sub, dri)
+    g = img[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=95)),
+        decode_jpeg(encode_jpeg(g, quality=95,
+                                scan_mode="progressive", dri=3)))

@@ -754,6 +754,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Pad to a byte boundary and emit RSTm (raw — restart markers
+        are not stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _huff_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
     """value -> (code, length) from canonical BITS/HUFFVAL."""
@@ -780,18 +788,26 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
 
 
-def _encode_block(block: np.ndarray, q: np.ndarray,
-                  dc_codes, ac_codes, bw: _BitWriter, pred: int) -> int:
-    """FDCT + quantize + Huffman-encode one 8x8 sample block, returning
-    the updated DC predictor (T.81 F.1.2)."""
+def _block_zz(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8x8 sample block to zigzag-order integers."""
     coef = _A @ (block - 128.0) @ _A.T                  # forward DCT
-    zz = np.round(coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
-    diff = int(zz[0]) - pred
-    pred = int(zz[0])
-    t, code = _magnitude(diff)
+    return np.round(coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+
+def _encode_dc(zz0: int, pred: int, dc_codes, bw: _BitWriter) -> int:
+    """Huffman-code one DC difference, returning the new predictor."""
+    t, code = _magnitude(zz0 - pred)
     c, ln = dc_codes[t]
     bw.write(c, ln)
     bw.write(code, t)
+    return zz0
+
+
+def _encode_ac_band(zz: np.ndarray, ac_codes, bw: _BitWriter) -> None:
+    """Huffman-code coefficients 1..63 of one block: (run, size) symbols
+    with ZRL and a terminal EOB (F.1.2.2). The identical coding is a
+    legal progressive AC first scan at Ah=Al=0 — there 0x00 means an EOB
+    run of exactly 1 (G.1.2.2), which is what baseline EOB does."""
     run = 0
     last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
     for k in range(1, last_nz + 1):
@@ -811,6 +827,15 @@ def _encode_block(block: np.ndarray, q: np.ndarray,
     if last_nz < 63:
         c, ln = ac_codes[0x00]                          # EOB
         bw.write(c, ln)
+
+
+def _encode_block(block: np.ndarray, q: np.ndarray,
+                  dc_codes, ac_codes, bw: _BitWriter, pred: int) -> int:
+    """FDCT + quantize + Huffman-encode one 8x8 sample block, returning
+    the updated DC predictor (T.81 F.1.2)."""
+    zz = _block_zz(block, q)
+    pred = _encode_dc(int(zz[0]), pred, dc_codes, bw)
+    _encode_ac_band(zz, ac_codes, bw)
     return pred
 
 
@@ -819,16 +844,21 @@ _SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsample: str = "444",
-                scan_mode: str = "interleaved") -> bytes:
-    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline
-    JPEG bytes (SOF0, standard Annex K quant + Huffman tables, libjpeg
-    quality scaling). ``subsample``: "444", "422" or "420" chroma
-    subsampling (box-filtered; ignored for grayscale). ``scan_mode``:
-    "interleaved" (one SOS, A.2.3 MCU order) or "separate" (one SOS per
-    component, A.2.2 non-interleaved data-unit order over the
-    component's own ceil-grid — the legal baseline shape our decoder's
-    per-component path exists for). Deterministic: pure numpy
-    arithmetic."""
+                scan_mode: str = "interleaved",
+                dri: int = 0) -> bytes:
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> JPEG bytes
+    (standard Annex K quant + Huffman tables, libjpeg quality scaling).
+    ``subsample``: "444", "422" or "420" chroma subsampling
+    (box-filtered; ignored for grayscale). ``scan_mode``:
+    "interleaved" (SOF0, one SOS, A.2.3 MCU order), "separate" (SOF0,
+    one SOS per component, A.2.2 non-interleaved data-unit order over
+    the component's own ceil-grid), or "progressive" (SOF2,
+    spectral-selection-only scan script: interleaved DC scan then one
+    full-band AC scan per component, Ah=Al=0 — same quantized
+    coefficients as baseline, progressive framing). ``dri``: restart
+    interval in data units ("progressive" mode only — emits DRI + RSTn,
+    exercising the progressive restart path end-to-end). Deterministic:
+    pure numpy arithmetic."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -867,7 +897,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         struct.pack(">BBB", ci + 1, (factors[ci][0] << 4) | factors[ci][1],
                     0 if ci == 0 else 1)
         for ci in range(nc))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
+    sof = 0xC2 if scan_mode == "progressive" else 0xC0
+    out += seg(sof, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
     tables = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
     if nc == 3:
         tables += [(0x01, _HUFF_DC_CHROM), (0x11, _HUFF_AC_CHROM)]
@@ -877,6 +908,71 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     ac_lum = _huff_codes(*_HUFF_AC_LUM)
     dc_chrom = _huff_codes(*_HUFF_DC_CHROM)
     ac_chrom = _huff_codes(*_HUFF_AC_CHROM)
+    if scan_mode == "progressive":
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        # quantize every block of each MCU-padded plane up front — the
+        # DC scan covers padding blocks (A.2.3 dummy units), AC scans
+        # cover only the component's own A.2.2 ceil-grid
+        coef = []
+        for ci in range(nc):
+            qt = q_lum if ci == 0 else q_chrom
+            p = planes[ci]
+            nby_p, nbx_p = p.shape[0] // 8, p.shape[1] // 8
+            zz = np.zeros((nby_p, nbx_p, 64), dtype=np.int64)
+            for by in range(nby_p):
+                for bx in range(nbx_p):
+                    zz[by, bx] = _block_zz(
+                        p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], qt)
+            coef.append(zz)
+        # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+        scan_spec = b"".join(
+            struct.pack(">BB", ci + 1, (0 if ci == 0 else 1) << 4)
+            for ci in range(nc))
+        out += seg(0xDA, bytes([nc]) + scan_spec + b"\x00\x00\x00")
+        bw = _BitWriter()
+        preds = [0] * nc
+        mcu, rst = 0, 0
+        for my in range(ph // mh):
+            for mx in range(pw // mw):
+                if dri and mcu and mcu % dri == 0:
+                    bw.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * nc
+                for ci in range(nc):
+                    cf_h, cf_v = factors[ci]
+                    dc = dc_lum if ci == 0 else dc_chrom
+                    for byy in range(cf_v):
+                        for bxx in range(cf_h):
+                            zz0 = int(coef[ci][my * cf_v + byy,
+                                               mx * cf_h + bxx, 0])
+                            preds[ci] = _encode_dc(zz0, preds[ci], dc, bw)
+                mcu += 1
+        out += bw.flush()
+        # one full-band AC scan per component (Ss=1, Se=63, Ah=Al=0),
+        # non-interleaved over the component ceil-grid
+        for ci in range(nc):
+            out += seg(0xDA, bytes([1])
+                       + struct.pack(">BB", ci + 1, 0 if ci == 0 else 1)
+                       + b"\x01\x3f\x00")
+            cw = -(-(w * factors[ci][0]) // hmax)
+            ch = -(-(h * factors[ci][1]) // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            ac = ac_lum if ci == 0 else ac_chrom
+            bw = _BitWriter()
+            unit, rst = 0, 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if dri and unit and unit % dri == 0:
+                        bw.restart(rst)
+                        rst = (rst + 1) & 7
+                    _encode_ac_band(coef[ci][by, bx], ac, bw)
+                    unit += 1
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     if scan_mode == "separate":
         hmax = max(f[0] for f in factors)
         vmax = max(f[1] for f in factors)
