@@ -161,8 +161,17 @@ def _canon_cte(d: str) -> str:
         qs_sort = "array_to_string(list_sort(string_split(qs, '&')), '&')"
     last2 = f"regexp_extract(host, {D.rx_lit(r'([^.]+[.][^.]+)$', d)}, 1)"
     last3 = f"regexp_extract(host, {D.rx_lit(r'([^.]+[.][^.]+[.][^.]+)$', d)}, 1)"
-    psl = ", ".join(f"'{s}'" for s in PSL_2LEVEL)
+    # the PSL as a RELATION, not an IN list: the real public-suffix list
+    # is ~9k rows, far past literal-predicate territory — the scale shape
+    # is a broadcast hash join of the host stream against the suffix
+    # table (Catalyst broadcasts the VALUES relation; swapping in the
+    # full list is just more rows in `psl`)
+    psl_rows = ", ".join(f"('{s}')" for s in PSL_2LEVEL)
+    psl_rel = (f"SELECT * FROM VALUES {psl_rows} AS t(suffix)"
+               if d == D.SPARK
+               else f"SELECT * FROM (VALUES {psl_rows}) t(suffix)")
     return f"""raw AS (SELECT doc_id, {_messy_url(d)} AS url FROM documents),
+    psl AS ({psl_rel}),
     p1 AS (
       SELECT doc_id, url,
              lower(split_part(url, '://', 1)) AS scheme,
@@ -194,9 +203,9 @@ def _canon_cte(d: str) -> str:
                CASE WHEN qs = '' THEN '' ELSE '?' || {qs_sort} END
                AS canon_url,
              host,
-             CASE WHEN {last2} IN ({psl}) AND {last3} <> '' THEN {last3}
+             CASE WHEN p.suffix IS NOT NULL AND {last3} <> '' THEN {last3}
                   ELSE {last2} END AS registered_domain
-      FROM p4
+      FROM p4 LEFT JOIN psl p ON {last2} = p.suffix
     )"""
 
 
