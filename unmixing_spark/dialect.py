@@ -125,6 +125,27 @@ def idiv(a: str, b: str) -> str:
     return f"cast(floor(({a}) / ({b})) as bigint)"
 
 
+def idiv_i(a: str, b: str, dialect: str) -> str:
+    """EXACT integer division on non-negative operands. Unlike ``idiv``
+    this never routes through a double: Spark's ``div`` and DuckDB's
+    ``//`` divide integers natively, so quotients stay exact past 2^52
+    and a true quotient one ulp below an integer cannot mis-floor.
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors — equal
+    on the non-negative operands callers must pass.)"""
+    if dialect == SPARK:
+        return f"(({a}) div ({b}))"
+    return f"(({a}) // ({b}))"
+
+
+def values_rel(rows: str, alias: str, dialect: str) -> str:
+    """An inline VALUES relation; ``rows`` is ``(1),(2)``-style SQL and
+    ``alias`` is ``t(col)``-style. Spark aliases VALUES directly; DuckDB
+    needs the parenthesized derived-table form."""
+    if dialect == SPARK:
+        return f"SELECT * FROM VALUES {rows} AS {alias}"
+    return f"SELECT * FROM (VALUES {rows}) {alias}"
+
+
 def sha256_(expr: str, dialect: str) -> str:
     """Lowercase hex SHA-256 of a string expr."""
     if dialect == SPARK:

@@ -58,4 +58,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.scale_q  # noqa: F401
     import unmixing_spark.queries.complete_q  # noqa: F401
     import unmixing_spark.queries.hygiene_q  # noqa: F401
+    import unmixing_spark.queries.linkgraph_q  # noqa: F401
     return dict(_REGISTRY)
