@@ -68,3 +68,117 @@ def test_pagerank_matches_integer_brute_force(spark):
     assert out["rank_fp"].max() > 3 * PR_SCALE // n
     # truncation honesty: the residual is small relative to the spread
     assert max_delta < (out["rank_fp"].max() - out["rank_fp"].min()) // 10
+
+
+def _hb_expected():
+    """Pure-Python HyperBall twin: identical md5 register derivation,
+    identical integer register-max propagation, identical estimator
+    expression tree (same literal constants, same IEEE operation order —
+    Python floats are the same doubles), plus the EXACT truncated harmonic
+    centrality via per-node reverse BFS for the accuracy band check."""
+    from unmixing_spark.queries.linkgraph_q import (
+        HB_LC_CUT, HB_LC_EST, HB_M, HB_NUM, HB_ROUNDS, HB_W)
+
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    links = []
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            links.append((d, h % n))
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    state = {}
+    for d in doc_ids:
+        b = md5_32(f"{d}!b") % HB_M
+        x = md5_32(f"{d}!r")
+        state[d] = {b: HB_W + 1 - x.bit_length()}
+
+    def estimate(regs):
+        cnt = len(regs)
+        s_int = (sum(1 << (HB_W + 1 - rho) for rho in regs.values())
+                 + (HB_M - cnt) * (1 << (HB_W + 1)))
+        raw = HB_NUM / float(s_int)
+        if raw <= HB_LC_CUT and cnt < HB_M:
+            return HB_LC_EST[HB_M - cnt], cnt, s_int
+        return raw, cnt, s_int
+
+    hc = {d: 0.0 for d in doc_ids}
+    prev_e = {d: estimate(state[d])[0] for d in doc_ids}
+    prev_stats = cur_stats = None
+    for r in range(1, HB_ROUNDS + 1):
+        prev_stats = (sum(len(v) for v in state.values()),
+                      sum(sum(v.values()) for v in state.values()))
+        nxt = {d: dict(regs) for d, regs in state.items()}
+        for src, dst in links:
+            for b, rho in state[src].items():
+                if rho > nxt[dst].get(b, 0):
+                    nxt[dst][b] = rho
+        state = nxt
+        cur_stats = (sum(len(v) for v in state.values()),
+                     sum(sum(v.values()) for v in state.values()))
+        for d in doc_ids:
+            e, _, _ = estimate(state[d])
+            hc[d] = hc[d] + max(0.0, e - prev_e[d]) / float(r)
+            prev_e[d] = e
+
+    final = {d: estimate(state[d]) for d in doc_ids}
+    converged = 1 if prev_stats == cur_stats else 0
+
+    # exact truncated harmonic: reverse BFS from each node over in-edges
+    radj = {d: [] for d in doc_ids}          # v -> [w : edge w->v]
+    for src, dst in links:
+        radj[dst].append(src)
+    exact = {}
+    for v in doc_ids:
+        dist = {v: 0}
+        frontier = [v]
+        h = 0.0
+        for r in range(1, HB_ROUNDS + 1):
+            frontier = [w for u in frontier for w in radj[u]
+                        if w not in dist]
+            nf = []
+            for w in frontier:
+                if w not in dist:
+                    dist[w] = r
+                    nf.append(w)
+            frontier = nf
+            h += len(nf) / r
+            if not frontier:
+                break
+        exact[v] = h
+    return hc, final, converged, exact
+
+
+def test_hyperball_matches_python_twin_and_exact_bfs(spark):
+    import numpy as np
+
+    out = (registry()["q_harmonic_hyperball"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    hc, final, converged, exact = _hb_expected()
+    assert len(out) == len(hc)
+    assert (out["converged"] == converged).all()
+    got_regs = dict(zip(out["doc_id"].astype(int),
+                        zip(out["regs_set"].astype(int),
+                            out["s_reg"].astype(int))))
+    want_regs = {d: (cnt, s) for d, (_, cnt, s) in final.items()}
+    assert got_regs == want_regs   # registers are exact integers
+    # harmonic values agree with the Python twin to the output rounding
+    # (the twin evaluates the identical double expression tree; 6-decimal
+    # round() differs only in HALF_UP vs banker's at exact ties)
+    for _, row in out.iterrows():
+        assert abs(row["harmonic_c"] - hc[int(row["doc_id"])]) < 1e-6
+    # accuracy band vs the EXACT truncated harmonic (deterministic given
+    # the fixed hash): HLL with m=16 has ~26% per-ball std error; the
+    # harmonic estimator must land in the documented band and preserve
+    # ranking signal
+    e = np.array([exact[int(d)] for d in out["doc_id"]])
+    g = out["harmonic_c"].to_numpy()
+    nz = e > 0
+    assert np.corrcoef(e[nz], g[nz])[0, 1] > 0.7
+    rel = np.abs(g[nz] - e[nz]) / e[nz]
+    assert np.median(rel) < 0.4

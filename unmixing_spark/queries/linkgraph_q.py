@@ -32,6 +32,8 @@ the per-round re-shuffle of the static edge side entirely.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,14 +121,20 @@ def _pagerank_oracle() -> str:
 
 
 def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver loop twin of the unrolled oracle: PR_ROUNDS exact-integer
-    power-iteration rounds over DataFrames. The static edge list is
-    localCheckpoint-ed once (on a lossy cluster substitute a reliable
-    checkpoint — same semantics); rank lineage is truncated every
-    PR_CKPT_EVERY rounds so the self-referencing plan stays shallow.
-    The N count() is a one-row parquet-footer action (SURVEY §3.4 class)
-    feeding the integer base literal."""
     pipeline.register_tables(spark, sf_dir, ("documents",))
+    return pagerank_over_documents(spark)
+
+
+def pagerank_over_documents(spark: SparkSession) -> DataFrame:
+    """Driver loop twin of the unrolled oracle: PR_ROUNDS exact-integer
+    power-iteration rounds over DataFrames, reading whatever ``documents``
+    view is registered (the scaling bench points it at a replicated
+    corpus). The static edge list is localCheckpoint-ed once (on a lossy
+    cluster substitute a reliable checkpoint — same semantics); rank
+    lineage is truncated every PR_CKPT_EVERY rounds so the
+    self-referencing plan stays shallow. The N count() is a one-row
+    parquet-footer action (SURVEY §3.4 class) feeding the integer base
+    literal."""
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
     ).localCheckpoint(eager=True)
@@ -172,3 +180,240 @@ register("q_link_pagerank", QuerySpec(
     doc="page-level PageRank over a deterministic synthetic link graph: "
         "fixed-point integer power iteration (bit-identical across "
         "engines), fixed depth with an in-query residual column"))
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core Computation of
+# Geometric Centralities with HyperBall", 2013). Common Crawl's published
+# host rankings are harmonic-centrality rankings computed exactly this way;
+# corpus quality mixes consume them as a source prior. Harmonic centrality
+# of v = sum over u != v of 1/d(u, v) (incoming distances); HyperBall tracks
+# each node's reverse ball B_r(v) = {u : d(u,v) <= r} as a HyperLogLog
+# counter and iterates B_{r+1}(v) = {v} UNION B_r(w) over edges w -> v —
+# one edge-keyed join + one register-max aggregation per round, the only
+# known shape that fits a 10^12-node graph (exact balls are O(N^2)).
+#
+# Bit-parity design: an HLL counter is (bucket, rho) integer registers;
+# here they live as exact-integer (node, b, rho) ROWS, so the whole
+# recurrence is max()/GROUP BY over bigints — bit-identical across engines
+# by construction, like the PageRank recurrence above. The two float
+# estimator branches (Flajolet raw, linear counting) are evaluated from
+# PRE-TABULATED literal constants: alpha*m^2*2^(W+1) is one Python-repr'd
+# double literal and the 15 possible linear-counting estimates m*ln(m/V)
+# are a 15-row VALUES lookup — NO transcendental function runs at query
+# time in either engine, so Spark, DuckDB and the pure-Python pin evaluate
+# the identical IEEE expression tree on exact-integer inputs. Ball
+# estimates are monotone (registers only grow => S_int only shrinks); the
+# lc->raw branch handoff can still dip, so per-round deltas are clamped at
+# 0 (standard HyperBall practice). Depth is FIXED at HB_ROUNDS in both
+# renderings; the `converged` audit column proves (exactly — register
+# states are integers and grow monotonically, so equal count + equal
+# sum(rho) <=> equal states) whether radius HB_ROUNDS already reached the
+# graph's diameter, making the truncation honest rather than assumed.
+#
+# At 10^12 nodes the row-per-register form costs m rows/node; production
+# HyperBall packs the m registers into a fixed-width byte array merged by
+# a max-lane kernel — the plumbing change is local to the state schema
+# (the join/groupBy shape is identical), and the row form is what keeps
+# the recurrence oracle-checkable here.
+
+HB_M = 16            # HLL buckets (b=4 index bits): rel. std err ~1.04/4
+HB_W = 32            # hash bits feeding rho (md5_slice width)
+HB_ROUNDS = 12       # fixed ball radius, both renderings (see docstring)
+HB_CKPT_EVERY = 4    # Spark-side lineage truncation cadence (rounds)
+HB_ALPHA = 0.673     # published alpha_16 (Flajolet et al. 2007, Fig. 3)
+HB_LC_CUT = 2.5 * HB_M          # linear-counting cutoff (= 40.0, exact)
+# alpha * m^2 * 2^(W+1): the raw-estimator numerator as ONE double literal
+# (m^2*2^33 = 2199023255552 is exact in double; repr() round-trips bits)
+HB_NUM = HB_ALPHA * float(HB_M * HB_M * (1 << (HB_W + 1)))
+# linear-counting estimates m*ln(m/V) for V = 1..m-1, tabulated once
+HB_LC_EST = {v: HB_M * math.log(HB_M / v) for v in range(1, HB_M)}
+_POW2_33 = 1 << (HB_W + 1)      # the "register absent" (rho=0) indicator
+
+
+def _hb_base_ctes(d: str) -> str:
+    """CTE fragment ending in ``s0``(node, b, rho): each page's singleton
+    HLL counter. bucket = 32 md5 bits mod m; rho = leading zeros of an
+    independent 32-bit md5 slice + 1, computed EXACTLY via a 32-row
+    bit-length lookup relation (no float log2 anywhere). Also defines
+    ``pow2`` (exact 2^n bigints for the estimator's register indicators)
+    and ``lc`` (the tabulated linear-counting estimates)."""
+    bitlen_rows = ", ".join(
+        f"({k}, {1 << (k - 1)}, {(1 << k) - 1})" for k in range(1, HB_W + 1))
+    pow2_rows = ", ".join(f"({n}, {1 << n})" for n in range(HB_W + 2))
+    lc_rows = ", ".join(
+        f"({v}, {D.dbl(HB_LC_EST[v])})" for v in range(1, HB_M))
+    key_b = f"{D.to_str('doc_id', d)} || '!b'"
+    key_r = f"{D.to_str('doc_id', d)} || '!r'"
+    return f"""bitlen AS ({D.values_rel(bitlen_rows, "t(k, lo, hi)", d)}),
+    pow2 AS ({D.values_rel(pow2_rows, "t(n, p)", d)}),
+    lc AS ({D.values_rel(lc_rows, "t(v, e)", d)}),
+    hashes AS (
+      SELECT doc_id AS node,
+             cast(({D.md5_slice(key_b, 1, d)}) % {HB_M} as int) AS b,
+             ({D.md5_slice(key_r, 1, d)}) AS x
+      FROM documents),
+    s0 AS {D.mat(d)}(
+      SELECT node, b,
+             cast({HB_W + 1} - coalesce(bl.k, 0) as int) AS rho
+      FROM hashes LEFT JOIN bitlen bl ON hashes.x BETWEEN bl.lo AND bl.hi
+    )"""
+
+
+def _hb_est_sql(a: str) -> str:
+    """The estimator expression over an ``a``-aliased (cnt, s_int) row:
+    raw = NUM / S; linear counting when raw <= 2.5m and empty registers
+    exist. Identical text in both renderings (pure ANSI on doubles)."""
+    raw = f"{D.dbl(HB_NUM)} / cast({a}.s_int as double)"
+    return (f"CASE WHEN {raw} <= {D.dbl(HB_LC_CUT)} AND {a}.cnt < {HB_M} "
+            f"THEN lc.e ELSE {raw} END")
+
+
+def _hb_agg_sql(state: str) -> str:
+    """Register sufficient statistics per node over a state CTE: cnt =
+    occupied registers, s_int = sum over ALL m registers of 2^(W+1 -
+    rho) as an EXACT bigint (absent registers contribute 2^(W+1))."""
+    return f"""
+      SELECT node, count(*) AS cnt,
+             sum(p2.p) + ({HB_M} - count(*)) * {_POW2_33} AS s_int
+      FROM {state} JOIN pow2 p2 ON p2.n = {HB_W + 1} - {state}.rho
+      GROUP BY node"""
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled HB_ROUNDS-deep HyperBall as DuckDB SQL: per round, the
+    register-max propagation CTE, the per-node sufficient statistics, the
+    estimator, and the fixed-order harmonic accumulation h += max(0,
+    e_r - e_{r-1})/r — the same expression applications in the same order
+    as the Spark loop, so the result agrees bit-for-bit before round()."""
+    dd = D.DUCKDB
+    ctes = [_link_ctes(dd), _hb_base_ctes(dd),
+            f"a0 AS MATERIALIZED ({_hb_agg_sql('s0')})",
+            f"""h0 AS MATERIALIZED (
+      SELECT a.node, {D.dbl(0.0)} AS h, {_hb_est_sql('a')} AS prev
+      FROM a0 a LEFT JOIN lc ON lc.v = {HB_M} - a.cnt)"""]
+    for r in range(1, HB_ROUNDS + 1):
+        ctes.append(f"""s{r} AS MATERIALIZED (
+      SELECT node, b, max(rho) AS rho FROM (
+        SELECT l.dst AS node, s.b, s.rho
+        FROM links l JOIN s{r - 1} s ON s.node = l.src
+        UNION ALL
+        SELECT node, b, rho FROM s{r - 1}) u
+      GROUP BY node, b)""")
+        ctes.append(f"a{r} AS MATERIALIZED ({_hb_agg_sql(f's{r}')})")
+        ctes.append(f"""h{r} AS MATERIALIZED (
+      SELECT h.node,
+             h.h + greatest({D.dbl(0.0)}, est.e - h.prev)
+                   / {D.dbl(float(r))} AS h,
+             est.e AS prev
+      FROM h{r - 1} h JOIN (
+        SELECT a.node, {_hb_est_sql('a')} AS e
+        FROM a{r} a LEFT JOIN lc ON lc.v = {HB_M} - a.cnt) est
+        ON est.node = h.node)""")
+    last, prev = HB_ROUNDS, HB_ROUNDS - 1
+    ctes.append(f"""conv AS (
+      SELECT CASE WHEN x.c = y.c AND x.sr = y.sr THEN 1 ELSE 0 END
+               AS converged
+      FROM (SELECT count(*) AS c, sum(rho) AS sr FROM s{last}) x,
+           (SELECT count(*) AS c, sum(rho) AS sr FROM s{prev}) y)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT h.node                                        AS doc_id,
+           round(h.h, 6)                                 AS harmonic_c,
+           cast(a.cnt as bigint)                         AS regs_set,
+           cast(a.s_int as bigint)                       AS s_reg,
+           cast((SELECT converged FROM conv) as bigint)  AS converged,
+           cast({HB_ROUNDS} as bigint)                   AS rounds
+    FROM h{last} h JOIN a{last} a ON a.node = h.node
+    """
+
+
+def _hb_est_col(cnt, s_int):  # type: ignore[no-untyped-def]
+    """Spark Column twin of _hb_est_sql: identical literals, identical
+    branch structure, lc lookup as a when-chain over the 15 tabulated
+    values (exact same doubles as the VALUES relation)."""
+    raw = F.lit(HB_NUM) / s_int.cast("double")
+    lc_e = F
+    for v in range(1, HB_M):
+        lc_e = lc_e.when(cnt == HB_M - v, F.lit(HB_LC_EST[v]))
+    return F.when((raw <= F.lit(HB_LC_CUT)) & (cnt < HB_M),
+                  lc_e).otherwise(raw)
+
+
+def harmonic_over_documents(spark: SparkSession) -> DataFrame:
+    """Driver loop twin of the unrolled oracle, reading the registered
+    ``documents`` view. The edge list and initial registers come from the
+    SAME SQL templates the oracle renders (hashing bit-identical by
+    construction); each round is one src-keyed join + one (node, b)
+    register-max aggregation; the harmonic accumulator is one node-keyed
+    join per round. State and accumulator lineage truncate every
+    HB_CKPT_EVERY rounds."""
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+    ).localCheckpoint(eager=True)
+    state = spark.sql(
+        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
+    ).localCheckpoint(eager=True)
+
+    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
+
+    def node_stats(st: DataFrame) -> DataFrame:
+        return st.groupBy("node").agg(
+            F.count("*").alias("cnt"),
+            (F.sum(shift)
+             + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
+            .alias("s_int"))
+
+    a = node_stats(state)
+    hc = a.select("node", F.lit(0.0).alias("h"),
+                  _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
+    prev_state = state
+    for r in range(1, HB_ROUNDS + 1):
+        prev_state = state
+        contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"), "b", "rho"))
+        state = (state.unionByName(contrib)
+                 .groupBy("node", "b").agg(F.max("rho").alias("rho")))
+        a = node_stats(state)
+        est = a.select("node",
+                       _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
+        hc = (hc.join(est, "node")
+              .select("node",
+                      (F.col("h")
+                       + F.greatest(F.lit(0.0), F.col("e") - F.col("prev"))
+                       / F.lit(float(r))).alias("h"),
+                      F.col("e").alias("prev")))
+        if r % HB_CKPT_EVERY == 0 and r < HB_ROUNDS:
+            state = state.localCheckpoint(eager=True)
+            hc = hc.localCheckpoint(eager=True)
+
+    def reg_stats(st: DataFrame, c: str, sr: str) -> DataFrame:
+        return st.agg(F.count("*").alias(c), F.sum("rho").alias(sr))
+
+    conv = (reg_stats(state, "c", "sr")
+            .crossJoin(reg_stats(prev_state, "c2", "sr2"))
+            .select(((F.col("c") == F.col("c2"))
+                     & (F.col("sr") == F.col("sr2")))
+                    .cast("bigint").alias("converged")))
+    return (hc.join(a, "node")
+            .crossJoin(F.broadcast(conv))
+            .select(F.col("node").alias("doc_id"),
+                    F.round("h", 6).alias("harmonic_c"),
+                    F.col("cnt").cast("bigint").alias("regs_set"),
+                    F.col("s_int").cast("bigint").alias("s_reg"),
+                    "converged",
+                    F.lit(HB_ROUNDS).cast("bigint").alias("rounds")))
+
+
+def _harmonic_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    return harmonic_over_documents(spark)
+
+
+register("q_harmonic_hyperball", QuerySpec(
+    spark_fn=_harmonic_spark, oracle=_harmonic_oracle(),
+    doc="harmonic centrality of every page via HyperBall (HLL reverse-ball "
+        "counters, register-max propagation): exact-integer register rows "
+        "+ tabulated-literal estimator => bit parity across engines; fixed "
+        "depth with an exact in-query convergence proof column"))
