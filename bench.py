@@ -50,6 +50,9 @@ HEADLINE = [
     # artifact to include them seeds BENCH/expected.json)
     "q_duplicated_spans",
     "q_corpus_keep",
+    "q_link_pagerank",
+    "q_harmonic_hyperball",
+    "q_kmeans_quantizer",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
