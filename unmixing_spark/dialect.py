@@ -173,3 +173,20 @@ def median_(expr: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"median(cast({expr} as double))"
     return f"quantile_cont(cast({expr} as double), 0.5)"
+
+
+def ordered_string_agg(val: str, order_by: str, sep: str,
+                       dialect: str) -> str:
+    """Deterministic ``sep``-joined concatenation of ``val`` ordered by
+    ``order_by`` (``sep`` is a SQL string expression, e.g. ``"' '"`` or
+    ``"chr(10)"``). DuckDB has ordered ``string_agg``; Spark does not, so
+    the Spark rendering collects (order, value) structs, sorts the array
+    (lexicographic by field order — ``order_by`` must be unique within
+    the group for a deterministic result), and joins. Over an EMPTY group
+    Spark yields ``''`` where DuckDB yields NULL — callers must ensure
+    groups are non-empty (e.g. aggregate a WHERE-filtered relation so the
+    group row itself disappears)."""
+    if dialect == SPARK:
+        return (f"array_join(transform(array_sort(collect_list("
+                f"struct({order_by} AS o, {val} AS v))), x -> x.v), {sep})")
+    return f"string_agg({val}, {sep} ORDER BY {order_by})"

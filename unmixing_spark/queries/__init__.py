@@ -58,6 +58,7 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.scale_q  # noqa: F401
     import unmixing_spark.queries.complete_q  # noqa: F401
     import unmixing_spark.queries.hygiene_q  # noqa: F401
+    import unmixing_spark.queries.lines_q  # noqa: F401
     import unmixing_spark.queries.linkgraph_q  # noqa: F401
     import unmixing_spark.queries.kmeans_q  # noqa: F401
     return dict(_REGISTRY)
