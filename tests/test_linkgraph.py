@@ -182,3 +182,62 @@ def test_hyperball_matches_python_twin_and_exact_bfs(spark):
     assert np.corrcoef(e[nz], g[nz])[0, 1] > 0.7
     rel = np.abs(g[nz] - e[nz]) / e[nz]
     assert np.median(rel) < 0.4
+
+
+def _expected_hits():
+    from unmixing_spark.queries.linkgraph_q import HS_ROUNDS, HS_SCALE
+
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    links = []
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            links.append((d, h % n))
+    h = {d: HS_SCALE // n for d in doc_ids}
+    a = prev_h = prev_a = None
+    for _ in range(HS_ROUNDS):
+        prev_h, prev_a = h, a
+        ar = dict.fromkeys(doc_ids, 0)
+        for src, dst in links:
+            ar[dst] += h[src]
+        at = sum(ar.values())
+        a = {d: ar[d] * HS_SCALE // at for d in doc_ids}
+        hr = dict.fromkeys(doc_ids, 0)
+        for src, dst in links:
+            hr[src] += a[dst]
+        ht = sum(hr.values())
+        h = {d: hr[d] * HS_SCALE // ht for d in doc_ids}
+    dh = max(abs(h[d] - prev_h[d]) for d in doc_ids)
+    da = max(abs(a[d] - prev_a[d]) for d in doc_ids)
+    return h, a, dh, da, n
+
+
+def test_hits_matches_integer_brute_force(spark):
+    from unmixing_spark.queries.linkgraph_q import HS_ROUNDS, HS_SCALE
+
+    out = (registry()["q_hits_scores"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    h, a, dh, da, n = _expected_hits()
+    assert len(out) == n
+    assert (out["rounds"] == HS_ROUNDS).all()
+    assert (out["delta_hub"] == dh).all()
+    assert (out["delta_auth"] == da).all()
+    # bit-exact: the coupled recurrence is pure integer math
+    assert dict(zip(out["doc_id"].astype(int),
+                    out["hub_fp"].astype(int))) == h
+    assert dict(zip(out["doc_id"].astype(int),
+                    out["auth_fp"].astype(int))) == a
+    # L1 normalization holds up to floor loss (< 1 unit per page)
+    assert HS_SCALE - n <= out["hub_fp"].sum() <= HS_SCALE
+    assert HS_SCALE - n <= out["auth_fp"].sum() <= HS_SCALE
+    # the graph is non-trivial: both score vectors genuinely spread, and
+    # pages nobody links to exist (authority exactly 0)
+    assert out["hub_fp"].max() > 3 * HS_SCALE // n
+    assert out["auth_fp"].max() > 3 * HS_SCALE // n
+    assert (out["auth_fp"] == 0).any()
+    # truncation honesty: residuals are small relative to the spread
+    assert dh < (out["hub_fp"].max() - out["hub_fp"].min()) // 10
+    assert da < (out["auth_fp"].max() - out["auth_fp"].min()) // 10

@@ -417,3 +417,164 @@ register("q_harmonic_hyperball", QuerySpec(
         "counters, register-max propagation): exact-integer register rows "
         "+ tabulated-literal estimator => bit parity across engines; fixed "
         "depth with an exact in-query convergence proof column"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
+# Hyperlinked Environment"). The companion centrality to PageRank: hub
+# score = how well a page points AT authorities, authority score = how
+# well it is pointed at BY hubs — the pair a crawl scheduler uses to seed
+# frontier expansion (good hubs) while a quality mix weights sources
+# (good authorities). Same synthetic link graph as q_link_pagerank.
+#
+# Bit-parity design: the coupled recurrence a' = A^T h, h' = A a' runs in
+# fixed-point INTEGER arithmetic with an exact integer L1 normalization
+# each half-step (x -> x * HS_SCALE // sum(x), the sum as a 1-row
+# broadcast) — without normalization the iterates grow like the principal
+# eigenvalue^r and overflow; with it every value stays <= PR_MAX_FAN *
+# HS_SCALE, so the products below never exceed 4e18 < 2^63. All divisions
+# are exact native integer division (D.idiv_i), so Spark's loop and the
+# unrolled DuckDB oracle agree BIT-FOR-BIT every round. Depth is FIXED at
+# HS_ROUNDS in both renderings (the iteration converges to the principal
+# eigenvectors of A^T A / A A^T; values keep moving below any tolerance)
+# with in-query max-|delta| residual columns making the truncation
+# honest, exactly like q_link_pagerank.
+#
+# Scale shape (10^12 pages): per round, one src-keyed join + dst-keyed
+# sum (authorities), one dst-keyed join + src-keyed sum (hubs), and two
+# 1-row total aggregations broadcast back — the same two exchanges
+# PageRank pays, doubled. Edge list checkpointed once; score state is
+# two bigints per page. DuckDB's integer sum() widens to HUGEINT — the
+# normalized quotient is cast back to bigint (values fit by the bound
+# above), keeping both engines on int64 state.
+
+HS_SCALE = 10 ** 9   # fixed-point L1 mass per score vector (see overflow
+                     # bound above: products stay under 4e18 < 2^63; at
+                     # 10^12 pages raise alongside a wider int or split
+                     # normalization — floor loss is ~1 unit per page)
+HS_ROUNDS = 12       # fixed truncation depth, both renderings
+HS_CKPT_EVERY = 4    # Spark-side lineage truncation cadence (rounds)
+
+
+def _hits_oracle() -> str:
+    """Unrolled HS_ROUNDS-deep HITS as DuckDB SQL: per round, raw
+    authority sums, a 1-row total, the normalized authority vector, then
+    the same three for hubs — every CTE MATERIALIZED (each feeds the
+    next half-step plus the residuals)."""
+    dd = D.DUCKDB
+    ctes = [_link_ctes(dd), f"""h0 AS MATERIALIZED (
+      SELECT doc_id, cast({D.idiv_i(str(HS_SCALE), 'nd.n', dd)} as bigint)
+               AS h
+      FROM documents CROSS JOIN nd)"""]
+    for r in range(1, HS_ROUNDS + 1):
+        norm_a = D.idiv_i(f"coalesce(ar.s, 0) * {HS_SCALE}",
+                          f"at{r}.t", dd)
+        norm_h = D.idiv_i(f"coalesce(hr.s, 0) * {HS_SCALE}",
+                          f"ht{r}.t", dd)
+        ctes.append(f"""ar{r} AS MATERIALIZED (
+      SELECT l.dst, sum(h.h) AS s
+      FROM links l JOIN h{r - 1} h ON h.doc_id = l.src
+      GROUP BY l.dst)""")
+        ctes.append(f"at{r} AS MATERIALIZED (SELECT sum(s) AS t FROM ar{r})")
+        ctes.append(f"""a{r} AS MATERIALIZED (
+      SELECT d.doc_id, cast({norm_a} as bigint) AS a
+      FROM documents d
+      CROSS JOIN at{r}
+      LEFT JOIN ar{r} ar ON ar.dst = d.doc_id)""")
+        ctes.append(f"""hr{r} AS MATERIALIZED (
+      SELECT l.src, sum(a.a) AS s
+      FROM links l JOIN a{r} a ON a.doc_id = l.dst
+      GROUP BY l.src)""")
+        ctes.append(f"ht{r} AS MATERIALIZED (SELECT sum(s) AS t FROM hr{r})")
+        ctes.append(f"""h{r} AS MATERIALIZED (
+      SELECT d.doc_id, cast({norm_h} as bigint) AS h
+      FROM documents d
+      CROSS JOIN ht{r}
+      LEFT JOIN hr{r} hr ON hr.src = d.doc_id)""")
+    R, P = HS_ROUNDS, HS_ROUNDS - 1
+    ctes.append(f"""dh AS (
+      SELECT max(abs(x.h - y.h)) AS d
+      FROM h{R} x JOIN h{P} y ON y.doc_id = x.doc_id)""")
+    ctes.append(f"""da AS (
+      SELECT max(abs(x.a - y.a)) AS d
+      FROM a{R} x JOIN a{P} y ON y.doc_id = x.doc_id)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT h.doc_id,
+           cast(h.h as bigint)                    AS hub_fp,
+           cast(a.a as bigint)                    AS auth_fp,
+           cast((SELECT d FROM dh) as bigint)     AS delta_hub,
+           cast((SELECT d FROM da) as bigint)     AS delta_auth,
+           cast({HS_ROUNDS} as bigint)            AS rounds
+    FROM h{R} h JOIN a{R} a ON a.doc_id = h.doc_id
+    """
+
+
+def hits_over_documents(spark: SparkSession) -> DataFrame:
+    """Driver loop twin of the unrolled oracle, reading the registered
+    ``documents`` view: HS_ROUNDS exact-integer HITS rounds; the edge
+    list localCheckpoint-ed once, score lineage truncated every
+    HS_CKPT_EVERY rounds; each normalization total is a 1-row broadcast
+    cross join (no driver-side action in the loop)."""
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+    ).localCheckpoint(eager=True)
+    docs = spark.table("documents").select("doc_id")
+    n = docs.count()
+    h = docs.select(
+        "doc_id", F.lit(HS_SCALE // n).cast("bigint").alias("h"))
+    a = prev_h = prev_a = None
+    for r in range(1, HS_ROUNDS + 1):
+        prev_h, prev_a = h, a
+        ar = (links.join(h.withColumnRenamed("doc_id", "src"), "src")
+              .groupBy("dst").agg(F.sum("h").alias("s")))
+        at = ar.agg(F.sum("s").alias("t"))
+        a = (docs.join(ar, docs["doc_id"] == ar["dst"], "left")
+             .crossJoin(F.broadcast(at))
+             .select(docs["doc_id"],
+                     F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
+                     .cast("bigint").alias("a")))
+        hr = (links.join(a.withColumnRenamed("doc_id", "dst"), "dst")
+              .groupBy("src").agg(F.sum("a").alias("s")))
+        ht = hr.agg(F.sum("s").alias("t"))
+        h = (docs.join(hr, docs["doc_id"] == hr["src"], "left")
+             .crossJoin(F.broadcast(ht))
+             .select(docs["doc_id"],
+                     F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
+                     .cast("bigint").alias("h")))
+        if r % HS_CKPT_EVERY == 0 and r < HS_ROUNDS:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    # final vectors feed the output join plus a residual each —
+    # materialize once so neither consumer re-runs the chain
+    h = h.localCheckpoint(eager=True)
+    a = a.localCheckpoint(eager=True)
+    dh = (h.withColumnRenamed("h", "x")
+          .join(prev_h.withColumnRenamed("h", "y"), "doc_id")
+          .agg(F.max(F.abs(F.col("x") - F.col("y"))).alias("dh")))
+    da = (a.withColumnRenamed("a", "x")
+          .join(prev_a.withColumnRenamed("a", "y"), "doc_id")
+          .agg(F.max(F.abs(F.col("x") - F.col("y"))).alias("da")))
+    return (h.join(a, "doc_id")
+            .crossJoin(F.broadcast(dh))
+            .crossJoin(F.broadcast(da))
+            .select("doc_id",
+                    F.col("h").cast("bigint").alias("hub_fp"),
+                    F.col("a").cast("bigint").alias("auth_fp"),
+                    F.col("dh").cast("bigint").alias("delta_hub"),
+                    F.col("da").cast("bigint").alias("delta_auth"),
+                    F.lit(HS_ROUNDS).cast("bigint").alias("rounds")))
+
+
+def _hits_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    return hits_over_documents(spark)
+
+
+register("q_hits_scores", QuerySpec(
+    spark_fn=_hits_spark, oracle=_hits_oracle(),
+    doc="HITS hubs + authorities over the synthetic link graph: coupled "
+        "fixed-point integer iteration with exact integer L1 "
+        "normalization per half-step (bit-identical across engines), "
+        "fixed depth with in-query residual columns"))
