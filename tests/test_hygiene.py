@@ -240,3 +240,41 @@ def test_corpus_keep_consistent_with_component_queries(spark):
         assert row["keep"] == expect_keep, did
     # the decision is non-trivial in both directions on this corpus
     assert 0 < keep["keep"].sum() < len(keep)
+
+
+def test_dsir_weights_match_brute_force(spark):
+    import hashlib
+    import math
+
+    from unmixing_spark.queries.hygiene_q import DSIR_B, LM_REF_MOD
+
+    out = (registry()["q_dsir_weights"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    per_doc: dict[int, list[int]] = {}
+    tgt: dict[int, int] = {}
+    raw: dict[int, int] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", row["text"])
+        bs = [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16)
+              % DSIR_B for a, b in zip(toks, toks[1:])]
+        per_doc[row["doc_id"]] = bs
+        model = tgt if row["doc_id"] % LM_REF_MOD == 0 else raw
+        for b in bs:
+            model[b] = model.get(b, 0) + 1
+    tt, rt = sum(tgt.values()), sum(raw.values())
+    ref_avg, other_avg = [], []
+    for doc_id, bs in per_doc.items():
+        lw = sum(math.log(tgt.get(b, 0) + 1) - math.log(tt + DSIR_B)
+                 - math.log(raw.get(b, 0) + 1) + math.log(rt + DSIR_B)
+                 for b in bs)
+        got = out.loc[doc_id]
+        assert int(got["n_bigrams"]) == len(bs)
+        assert abs(float(got["log_weight"]) - round(lw, 6)) < 1e-5
+        avg = lw / len(bs)
+        assert abs(float(got["avg_log_weight"]) - round(avg, 6)) < 1e-5
+        (ref_avg if doc_id % LM_REF_MOD == 0 else other_avg).append(avg)
+    # separation property: the target model was counted over the
+    # reference slice, so reference docs must score higher on average
+    assert (sum(ref_avg) / len(ref_avg)
+            > sum(other_avg) / len(other_avg))

@@ -403,3 +403,72 @@ sql_template("q_corpus_keep", _corpus_keep,
              "end-to-end curation decision: exact dup + LSH near-dup + "
              "eval split + contamination + LM perplexity ceiling, one "
              "auditable flag per reason")
+
+
+# ---- DSIR importance weights -------------------------------------------------
+
+DSIR_B = 1024    # hashed feature buckets (Xie et al. use 10k buckets of
+                 # unigram+bigram hashes at corpus scale; 1024 keeps the
+                 # synthetic corpus' buckets non-degenerate)
+
+
+def _dsir_weights(d: str) -> str:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    score every document by the log importance weight log p_target(x) -
+    log p_raw(x) under two hashed-bigram bag-of-features models — the
+    target model counted over the reference slice (same declared
+    stand-in as q_lm_perplexity: doc_id % LM_REF_MOD = 0), the raw model
+    over the rest of the corpus. Each bigram hashes into DSIR_B buckets
+    (md5-derived, identical in both dialects); bucket models are add-one
+    smoothed. Selection itself (top-k by weight, or Gumbel-perturbed
+    resampling) is a one-line consumer of the score column — at 10^12
+    docs it composes with the q_stratified_sample quota machinery rather
+    than a global rank here.
+
+    Bit-parity: every ln() argument is an exact integer (bucket count +
+    1, total + B); the per-doc float sum is rounded to 6 in both
+    renderings (the q_lm_perplexity convention). Scale shape: one
+    doc_id-keyed window for the bigram stream; bucket models are
+    B-row aggregates — broadcast-sized by construction (2·DSIR_B rows),
+    joined back onto the stream by bucket id; totals are 1-row cross
+    joins. Map-side combine everywhere; no all-pairs."""
+    m = LM_REF_MOD
+    h = D.md5_slice("w1 || ' ' || w2", 1, d)
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    big AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE w2 IS NOT NULL
+    ),
+    hb AS {D.mat(d)}(
+      SELECT doc_id, ({h}) % {DSIR_B} AS b FROM big
+    ),
+    tgt AS (SELECT b, count(*) AS c FROM hb
+            WHERE doc_id % {m} = 0 GROUP BY b),
+    rawm AS (SELECT b, count(*) AS c FROM hb
+             WHERE doc_id % {m} != 0 GROUP BY b),
+    tt AS (SELECT cast(coalesce(sum(c), 0) as bigint) AS t FROM tgt),
+    rt AS (SELECT cast(coalesce(sum(c), 0) as bigint) AS t FROM rawm),
+    scored AS (
+      SELECT hb.doc_id,
+             ln(coalesce(tg.c, 0) + 1) - ln(tt.t + {DSIR_B})
+               - ln(coalesce(rw.c, 0) + 1) + ln(rt.t + {DSIR_B}) AS lw
+      FROM hb
+      LEFT JOIN tgt tg ON tg.b = hb.b
+      LEFT JOIN rawm rw ON rw.b = hb.b
+      CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           round(sum(lw), 6) AS log_weight,
+           round(sum(lw) / count(*), 6) AS avg_log_weight
+    FROM scored GROUP BY doc_id
+    """
+
+
+sql_template("q_dsir_weights", _dsir_weights,
+             "DSIR data selection (Xie et al. 2023): hashed-bigram "
+             "importance weights log p_target - log p_raw vs the "
+             "reference slice, add-one smoothed buckets")
