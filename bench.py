@@ -53,6 +53,8 @@ HEADLINE = [
     "q_link_pagerank",
     "q_harmonic_hyperball",
     "q_kmeans_quantizer",
+    "q_line_dedup",
+    "q_hits_scores",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
