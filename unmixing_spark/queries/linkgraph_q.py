@@ -453,7 +453,6 @@ HS_SCALE = 10 ** 9   # fixed-point L1 mass per score vector (see overflow
                      # 10^12 pages raise alongside a wider int or split
                      # normalization — floor loss is ~1 unit per page)
 HS_ROUNDS = 12       # fixed truncation depth, both renderings
-HS_CKPT_EVERY = 4    # Spark-side lineage truncation cadence (rounds)
 
 
 def _hits_oracle() -> str:
@@ -514,9 +513,17 @@ def _hits_oracle() -> str:
 def hits_over_documents(spark: SparkSession) -> DataFrame:
     """Driver loop twin of the unrolled oracle, reading the registered
     ``documents`` view: HS_ROUNDS exact-integer HITS rounds; the edge
-    list localCheckpoint-ed once, score lineage truncated every
-    HS_CKPT_EVERY rounds; each normalization total is a 1-row broadcast
-    cross join (no driver-side action in the loop)."""
+    list localCheckpoint-ed once. Each raw-sum table (ar/hr, one row per
+    linked page) is eagerly checkpointed EVERY half-step: the 1-row
+    normalization total that cross-joins back is a broadcast, and a
+    broadcast subtree is re-evaluated from its source when the consumer
+    plan runs — off an unmaterialized chain that re-execution compounds
+    quadratically across rounds (measured 113 s at sf0.01 vs ~9 s with
+    per-half-step truncation; q_link_pagerank can defer checkpointing
+    because its loop has no in-loop aggregate, the CC/HITS loops
+    cannot). The normalized vectors a/h stay lazy — they are shallow
+    transforms (doc scan ⋈ checkpointed raw sums ⋈ 1-row broadcast). On
+    a lossy cluster substitute reliable checkpoints — same semantics."""
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
     ).localCheckpoint(eager=True)
@@ -528,7 +535,8 @@ def hits_over_documents(spark: SparkSession) -> DataFrame:
     for r in range(1, HS_ROUNDS + 1):
         prev_h, prev_a = h, a
         ar = (links.join(h.withColumnRenamed("doc_id", "src"), "src")
-              .groupBy("dst").agg(F.sum("h").alias("s")))
+              .groupBy("dst").agg(F.sum("h").alias("s"))
+              .localCheckpoint(eager=True))
         at = ar.agg(F.sum("s").alias("t"))
         a = (docs.join(ar, docs["doc_id"] == ar["dst"], "left")
              .crossJoin(F.broadcast(at))
@@ -536,16 +544,14 @@ def hits_over_documents(spark: SparkSession) -> DataFrame:
                      F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
                      .cast("bigint").alias("a")))
         hr = (links.join(a.withColumnRenamed("doc_id", "dst"), "dst")
-              .groupBy("src").agg(F.sum("a").alias("s")))
+              .groupBy("src").agg(F.sum("a").alias("s"))
+              .localCheckpoint(eager=True))
         ht = hr.agg(F.sum("s").alias("t"))
         h = (docs.join(hr, docs["doc_id"] == hr["src"], "left")
              .crossJoin(F.broadcast(ht))
              .select(docs["doc_id"],
                      F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
                      .cast("bigint").alias("h")))
-        if r % HS_CKPT_EVERY == 0 and r < HS_ROUNDS:
-            a = a.localCheckpoint(eager=True)
-            h = h.localCheckpoint(eager=True)
     # final vectors feed the output join plus a residual each —
     # materialize once so neither consumer re-runs the chain
     h = h.localCheckpoint(eager=True)
