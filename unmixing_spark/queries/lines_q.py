@@ -283,3 +283,23 @@ sql_template("q_gopher_quality", _gopher_quality,
              "full Gopher quality rule set (Rae et al. 2021 A1.1): word "
              "count, mean word length, symbol ratio, bullet/ellipsis "
              "line fractions, alpha-word fraction, stop words + keep flag")
+
+
+# ---- quality-classifier distillation (rows-only: iterative ML) --------------
+
+def _quality_classifier_spark(spark, sf_dir):  # type: ignore[no-untyped-def]
+    from unmixing_spark.text.quality_ml import quality_classifier
+    return quality_classifier(spark, sf_dir)
+
+
+def _register_quality_classifier() -> None:
+    from unmixing_spark.queries import QuerySpec, register
+    register("q_quality_classifier", QuerySpec(
+        spark_fn=_quality_classifier_spark, oracle=None,
+        doc="GPT-3/FineWeb-style quality classifier: pyspark.ml logistic "
+            "regression over hashed-bigram counts, distilling the Gopher "
+            "rule conjunction; rows-only (iterative ML), accuracy/AUC "
+            "floors pinned in tests/test_quality_ml.py"))
+
+
+_register_quality_classifier()
