@@ -6,10 +6,11 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 122 queries, 108 with full DuckDB oracles (89%); the 14
+Current registry: 123 queries, 108 with full DuckDB oracles (88%); the 15
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
 SASMA-MESMA + distributed endmember interpolation, LSH ANN,
-forward-model/eigen, BPE token counting + BPE-budget packing) whose
+forward-model/eigen, BPE token counting + BPE-budget packing, the
+pyspark.ml quality classifier) whose
 numerics are verified in tests/ instead (golden fixtures + property
 tests + pinned SHA-256 + single-node parity + pure-Python BPE parity).
 Coverage map: docs/COVERAGE.md.

@@ -194,7 +194,57 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 spark.stop()
 '''
 
-WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA, "dedup": WORKER_DEDUP}
+WORKER_GRAPH = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from unmixing_spark.session import get_spark
+from unmixing_spark.queries.linkgraph_q import pagerank_over_documents
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = get_spark(app_name="scaling-bench-graph", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("%(sf)s/documents.parquet")
+repl = %(repl)d
+# re-keying keeps doc_ids contiguous 0..N*repl-1 (the link CTE's
+# precondition), so the synthetic md5 graph REGENERATES at full size —
+# a genuinely repl-x bigger graph, not repl copies of the small one
+replicated = (docs.repartition(cores * 3)
+              .crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "rep")))
+              .withColumn("doc_id", F.col("doc_id") * repl + F.col("rep"))
+              .drop("rep"))
+replicated.createOrReplaceTempView("documents")
+
+def run_pipeline():
+    # q_link_pagerank's exact job: 20 fixed-point integer power-iteration
+    # rounds (one edge-keyed join + one dst-keyed sum + one spine join
+    # per round). The recurrence is pure bigint, so the checksum is
+    # BIT-identical across parallelism levels, not merely close.
+    pr = pagerank_over_documents(spark)
+    agg = pr.agg(F.count("*").alias("pages"),
+                 F.sum("rank_fp").alias("rank_sum"),
+                 F.max("max_delta").alias("delta")).collect()[0]
+    return {"pages": int(agg["pages"]), "rank_sum": int(agg["rank_sum"]),
+            "delta": int(agg["delta"])}
+
+docs.limit(200).createOrReplaceTempView("documents")
+run_pipeline()                      # warmup: JIT + join/agg codegen
+replicated.createOrReplaceTempView("documents")
+
+t0 = time.time()
+r = run_pipeline()
+wall = time.time() - t0
+print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
+                  "tiles": r["pages"], "pixels": r["pages"] * 20,
+                  "tiles_per_sec": round(r["pages"] / wall, 2),
+                  "rmse_sum": float(r["rank_sum"] %% 10**12 + r["delta"])}))
+spark.stop()
+'''
+
+WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA, "dedup": WORKER_DEDUP,
+           "graph": WORKER_GRAPH}
 
 
 def run_level(sf: str, repl: int, cores: int, job: str = "fcls") -> dict:
