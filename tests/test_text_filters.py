@@ -287,3 +287,71 @@ def test_decontaminate_matches_brute_force(spark):
         assert int(got["contaminated"]) == (1 if hits else 0)
         n_contaminated += 1 if hits else 0
     assert n_contaminated > 0   # the corpus must exercise the flag
+
+
+def test_zipf_vocab_matches_brute_force(spark):
+    import math
+
+    from unmixing_spark.queries.text_q import LEXICON, ZIPF_TOP
+
+    out = (registry()["q_zipf_vocab"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("rnk").reset_index(drop=True))
+    counts: dict[str, int] = {}
+    for _, row in _docs().iterrows():
+        for t in re.split(r"\s+", row["text"]):
+            counts[t] = counts.get(t, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_tok = sum(counts.values())
+    lex = {w for ws in LEXICON.values() for w in ws}
+    oov = sum(c for t, c in counts.items() if t not in lex)
+    xs = [math.log(r + 1) for r in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(ranked)
+    sx, sy = round(sum(xs), 6), round(sum(ys), 6)
+    sxy = round(sum(x * y for x, y in zip(xs, ys)), 6)
+    sxx = round(sum(x * x for x in xs), 6)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert len(out) == min(ZIPF_TOP, n)
+    for i in range(len(out)):
+        assert out.loc[i, "tok"] == ranked[i][0]
+        assert int(out.loc[i, "c"]) == ranked[i][1]
+        assert abs(float(out.loc[i, "freq"])
+                   - round(ranked[i][1] / n_tok, 6)) < 1e-9
+    assert int(out.loc[0, "vocab"]) == n
+    assert int(out.loc[0, "n_tok"]) == n_tok
+    assert abs(float(out.loc[0, "oov_rate"])
+               - round(oov / n_tok, 6)) < 1e-9
+    assert abs(float(out.loc[0, "zipf_slope"]) - slope) < 1e-5
+    # the fit is a genuine decay on any realistic token distribution
+    assert float(out.loc[0, "zipf_slope"]) < 0
+
+
+def test_chunk_overlap_matches_brute_force(spark):
+    import hashlib
+
+    from unmixing_spark.queries.text_q import CHUNK_S, CHUNK_W
+
+    out = (registry()["q_chunk_overlap"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    got = {(int(r["doc_id"]), int(r["chunk_id"])):
+           (int(r["start_tok"]), int(r["chunk_toks"]), r["chunk_sha"])
+           for _, r in out.iterrows()}
+    expect = {}
+    multi = covered = 0
+    for _, row in _docs().iterrows():
+        toks = re.split(r"\s+", row["text"])
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(n - CHUNK_W) // CHUNK_S))
+        multi += n_chunks > 1
+        seen = set()
+        for k in range(n_chunks):
+            s = 1 + k * CHUNK_S
+            e = min(s + CHUNK_W - 1, n)
+            chunk = " ".join(toks[s - 1:e])
+            expect[(row["doc_id"], k)] = (
+                s, e - s + 1, hashlib.sha256(chunk.encode()).hexdigest())
+            seen.update(range(s, e + 1))
+        covered += seen == set(range(1, n + 1))
+    assert got == expect
+    assert multi > 0, "corpus must exercise multi-chunk docs"
+    assert covered == len(_docs()), "chunks must cover every token"

@@ -768,3 +768,135 @@ register("q_sequence_packing_bpe", QuerySpec(
     doc="sequence packing with a BPE-token budget (selectable packing "
         "budget); packing arithmetic pinned by the oracled "
         "q_sequence_packing, counts pinned by the BPE goldens"))
+
+
+# ---- vocabulary statistics ---------------------------------------------------
+
+ZIPF_TOP = 20   # emitted rows: the top-ZIPF_TOP tokens by frequency
+
+
+def _zipf_vocab(d: str) -> str:
+    """Corpus vocabulary report: the top tokens with their ranks and
+    relative frequencies, plus corpus-constant columns — vocabulary
+    size, total token count, OOV occurrence rate vs the declared
+    LEXICON, and the Zipf slope (closed-form least squares of ln(freq)
+    on ln(rank) over the whole vocabulary; Zipf's law predicts ~-1 on
+    natural text — the synthetic corpus' flat ~40-word vocabulary reads
+    much shallower, which is itself the diagnostic this report exists
+    to surface: the token distribution tells you what the generator
+    is).
+
+    Bit-parity: every ln() takes an integer (count, rank); the
+    regression sums are rounded to 6 before the quotient in BOTH
+    renderings, so the final slope divides identical doubles. Scale
+    shape: the frequency table is one tok-keyed map-side-combined
+    aggregation, vocab-sized (<< corpus); the rank window and
+    regression run over the vocab table only. At a 10^8-type vocab the
+    global rank window becomes per-partition top-R + merge — the
+    emitted report is top-ZIPF_TOP either way."""
+    lex = "', '".join(sorted({w for ws in LEXICON.values() for w in ws}))
+    toks = _tokens(d)
+    return f"""
+    WITH tf AS (
+      SELECT tok, cast(count(*) as bigint) AS c
+      FROM {toks} GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM tf
+    ),
+    tot AS (
+      SELECT cast(count(*) as bigint) AS vocab,
+             cast(sum(c) as bigint) AS n_tok,
+             cast(sum(CASE WHEN tok IN ('{lex}') THEN 0 ELSE c END)
+                  as bigint) AS oov
+      FROM tf
+    ),
+    reg AS (
+      SELECT round(sum(ln(rnk) * ln(c)), 6) AS sxy,
+             round(sum(ln(rnk)), 6) AS sx,
+             round(sum(ln(c)), 6) AS sy,
+             round(sum(ln(rnk) * ln(rnk)), 6) AS sxx,
+             cast(count(*) as bigint) AS n
+      FROM ranked
+    )
+    SELECT r.rnk, r.tok, r.c,
+           round(cast(r.c as double) / t.n_tok, 6) AS freq,
+           t.vocab, t.n_tok,
+           round(cast(t.oov as double) / t.n_tok, 6) AS oov_rate,
+           round((g.n * g.sxy - g.sx * g.sy)
+                 / (g.n * g.sxx - g.sx * g.sx), 6) AS zipf_slope
+    FROM ranked r CROSS JOIN tot t CROSS JOIN reg g
+    WHERE r.rnk <= {ZIPF_TOP}
+    """
+
+
+sql_template("q_zipf_vocab", _zipf_vocab,
+             "vocabulary report: top tokens, OOV rate vs the lexicon, "
+             "Zipf slope via closed-form least squares on (ln rank, ln freq)")
+
+
+# ---- sliding-window chunking -------------------------------------------------
+
+CHUNK_W = 32    # tokens per chunk (context-window shard)
+CHUNK_S = 24    # stride (overlap = CHUNK_W - CHUNK_S = 8 tokens)
+
+
+def _chunk_overlap(d: str) -> str:
+    """Context-window sharding with overlap — the chunking every
+    RAG/embedding/pretraining pipeline runs when one document must
+    become several bounded sequences WITH boundary context preserved
+    (vs q_sequence_packing, which concatenates and cuts hard
+    boundaries). Chunk k of a doc covers tokens [1 + k*S, min(1 + k*S
+    + W - 1, n_tok)]; the chunk count 1 + ceil((n_tok - W)/S) stops
+    the tail once the previous chunk already reached the end. The
+    chunk text is rebuilt by ordered aggregation and SHA-256'd, so the
+    oracle pins the exact chunk BYTES, not just offsets.
+
+    Scale shape: chunk spans are generated by a per-doc lateral
+    sequence (no shuffle) and the token join is doc_id-keyed — the one
+    exchange the token stream already pays; each token lands in at
+    most ceil(W/S) = 2 chunks, so the joined stream is a bounded 2x of
+    the corpus. At 10^12 docs nothing else grows."""
+    n_chunks = (f"1 + greatest(0, {D.idiv_i(f'n_tok - {CHUNK_W} + {CHUNK_S} - 1', str(CHUNK_S), d)})")
+    if d == D.SPARK:
+        spans = f"""(
+      SELECT doc_id, n_tok, k, 1 + k * {CHUNK_S} AS s
+      FROM nt
+      LATERAL VIEW explode(sequence(0, {n_chunks} - 1)) t AS k
+    )"""
+    else:
+        spans = f"""(
+      SELECT doc_id, n_tok, cast(k as int) AS k,
+             1 + cast(k as int) * {CHUNK_S} AS s
+      FROM (SELECT doc_id, n_tok,
+                   unnest(range(0, {n_chunks})) AS k
+            FROM nt) t
+    )"""
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    nt AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok
+           FROM pos GROUP BY doc_id),
+    spans AS (SELECT * FROM {spans}),
+    joined AS (
+      SELECT sp.doc_id, sp.k, sp.s,
+             least(sp.s + {CHUNK_W} - 1, sp.n_tok) AS e,
+             p.pos, p.tok
+      FROM spans sp
+      JOIN pos p ON p.doc_id = sp.doc_id
+       AND p.pos BETWEEN sp.s AND least(sp.s + {CHUNK_W} - 1, sp.n_tok)
+    )
+    SELECT doc_id, cast(k as bigint) AS chunk_id,
+           cast(min(s) as bigint) AS start_tok,
+           cast(count(*) as bigint) AS chunk_toks,
+           {D.sha256_(D.ordered_string_agg('tok', 'pos', "' '", d), d)}
+             AS chunk_sha
+    FROM joined
+    GROUP BY doc_id, k
+    """
+
+
+sql_template("q_chunk_overlap", _chunk_overlap,
+             "sliding-window context chunking with overlap: per-doc "
+             "chunk spans + SHA-256 of the exact chunk bytes")
