@@ -91,6 +91,18 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = LogisticRegression(featuresCol="features", labelCol="label",
                             maxIter=QC_MAX_ITER, regParam=QC_REG)
     model = lr.fit(data.filter("is_train = 1"))
+    # strip the training summary before scoring: the fitted model's
+    # summary holds the SparkSession, and model.transform's UDF closure
+    # then fails serialization in long-lived sessions ("Task not
+    # serializable: ObservationManager"). A save/load roundtrip yields
+    # the pure (coefficients, intercept) scoring model — the same
+    # artifact a production pipeline ships to its scoring cluster.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+    with tempfile.TemporaryDirectory() as tmp:
+        model.write().overwrite().save(f"{tmp}/lr")
+        model = LogisticRegressionModel.load(f"{tmp}/lr")
     return (model.transform(data)
             .select("doc_id",
                     F.col("label").cast("bigint").alias("label"),
