@@ -144,16 +144,26 @@ def main() -> None:
     # the first retry run back-to-back with the sample that flagged the
     # suspect — inside the same slow window the spacing exists to escape)
     last_retry_start = time.perf_counter()
-    while suspects() and time.perf_counter() - bench_start < budget:
+    # at least one spaced retry pass ALWAYS runs when suspects exist:
+    # in a slow window the base passes alone can exhaust the budget,
+    # which previously disabled the retry mechanism exactly when it was
+    # needed (observed: 11 suspects flagged, extra_passes=0, every one
+    # reading normal 60 s later). The one guaranteed pass is bounded by
+    # the suspects' own runtime; the budget still caps everything after.
+    while suspects():
+        over = time.perf_counter() - bench_start >= budget
+        if extra_passes > 0 and over:
+            break
         # force wall-time spacing between retry passes so consecutive
-        # samples of a suspect can't share one multi-minute slow window
+        # samples of a suspect can't share one multi-minute slow window;
+        # the guaranteed first pass keeps the FULL spacer even when the
+        # budget is already spent (escaping the window is its point),
+        # later passes clamp the sleep to the remaining budget
         wait = spacer - (time.perf_counter() - last_retry_start)
         if wait > 0:
-            # clamp: elapsed can cross the budget between the while-check
-            # and here, which would hand sleep() a negative duration
-            time.sleep(max(0.0, min(wait, budget - (time.perf_counter() - bench_start))))
-        if time.perf_counter() - bench_start >= budget:
-            break
+            remaining = budget - (time.perf_counter() - bench_start)
+            time.sleep(wait if extra_passes == 0
+                       else max(0.0, min(wait, remaining)))
         last_retry_start = time.perf_counter()
         for name in suspects():
             run_one(name)
