@@ -278,3 +278,41 @@ def test_dsir_weights_match_brute_force(spark):
     # reference slice, so reference docs must score higher on average
     assert (sum(ref_avg) / len(ref_avg)
             > sum(other_avg) / len(other_avg))
+
+
+def test_url_blocklist_matches_brute_force(spark):
+    from unmixing_spark.queries.hygiene_q import URL_BLOCKLIST
+
+    out = (registry()["q_url_blocklist"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    canon = (registry()["q_canonical_url"].spark_fn(spark, SF_SMALL)
+             .toPandas().set_index("doc_id").sort_index())
+    blocked = clean = 0
+    cats = set()
+    for doc_id, row in canon.iterrows():
+        match = None
+        for rid, kind, pat, cat in sorted(URL_BLOCKLIST):
+            hit = ((kind == "host" and row["host"] == pat)
+                   or (kind == "domain"
+                       and row["registered_domain"] == pat)
+                   or (kind == "path" and pat in row["canon_url"]))
+            if hit:
+                match = (rid, pat, cat)
+                break
+        got = out.loc[doc_id]
+        assert got["host"] == row["host"]
+        assert got["registered_domain"] == row["registered_domain"]
+        if match is None:
+            clean += 1
+            assert int(got["blocked"]) == 0
+            assert pd.isna(got["category"])
+        else:
+            blocked += 1
+            cats.add(match[2])
+            assert int(got["blocked"]) == 1
+            assert got["category"] == match[2]
+            assert got["matched_pattern"] == match[1]
+    # the declared rules must fire across multiple categories AND leave
+    # a clean majority
+    assert len(cats) >= 3, cats
+    assert blocked > 0 and clean > blocked, (blocked, clean)

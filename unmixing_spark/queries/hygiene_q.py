@@ -472,3 +472,60 @@ sql_template("q_dsir_weights", _dsir_weights,
              "DSIR data selection (Xie et al. 2023): hashed-bigram "
              "importance weights log p_target - log p_raw vs the "
              "reference slice, add-one smoothed buckets")
+
+
+# ---- URL blocklist filtering -------------------------------------------------
+
+# Declared blocklist stand-in (UT1-style category lists; RefinedWeb §3.1
+# filters on exactly such lists). kind: host = exact canonical host,
+# domain = exact registered domain (eTLD+1), path = substring of the
+# canonical URL. rule_id doubles as match priority (lowest wins).
+URL_BLOCKLIST = [
+    (1, "host", "src1.example.com", "ads"),
+    # source = src(doc_id % 20) and URL variant = doc_id % 5 are
+    # correlated, so only hosts srcN.example.com with N % 5 != 4 and
+    # domains srcN.example.co.uk with N % 5 == 4 exist in the corpus
+    (2, "host", "src7.example.com", "adult"),
+    (3, "domain", "src9.example.co.uk", "tracking"),
+    (4, "path", "/zh/", "geo-restricted"),
+]
+
+
+def _url_blocklist(d: str) -> str:
+    """Blocklist filtering over canonical URLs: every document joins the
+    (broadcast-sized) rule table on host / registered-domain / path
+    predicates; the lowest-rule_id match decides the category. The real
+    UT1 lists are ~4M domains — still broadcast territory (a few 100 MB
+    of hashed strings), and the join shape here (corpus stream x small
+    build side, no shuffle of the stream) is exactly what scales; past
+    broadcast size the same query becomes a shuffled semi-join on host.
+
+    Full-value oracle: the rule table, canonicalization, and min()
+    tie-break are identical SQL in both renderings."""
+    rule_rows = ", ".join(f"({i}, '{k}', '{p}', '{c}')"
+                          for i, k, p, c in URL_BLOCKLIST)
+    return f"""
+    WITH {_canon_cte(d)},
+    rules AS ({D.values_rel(rule_rows, "t(rule_id, kind, pattern, category)", d)}),
+    hits AS (
+      SELECT c.doc_id, min(r.rule_id) AS rule_id
+      FROM canon c JOIN rules r
+        ON (r.kind = 'host' AND c.host = r.pattern)
+        OR (r.kind = 'domain' AND c.registered_domain = r.pattern)
+        OR (r.kind = 'path' AND instr(c.canon_url, r.pattern) > 0)
+      GROUP BY c.doc_id
+    )
+    SELECT c.doc_id, c.host, c.registered_domain,
+           cast(CASE WHEN h.rule_id IS NOT NULL THEN 1 ELSE 0 END
+                as bigint) AS blocked,
+           r.category, r.pattern AS matched_pattern
+    FROM canon c
+    LEFT JOIN hits h ON h.doc_id = c.doc_id
+    LEFT JOIN rules r ON r.rule_id = h.rule_id
+    """
+
+
+sql_template("q_url_blocklist", _url_blocklist,
+             "UT1/RefinedWeb-style URL blocklist filter: host / eTLD+1 / "
+             "path rules joined broadcast onto canonical URLs, "
+             "lowest-rule priority")
