@@ -316,3 +316,124 @@ def test_url_blocklist_matches_brute_force(spark):
     # a clean majority
     assert len(cats) >= 3, cats
     assert blocked > 0 and clean > blocked, (blocked, clean)
+
+
+def _rnd(x: float, k: int) -> float:
+    """SQL-style half-away-from-zero rounding."""
+    import math
+    s = 10 ** k
+    return (math.floor(x * s + 0.5) / s if x >= 0
+            else -math.floor(-x * s + 0.5) / s)
+
+
+def test_source_mix_matches_brute_force(spark):
+    import math
+
+    from unmixing_spark.queries.hygiene_q import MIX_ALPHA, MIX_EPOCH_CAP
+
+    out = (registry()["q_source_mix"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("lang").sort_index())
+    docs = _docs()
+    per_lang: dict[str, list[int]] = {}
+    for _, row in docs.iterrows():
+        per_lang.setdefault(row["lang"], []).append(
+            len(re.split(r"\s+", row["text"])))
+    wt = {g: _rnd(math.exp(MIX_ALPHA * math.log(sum(t))), 6)
+          for g, t in per_lang.items()}
+    sw = sum(wt.values())
+    st = sum(sum(t) for t in per_lang.values())
+    assert set(out.index) == set(per_lang)
+    for g, t in per_lang.items():
+        got = out.loc[g]
+        n_toks = sum(t)
+        p_mix = _rnd(wt[g] / sw, 6)
+        assert int(got["n_docs"]) == len(t)
+        assert int(got["n_toks"]) == n_toks
+        assert abs(got["wt"] - wt[g]) < 1e-9
+        assert abs(got["p_raw"] - _rnd(n_toks / st, 6)) < 1e-9
+        assert abs(got["p_mix"] - p_mix) < 1e-9
+        assert int(got["target_toks"]) == int(math.floor(p_mix * st + 0.5))
+        epochs = p_mix * st / n_toks
+        assert abs(got["epochs"] - _rnd(epochs, 6)) < 1e-9
+        assert int(got["over_epoch_cap"]) == (1 if epochs > MIX_EPOCH_CAP
+                                              else 0)
+    # temperature semantics: the dominant language is down-weighted,
+    # every minority language is up-weighted (p_mix between p_raw and
+    # uniform), and the budget is conserved up to per-lang rounding
+    big = out["p_raw"].idxmax()
+    assert out.loc[big, "p_mix"] < out.loc[big, "p_raw"]
+    small = out[out.index != big]
+    assert (small["p_mix"] > small["p_raw"]).all()
+    assert abs(int(out["target_toks"].sum()) - st) <= len(out)
+
+
+class _PyExtractor:
+    """Independent third-way HTML extractor: a real event-driven parse
+    (html.parser with convert_charrefs) instead of the query's regex
+    pipeline — skips head/script/style subtrees and comments, decodes
+    entities natively."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in ("head", "script", "style"):
+                    self.skip += 1
+
+            def handle_endtag(self, tag):
+                if tag in ("head", "script", "style"):
+                    self.skip = max(0, self.skip - 1)
+
+            def handle_data(self, data):
+                if not self.skip:
+                    outer.parts.append(data)
+
+        self.parts: list[str] = []
+        self._p = P()
+
+    def extract(self, html: str) -> str:
+        self.parts = []
+        self._p.feed(html)
+        self._p.close()
+        # \xa0: html.parser decodes &nbsp; to U+00A0; the SQL extractor
+        # (like C4) folds it into plain whitespace
+        return " ".join(
+            t for t in re.split(r"[\s\xa0]+", "".join(self.parts)) if t)
+
+
+def test_html_extract_matches_independent_parser(spark):
+    import hashlib
+
+    from unmixing_spark.queries.hygiene_q import (HTML_SALT_ENC,
+                                                  HTML_SALT_PLAIN)
+
+    out = (registry()["q_html_extract"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    assert (out["roundtrip"] == 1).all()
+    for _, row in docs.iterrows():
+        text = row["text"]
+        html = "\n".join([
+            '<html><head><title>t</title>',
+            '<style>p { color: red; }</style>',
+            '<script type="text/javascript">var x = 1 < 2; // </b>',
+            '</script></head>',
+            '<body><!-- comment with <tags> & entities --> ',
+            f'  <p id="salt">{HTML_SALT_ENC}</p>',
+            f'  <p>{text}</p>',
+            '</body></html>'])
+        expected = HTML_SALT_PLAIN + " " + text
+        extracted = _PyExtractor().extract(html)
+        assert extracted == expected, row["doc_id"]
+        got = out.loc[row["doc_id"]]
+        sha = hashlib.sha256(extracted.encode()).hexdigest()
+        assert got["extracted_sha"] == sha
+        assert int(got["extracted_len"]) == len(expected)
+        assert int(got["html_bytes"]) == len(html.encode())

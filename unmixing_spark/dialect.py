@@ -56,6 +56,13 @@ def to_binary(expr: str, dialect: str) -> str:
     return f"encode({expr})"
 
 
+def from_binary(expr: str, dialect: str) -> str:
+    """BLOB → UTF-8 string (inverse of ``to_binary``)."""
+    if dialect == SPARK:
+        return f"cast({expr} as string)"
+    return f"decode({expr})"
+
+
 def binary_len(expr: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"length({expr})"

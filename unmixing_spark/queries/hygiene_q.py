@@ -529,3 +529,165 @@ sql_template("q_url_blocklist", _url_blocklist,
              "UT1/RefinedWeb-style URL blocklist filter: host / eTLD+1 / "
              "path rules joined broadcast onto canonical URLs, "
              "lowest-rule priority")
+
+
+# ---- temperature-scaled source mixing ----------------------------------------
+
+MIX_ALPHA = 0.7      # sampling temperature exponent: p_i ∝ n_i^alpha
+MIX_EPOCH_CAP = 4.0  # repeat-epoch warning line (Muennighoff et al. 2023)
+
+
+def _source_mix(d: str) -> str:
+    """Temperature-scaled source-mixing plan (the exponent-smoothed
+    sampling every multilingual / multi-source LM run computes before
+    training — Lample & Conneau 2019 §3.1, mBERT's exponent 0.7;
+    GPT-3/The Pile publish the resulting per-source weights+epochs
+    table): per-language token counts raised to MIX_ALPHA and
+    normalized give the sampling distribution p_mix; against the raw
+    share p_raw that yields a token budget and an effective epoch
+    count per language. over_epoch_cap flags languages the mix would
+    repeat more than MIX_EPOCH_CAP times — past ~4 epochs repeated
+    data stops helping (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"). Keyed by lang (the corpus'
+    skewed attribute; source is uniform by construction) — per-source
+    or per-registered-domain mixing is the same query keyed by
+    q_canonical_url's registered_domain.
+
+    Bit-parity: ln() takes an exact integer token count (the repo's
+    established integer-ln doctrine, q_zipf_vocab/q_lm_perplexity);
+    the weight rounds to 6 BEFORE normalization, and every downstream
+    column derives from the already-rounded p_mix so both engines feed
+    identical doubles into identical arithmetic. The normalizer
+    sum(wt) adds a handful of rounded doubles whose ulp-level order
+    noise sits ten digits below the round(,6) on p_mix.
+
+    Scale shape: one lang-keyed map-side-combined aggregation (result
+    is #sources-sized, << corpus) + a 1-row broadcast cross join.
+    Nothing else touches the corpus stream; at 10^12 docs this is the
+    cheapest query in the registry."""
+    toks = (f"size({D.ws_split('text', d)})" if d == D.SPARK
+            else f"len({D.ws_split('text', d)})")
+    a = D.dbl(MIX_ALPHA)
+    p_mix = "round(w.wt / t.sw, 6)"
+    epochs = f"{p_mix} * t.st / w.n_toks"
+    return f"""
+    WITH cnt AS (
+      SELECT lang,
+             cast(count(*) as bigint)    AS n_docs,
+             cast(sum({toks}) as bigint) AS n_toks
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, n_toks,
+             round(exp({a} * ln(n_toks)), 6) AS wt
+      FROM cnt
+    ),
+    tot AS (SELECT sum(wt) AS sw, cast(sum(n_toks) as bigint) AS st FROM w)
+    SELECT w.lang, w.n_docs, w.n_toks, w.wt,
+           round(cast(w.n_toks as double) / t.st, 6)   AS p_raw,
+           {p_mix}                                     AS p_mix,
+           cast(round({p_mix} * t.st) as bigint)       AS target_toks,
+           round({epochs}, 6)                          AS epochs,
+           cast(CASE WHEN {epochs} > {D.dbl(MIX_EPOCH_CAP)}
+                     THEN 1 ELSE 0 END as bigint)      AS over_epoch_cap
+    FROM w CROSS JOIN tot t
+    """
+
+
+sql_template("q_source_mix", _source_mix,
+             "temperature-scaled source mixing (p ∝ n^alpha): per-lang "
+             "sampling weights, token budgets, effective epochs, "
+             "over-epoch-cap flags")
+
+
+# ---- HTML boilerplate stripping / text extraction -----------------------------
+
+# The html column (BASELINE input_hint: pages(... html binary ...)) is
+# synthesized from text (pagegen.py) — to make extraction non-vacuous,
+# this query wraps the text in a DETERMINISTIC rich page (title, style
+# and script blocks, a tag-bearing comment, an entity-encoded salt
+# paragraph, multi-line indented markup) and then runs the real
+# extractor over it. The salt exercises &lt; &gt; &quot; &#39; &#90;
+# &nbsp; &amp; — decoded in the standard amp-last order.
+HTML_SALT_PLAIN = """AT&T <b> "q" 'a' Z"""
+HTML_SALT_ENC = "AT&amp;T &lt;b&gt; &quot;q&quot; &#39;a&#39; &#90;&nbsp;"
+# (plain, encoded) entity table, amp LAST so '&amp;lt;' cannot double-decode
+HTML_ENTITIES = [("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+                 ("'", "&#39;"), ("Z", "&#90;"), (" ", "&nbsp;"),
+                 ("&", "&amp;")]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_extract(d: str) -> str:
+    """HTML → text extraction (the boilerplate-strip pass C4/CCNet run
+    between WARC and every text filter; Raffel et al. 2020 §2.2 start
+    from extracted text): drop script/style subtrees, drop comments,
+    strip tags, decode entities (amp-last), normalize whitespace. The
+    north-rule invariant — byte-identical extracted text per url — is
+    checked IN the query: roundtrip=1 iff sha2(extracted) equals
+    sha2(expected) where expected = salt || ' ' || text by
+    construction.
+
+    Extraction order: the whole <head> subtree goes first (title/meta
+    are boilerplate, not text — and its script/style go with it), then
+    body-level script/style subtrees, comments, tags, entities,
+    whitespace. Regex subset is RE2-and-Java compatible: (?is) flags +
+    non-greedy .*? only — no lookaround, no backreferences (RE2 has
+    neither, hence separate script/style patterns instead of
+    <(script|style)>...</\\1>). Scale shape: pure per-row string work over the page
+    stream — embarrassingly parallel, zero shuffle; at 10^12 pages
+    this pipelines with the scan."""
+    nl = "chr(10)"
+    enc_text = "text"  # corpus text contains no markup metacharacters —
+    # the encode leg on the synthetic side is exercised by the salt
+    html = (f"'<html><head><title>t</title>' || {nl} || "
+            f"'<style>p {{ color: red; }}</style>' || {nl} || "
+            f"'<script type=\"text/javascript\">var x = 1 < 2; // </b>' "
+            f"|| {nl} || '</script></head>' || {nl} || "
+            f"'<body><!-- comment with <tags> & entities --> ' || {nl} || "
+            f"'  <p id=\"salt\">{HTML_SALT_ENC}</p>' || {nl} || "
+            f"'  <p>' || {enc_text} || '</p>' || {nl} || "
+            f"'</body></html>'")
+    x = D.from_binary("html", d)
+    x = D.regexp_replace_all(
+        x, D.rx_lit(r"(?is)<head[^>]*>.*?</head>", d), "' '", d)
+    x = D.regexp_replace_all(
+        x, D.rx_lit(r"(?is)<script[^>]*>.*?</script>", d), "' '", d)
+    x = D.regexp_replace_all(
+        x, D.rx_lit(r"(?is)<style[^>]*>.*?</style>", d), "' '", d)
+    x = D.regexp_replace_all(
+        x, D.rx_lit(r"(?s)<!--.*?-->", d), "' '", d)
+    x = D.regexp_replace_all(x, D.rx_lit(r"<[^>]*>", d), "' '", d)
+    for plain, enc in HTML_ENTITIES:
+        x = f"replace({x}, {_sql_str(enc)}, {_sql_str(plain)})"
+    x = f"trim({D.regexp_replace_all(x, D.rx_lit(chr(92) + 's+', d), chr(39) + ' ' + chr(39), d)})"
+    expected = f"{_sql_str(HTML_SALT_PLAIN)} || ' ' || text"
+    return f"""
+    WITH page AS (
+      SELECT doc_id, text, {D.to_binary(html, d)} AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, text,
+             {D.binary_len('html', d)} AS html_bytes,
+             {x} AS extracted
+      FROM page
+    )
+    SELECT doc_id,
+           cast(html_bytes as bigint)              AS html_bytes,
+           cast(length(extracted) as bigint)       AS extracted_len,
+           {D.sha256_('extracted', d)}             AS extracted_sha,
+           cast(CASE WHEN extracted = ({expected})
+                     THEN 1 ELSE 0 END as bigint)  AS roundtrip
+    FROM ext
+    """
+
+
+sql_template("q_html_extract", _html_extract,
+             "HTML→text extraction (C4-style boilerplate strip): "
+             "script/style/comment removal, tag strip, entity decode, "
+             "ws-normalize — with an in-query byte-identical roundtrip "
+             "proof against the north-rule text invariant")
