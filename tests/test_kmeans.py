@@ -56,13 +56,13 @@ def _expected():
     sizes = dict.fromkeys(range(KM_K), 0)
     for cid, _ in assign.values():
         sizes[cid] += 1
-    return assign, sizes, n_changed
+    return assign, sizes, n_changed, vecs
 
 
 def test_kmeans_matches_integer_brute_force(spark):
     out = (registry()["q_kmeans_quantizer"].spark_fn(spark, SF_SMALL)
            .toPandas().sort_values("vec_id").reset_index(drop=True))
-    assign, sizes, n_changed = _expected()
+    assign, sizes, n_changed, _ = _expected()
     assert len(out) == len(assign)
     assert (out["rounds"] == KM_ROUNDS).all()
     assert (out["n_changed"] == n_changed).all()
@@ -76,3 +76,70 @@ def test_kmeans_matches_integer_brute_force(spark):
     # the clustering is non-trivial: >1 cluster survives and Lloyd made
     # progress (some vector moved after round 1... unless it converged)
     assert out["cluster"].nunique() > 1
+
+
+def _rnd6(x: float) -> float:
+    """SQL-style half-away-from-zero rounding to 6 places."""
+    import math
+    return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else -math.floor(-x * 1e6 + 0.5) / 1e6)
+
+
+def test_semdedup_matches_brute_force(spark):
+    """q_semdedup vs an independent pure-Python pass: same fitted
+    clusters (pinned above), exact-integer dots/norms, IEEE cosine,
+    keep = local maximum of centroid distance over the above-threshold
+    neighborhood."""
+    import math
+
+    from unmixing_spark.queries.kmeans_q import SEM_TAU
+
+    out = (registry()["q_semdedup"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("vec_id").sort_index())
+    assign, sizes, _, vecs = _expected()
+    clusters: dict[int, list[int]] = {}
+    for vid, (cid, _d2) in assign.items():
+        clusters.setdefault(cid, []).append(vid)
+    cen = {vid: (q.astype(object) - KM_SHIFT) for vid, q in vecs.items()}
+    n2 = {vid: int((c * c).sum()) for vid, c in cen.items()}
+
+    exp_keep: dict[int, int] = {}
+    exp_n: dict[int, int] = {}
+    exp_max: dict[int, float] = {}
+    for cid, members in clusters.items():
+        for a in members:
+            neigh = []
+            dominated = 0
+            for b in members:
+                if b == a:
+                    continue
+                dp = int((cen[a] * cen[b]).sum())
+                cos = _rnd6(float(dp) / (math.sqrt(float(n2[a]))
+                                         * math.sqrt(float(n2[b]))))
+                if cos >= SEM_TAU:
+                    neigh.append(cos)
+                    da, db = assign[a][1], assign[b][1]
+                    if db > da or (db == da and b < a):
+                        dominated = 1
+            exp_keep[a] = 0 if dominated else 1
+            exp_n[a] = len(neigh)
+            exp_max[a] = max(neigh) if neigh else -2.0
+
+    assert set(out.index) == set(assign)
+    for vid in assign:
+        got = out.loc[vid]
+        assert int(got["cluster"]) == assign[vid][0]
+        assert int(got["dist_sq"]) == assign[vid][1]
+        assert int(got["cluster_size"]) == sizes[assign[vid][0]]
+        assert int(got["keep"]) == exp_keep[vid], vid
+        assert int(got["n_dup_neighbors"]) == exp_n[vid], vid
+        assert abs(got["max_cos"] - exp_max[vid]) < 1e-9, vid
+    # non-vacuous: duplicates exist, every duplicate neighborhood keeps
+    # at least one member, and the kept majority survives
+    dropped = sum(1 for k in exp_keep.values() if k == 0)
+    assert dropped > 0
+    assert dropped < len(exp_keep) / 2
+    for cid, members in clusters.items():
+        flagged = [v for v in members if exp_n[v] > 0]
+        if flagged:
+            assert any(exp_keep[v] for v in flagged), cid

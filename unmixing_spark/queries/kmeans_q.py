@@ -70,12 +70,14 @@ def _qemb_ctes(d: str) -> str:
     return f"emb AS {D.mat(d)}({body})"
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled KM_ROUNDS-deep Lloyd iteration as DuckDB SQL: per round
-    an assignment CTE (exact integer distances, argmin window with cid
-    tie-break) and a centroid-update CTE (exact integer means, empty
-    clusters keep their previous centroid via the self-coalescing LEFT
-    join)."""
+def _lloyd_ctes() -> tuple[list[str], str]:
+    """DuckDB CTE chain for the unrolled KM_ROUNDS-deep Lloyd iteration:
+    per round an assignment CTE (exact integer distances, argmin window
+    with cid tie-break) and a centroid-update CTE (exact integer means,
+    empty clusters keep their previous centroid via the self-coalescing
+    LEFT join). Returns (ctes, final_assignment_cte_name) so consumers
+    (q_kmeans_quantizer, q_semdedup) can build on the fitted
+    assignment."""
     dd = D.DUCKDB
     mean = D.idiv_i("u.s", "u.cnt", dd)
     ctes = [_qemb_ctes(dd), f"""c0 AS MATERIALIZED (
@@ -99,6 +101,13 @@ def _kmeans_oracle() -> str:
         FROM a{r} a JOIN emb e ON e.vec_id = a.vec_id
         GROUP BY a.cid, e.dim) u
         ON u.cid = p.cid AND u.dim = p.dim)""")
+    return ctes, f"a{KM_ROUNDS}"
+
+
+def _kmeans_oracle() -> str:
+    """q_kmeans_quantizer's DuckDB rendering: the Lloyd chain plus the
+    moved-count convergence audit."""
+    ctes, last_name = _lloyd_ctes()
     last, prev = KM_ROUNDS, KM_ROUNDS - 1
     ctes.append(f"""moved AS (
       SELECT count(*) AS n_changed
@@ -118,9 +127,12 @@ def _kmeans_oracle() -> str:
     """
 
 
-def kmeans_over_embeddings(spark: SparkSession) -> DataFrame:
-    """Driver loop twin of the unrolled oracle, reading the registered
-    ``embeddings`` view. The quantized long-form coordinate stream is
+def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame,
+                                                DataFrame]:
+    """Driver-loop twin of ``_lloyd_ctes``: runs the KM_ROUNDS Lloyd
+    iteration and returns (emb, assign, prev_assign) — the checkpointed
+    quantized coordinate stream plus the final and previous-round
+    assignments. The quantized long-form coordinate stream is
     localCheckpoint-ed once; the K*64-row centroid table is
     localCheckpoint-ed per round (a tiny eager job that also truncates
     the self-referencing lineage — the standard k-means cadence, cf.
@@ -153,6 +165,13 @@ def kmeans_over_embeddings(spark: SparkSession) -> DataFrame:
                         F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
                         .cast("bigint").alias("c"))
                 .localCheckpoint(eager=True))
+    return emb, assign, prev_assign
+
+
+def kmeans_over_embeddings(spark: SparkSession) -> DataFrame:
+    """q_kmeans_quantizer's Spark side: the Lloyd loop plus the
+    moved-count convergence audit, mirroring ``_kmeans_oracle``."""
+    emb, assign, prev_assign = _lloyd_assign(spark)
 
     moved = (assign.alias("x")
              .join(prev_assign.alias("y"), "vec_id")
@@ -181,3 +200,113 @@ register("q_kmeans_quantizer", QuerySpec(
     doc="IVF coarse-quantizer training: Lloyd's k-means over exact-"
         "integer quantized embeddings (bit-identical across engines), "
         "fixed depth with an exact moved-count convergence audit column"))
+
+
+# ---- SemDeDup: cluster-bucketed semantic deduplication -----------------------
+
+SEM_TAU = 0.3   # within-cluster cosine threshold. SemDeDup runs ~1-eps
+                # (≈0.95+) on real embeddings; the synthetic table has no
+                # planted >0.95 pairs (max pairwise cos ≈ 0.51 — same
+                # tuning note as q_embedding_neardup's 0.35), so 0.3
+                # keeps the operator non-vacuous: ~350 within-cluster
+                # pairs at sf0.01, keep-majority preserved.
+
+
+def _semdedup_tail(d: str, emb: str, asg: str) -> str:
+    """The post-clustering SemDeDup pass (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): within each k-means cluster, compute pairwise
+    cosines and drop every member that has an above-SEM_TAU neighbor
+    closer to the centroid — i.e. per duplicate neighborhood the point
+    FARTHEST from the centroid survives (the paper's keep-low-
+    centroid-similarity rule, maximizing retained diversity). ``keep``
+    is the local-maximum rule over exact integer centroid distances
+    (ties break toward the smaller vec_id), so every above-threshold
+    neighborhood keeps exactly its extreme member(s) and the decision
+    is deterministic in both engines.
+
+    Shared CTE text rendered for both dialects over ``emb`` (quantized
+    long-form coordinates) and ``asg`` (the fitted Lloyd assignment):
+    dots/norms are EXACT bigint sums of centered quantized values
+    (|v| <= 2^21, 64 dims → |dot| <= 2^48 < 2^53, so the double casts
+    are exact and sqrt/division are identical IEEE ops in both
+    engines); the only float is the final cosine, rounded to 6 in both
+    renderings before thresholding.
+
+    Scale shape: every stage is keyed by cluster id — the all-pairs
+    stage is O(sum c_i^2), which is exactly what SemDeDup's cluster
+    count controls (the paper uses 50k clusters for LAION; c_i ~ n/K
+    makes the pass O(n^2/K) spread across K independent buckets, and
+    K scales with n). The long form multiplies by the 64 dims so the
+    recurrence stays oracle-checkable; a production kernel packs the
+    dims into arrays and runs the same join as one vectorized pandas
+    UDF per cluster partition (the swap is local to the dots stage)."""
+    return f"""cen AS {D.mat(d)}(
+      SELECT e.vec_id, a.cid, a.d2, e.dim, e.q - {KM_SHIFT} AS v
+      FROM {emb} e JOIN {asg} a ON a.vec_id = e.vec_id),
+    nrm AS {D.mat(d)}(
+      SELECT vec_id, cid, d2, sum(v * v) AS n2
+      FROM cen GROUP BY vec_id, cid, d2),
+    dots AS (
+      SELECT x.cid, x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dp
+      FROM cen x JOIN cen y
+        ON y.cid = x.cid AND y.dim = x.dim AND y.vec_id <> x.vec_id
+      GROUP BY x.cid, x.vec_id, y.vec_id),
+    sim AS (
+      SELECT d.a, d.b, na.d2 AS da, nb.d2 AS db,
+             round(cast(d.dp as double)
+                   / (sqrt(cast(na.n2 as double))
+                      * sqrt(cast(nb.n2 as double))), 6) AS cos_ab
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.a
+      JOIN nrm nb ON nb.vec_id = d.b),
+    hits AS (
+      SELECT a AS vec_id,
+             cast(count(*) as bigint) AS n_dup_neighbors,
+             max(cos_ab) AS max_cos,
+             max(CASE WHEN db > da OR (db = da AND b < a)
+                      THEN 1 ELSE 0 END) AS dominated
+      FROM sim WHERE cos_ab >= {D.dbl(SEM_TAU)}
+      GROUP BY a)
+    SELECT n.vec_id,
+           cast(n.cid as bigint) AS cluster,
+           cast(n.d2 as bigint)  AS dist_sq,
+           cast(count(*) OVER (PARTITION BY n.cid) as bigint)
+             AS cluster_size,
+           cast(coalesce(h.n_dup_neighbors, 0) as bigint)
+             AS n_dup_neighbors,
+           coalesce(h.max_cos, {D.dbl(-2.0)}) AS max_cos,
+           cast(CASE WHEN coalesce(h.dominated, 0) = 1
+                     THEN 0 ELSE 1 END as bigint) AS keep
+    FROM nrm n LEFT JOIN hits h ON h.vec_id = n.vec_id
+    """
+
+
+def _semdedup_oracle() -> str:
+    ctes, last = _lloyd_ctes()
+    ctes.append(f"asg AS MATERIALIZED (SELECT vec_id, cid, d2 FROM {last})")
+    return ("WITH " + ",\n    ".join(ctes) + ",\n    "
+            + _semdedup_tail(D.DUCKDB, "emb", "asg"))
+
+
+def semdedup_over_embeddings(spark: SparkSession) -> DataFrame:
+    """q_semdedup's Spark side: the Lloyd loop feeds the shared tail via
+    temp views, so the pair pass itself is one Catalyst-optimized SQL
+    (cluster-keyed joins, no driver-side work beyond the k-means
+    actions)."""
+    emb, assign, _ = _lloyd_assign(spark)
+    emb.createOrReplaceTempView("sd_emb")
+    assign.createOrReplaceTempView("sd_asg")
+    return spark.sql("WITH " + _semdedup_tail(D.SPARK, "sd_emb", "sd_asg"))
+
+
+def _semdedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("embeddings",))
+    return semdedup_over_embeddings(spark)
+
+
+register("q_semdedup", QuerySpec(
+    spark_fn=_semdedup_spark, oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): k-means-bucketed embedding "
+        "dedup — within-cluster exact-integer cosine pairs, keep the "
+        "member farthest from the centroid per duplicate neighborhood"))
