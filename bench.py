@@ -55,6 +55,10 @@ HEADLINE = [
     "q_kmeans_quantizer",
     "q_line_dedup",
     "q_hits_scores",
+    # round-5 third-session additions (floors seed from the first
+    # driver artifact that includes them)
+    "q_semdedup",
+    "q_html_extract",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
