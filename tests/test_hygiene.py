@@ -437,3 +437,105 @@ def test_html_extract_matches_independent_parser(spark):
         assert got["extracted_sha"] == sha
         assert int(got["extracted_len"]) == len(expected)
         assert int(got["html_bytes"]) == len(html.encode())
+
+
+def test_ppl_buckets_match_brute_force(spark):
+    import math
+
+    from unmixing_spark.queries.hygiene_q import (LM_ALPHA, LM_REF_MOD,
+                                                  PPL_FALLBACK)
+
+    out = (registry()["q_ppl_buckets"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    bigrams: dict[int, list[tuple[str, str]]] = {}
+    lang: dict[int, str] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", row["text"])
+        bigrams[row["doc_id"]] = list(zip(toks, toks[1:]))
+        lang[row["doc_id"]] = row["lang"]
+    refc: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {}
+    vocab: set[str] = set()
+    for did, bg in bigrams.items():
+        if did % LM_REF_MOD == 0:
+            vocab.update(re.split(r"\s+", docs.set_index("doc_id")
+                                  .loc[did, "text"]))
+            for p in bg:
+                refc[p] = refc.get(p, 0) + 1
+                uni[p[0]] = uni.get(p[0], 0) + 1
+    v = len(vocab)
+    ppl: dict[int, float] = {}
+    for did, bg in bigrams.items():
+        if not bg:
+            ppl[did] = PPL_FALLBACK
+            continue
+        lls = [math.log(refc.get(p, 0) + LM_ALPHA)
+               - math.log(uni.get(p[0], 0) + LM_ALPHA * v) for p in bg]
+        ppl[did] = round(math.exp(-round(sum(lls) / len(lls), 6)), 4)
+    # ntile(3): first n % 3 buckets get the extra row
+    expect: dict[int, int] = {}
+    for g in set(lang.values()):
+        members = sorted((ppl[d], d) for d in lang if lang[d] == g)
+        n = len(members)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        i = 0
+        for t, sz in enumerate(sizes, start=1):
+            for _ in range(sz):
+                expect[members[i][1]] = t
+                i += 1
+    assert set(out.index) == set(expect)
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    for did in expect:
+        got = out.loc[did]
+        assert got["lang"] == lang[did]
+        assert abs(got["ppl"] - ppl[did]) < 1e-9, did
+        assert int(got["tercile"]) == expect[did], did
+        assert got["bucket"] == labels[expect[did]], did
+    # semantics: within every language head scores strictly better than
+    # tail on average
+    for g in set(lang.values()):
+        rows = out[out["lang"] == g]
+        assert (rows[rows["bucket"] == "head"]["ppl"].mean()
+                < rows[rows["bucket"] == "tail"]["ppl"].mean()), g
+
+
+def test_meta_robots_matches_brute_force(spark):
+    import hashlib
+
+    out = (registry()["q_meta_robots"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    seen = {"noindex": 0, "nofollow": 0, "clean": 0, "reversed": 0}
+    for _, row in docs.iterrows():
+        did = int(row["doc_id"])
+        h = int(hashlib.md5(f"r{did}".encode()).hexdigest()[:8], 16)
+        content = {0: "noindex", 1: "noindex, nofollow", 2: "nofollow",
+                   3: "NOINDEX"}.get(h % 10, "index, follow")
+        if h % 2 == 0:
+            meta = f'<meta name="robots" content="{content}">'
+        else:
+            meta = f'<meta content="{content}" name="robots">'
+            seen["reversed"] += 1
+        html = (f'<html><head>{meta}<meta charset="utf-8"></head>'
+                f'<body><p>{row["text"]}</p></body></html>')
+        m = (re.search(r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"',
+                       html)
+             or re.search(r'(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"',
+                          html))
+        robots = m.group(1) if m else ""
+        assert robots == content, did   # extraction is lossless
+        noindex = 1 if "noindex" in robots.lower() else 0
+        nofollow = 1 if "nofollow" in robots.lower() else 0
+        got = out.loc[did]
+        assert got["robots"] == robots, did
+        assert int(got["noindex"]) == noindex
+        assert int(got["nofollow"]) == nofollow
+        assert int(got["keep"]) == 1 - noindex
+        seen["noindex" if noindex else "clean"] += 1
+        seen["nofollow"] += nofollow
+    # the plant exercises every branch: directives in both orders,
+    # both flags, and a kept majority
+    assert all(v > 0 for v in seen.values()), seen
+    assert seen["clean"] > seen["noindex"]

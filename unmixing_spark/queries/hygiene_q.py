@@ -691,3 +691,110 @@ sql_template("q_html_extract", _html_extract,
              "script/style/comment removal, tag strip, entity decode, "
              "ws-normalize — with an in-query byte-identical roundtrip "
              "proof against the north-rule text invariant")
+
+
+# ---- CCNet perplexity buckets --------------------------------------------------
+
+PPL_FALLBACK = 999.0  # docs with no bigrams sort to the tail (the
+                      # q_corpus_keep convention)
+
+
+def _ppl_buckets(d: str) -> str:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, documents are ranked by LM perplexity and cut into
+    terciles — 'head' (lowest perplexity, most Wikipedia-like) is what
+    high-quality pretraining mixes keep, 'tail' is what they drop or
+    down-weight. Reuses the engine's bigram-LM scoring chain
+    (_lm_ctes); the split is one ntile(3) window per language with a
+    deterministic (ppl, doc_id) order so ties cannot float between
+    buckets.
+
+    Bit-parity: ppl comes out of the shared chain already rounded in
+    both renderings; ntile over an identical total order is pure
+    integer bucketing (both engines implement the SQL-standard
+    earlier-buckets-get-the-remainder distribution). Scale shape: the
+    LM chain's exchanges (doc_id window, gram-keyed aggs) plus ONE
+    lang-keyed window over the doc-cardinality score table. At 10^12
+    docs a global per-lang sort window becomes the standard
+    sample-the-quantile-boundaries pass (compute the two tercile
+    thresholds per lang from an approx-quantile sketch, then bucket by
+    comparison — one map-side pass); the emitted semantics are
+    identical."""
+    return f"""
+    WITH pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    {_lm_ctes(d)},
+    scored2 AS (
+      SELECT doc.doc_id, doc.lang,
+             cast(coalesce(lm.n_bigrams, 0) as bigint) AS n_bigrams,
+             coalesce(lm.ppl, {D.dbl(PPL_FALLBACK)})   AS ppl
+      FROM documents doc LEFT JOIN lm ON lm.doc_id = doc.doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, ppl,
+           cast(ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+                as bigint) AS tercile,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored2
+    """
+
+
+sql_template("q_ppl_buckets", _ppl_buckets,
+             "CCNet head/middle/tail split (Wenzek et al. 2020): per-lang "
+             "perplexity terciles via a deterministic ntile window")
+
+
+# ---- robots meta directives ----------------------------------------------------
+
+
+def _meta_robots(d: str) -> str:
+    """Robots-meta compliance filter (the first drop every crawler-fed
+    corpus applies: pages declaring <meta name="robots" noindex> must
+    not be indexed or kept — C4/CCNet inherit this from the crawler).
+    The pages table's html is synthesized clean, so the directive is
+    PLANTED deterministically (md5(doc_id) convention, lines_q/linkgraph
+    style): ~30% of pages carry noindex and/or nofollow, in BOTH
+    attribute orders (name-first and content-first) and mixed case, so
+    the extractor's coalesce-over-two-patterns path and the
+    case-insensitive directive match are all exercised.
+
+    Scale shape: pure per-row regexp work over the page stream — zero
+    exchanges, pipelines with the scan (same class as q_html_extract)."""
+    sid = D.to_str("doc_id", d)
+    h = D.md5_slice(f"'r' || {sid}", 1, d)
+    content = f"""CASE ({h}) % 10
+      WHEN 0 THEN 'noindex' WHEN 1 THEN 'noindex, nofollow'
+      WHEN 2 THEN 'nofollow' WHEN 3 THEN 'NOINDEX'
+      ELSE 'index, follow' END"""
+    meta = f"""CASE ({h}) % 2 WHEN 0
+      THEN '<meta name="robots" content="' || ({content}) || '">'
+      ELSE '<meta content="' || ({content}) || '" name="robots">' END"""
+    html = (f"'<html><head>' || ({meta}) || "
+            f"'<meta charset=\"utf-8\"></head><body><p>' || text || "
+            f"'</p></body></html>'")
+    rx1 = D.rx_lit(r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', d)
+    rx2 = D.rx_lit(r'(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"', d)
+    robots = (f"coalesce(nullif(regexp_extract(page_html, {rx1}, 1), ''), "
+              f"nullif(regexp_extract(page_html, {rx2}, 1), ''), '')")
+    return f"""
+    WITH page AS (
+      SELECT doc_id, {html} AS page_html FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, {robots} AS robots FROM page
+    )
+    SELECT doc_id, robots,
+           cast(CASE WHEN instr(lower(robots), 'noindex') > 0
+                     THEN 1 ELSE 0 END as bigint) AS noindex,
+           cast(CASE WHEN instr(lower(robots), 'nofollow') > 0
+                     THEN 1 ELSE 0 END as bigint) AS nofollow,
+           cast(CASE WHEN instr(lower(robots), 'noindex') > 0
+                     THEN 0 ELSE 1 END as bigint) AS keep
+    FROM ext
+    """
+
+
+sql_template("q_meta_robots", _meta_robots,
+             "robots-meta compliance filter: extract the robots "
+             "directive from page html (both attribute orders, "
+             "case-insensitive) and derive noindex/nofollow/keep flags")
