@@ -1,0 +1,154 @@
+"""WARC 1.0 (ISO 28500) source/sink — the on-disk format web-scale
+corpora actually arrive in (Common Crawl distributes every crawl as
+.warc.gz files of HTTP response records).
+
+Writer: ``write_warc`` serializes a pages DataFrame (url, warc_epoch,
+html) into one WARC file per partition — each record a spec-shaped
+``WARC-Type: response`` block (WARC headers, then an HTTP/1.1 response
+whose payload is the html bytes), deterministically identified by
+uuid5(url). With ``gzip_records=True`` every record is its own gzip
+member concatenated into the file — Common Crawl's exact layout, which
+is what lets a reader stream records without decompressing the whole
+file.
+
+Reader: ``read_warc`` is the source connector: ``binaryFile`` scan →
+``mapInPandas`` parse. Scale shape (the real 100 TB path): WARC is not
+block-splittable, so parallelism is one task per file — exactly how
+production Common Crawl jobs run (a crawl is ~64k-90k files of ~1 GB,
+saturating any cluster); the parser is pure bytes work per task and the
+Arrow batch boundary carries (url, warc_epoch, html) out. Malformed
+input (bad magic, truncated content, missing terminator) raises
+ValueError rather than yielding silently wrong records.
+
+Round-trip fidelity is the north-rule invariant: q_warc_roundtrip
+(queries/warc_q.py) proves byte-identical html per url through the
+on-disk format against the SQL-synthesized oracle.
+"""
+
+from __future__ import annotations
+
+import gzip
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+CRLF = b"\r\n"
+_MAGIC = b"WARC/1.0"
+
+
+def build_record(url: str, warc_epoch: int, html: bytes,
+                 gzip_record: bool = True) -> bytes:
+    """One spec-shaped response record (optionally its own gzip
+    member)."""
+    http = (b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/html; charset=UTF-8" + CRLF
+            + b"Content-Length: " + str(len(html)).encode() + CRLF + CRLF
+            + html)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    date = datetime.fromtimestamp(int(warc_epoch), tz=timezone.utc)
+    headers = CRLF.join([
+        _MAGIC,
+        b"WARC-Type: response",
+        b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">",
+        b"WARC-Date: " + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ])
+    rec = headers + CRLF + CRLF + http + CRLF + CRLF
+    return gzip.compress(rec, mtime=0) if gzip_record else rec
+
+
+def parse_warc(data: bytes):
+    """Yield (url, warc_epoch, html) per response record. Accepts plain
+    or gzip (multi-member) files; raises ValueError on malformed
+    input."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)   # multi-member streams supported
+    i, n = 0, len(data)
+    while i < n:
+        while i < n and data[i:i + 2] == CRLF:
+            i += 2
+        if i >= n:
+            break
+        if data[i:i + len(_MAGIC)] != _MAGIC:
+            raise ValueError(f"bad WARC magic at offset {i}")
+        head_end = data.find(CRLF + CRLF, i)
+        if head_end < 0:
+            raise ValueError("truncated WARC header block")
+        headers: dict[str, str] = {}
+        for line in data[i:head_end].split(CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "strict").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/invalid Content-Length") from exc
+        body_start = head_end + 4
+        if body_start + clen + 4 > n:
+            raise ValueError("truncated WARC record content")
+        if data[body_start + clen:body_start + clen + 4] != CRLF + CRLF:
+            raise ValueError("missing WARC record terminator")
+        if headers.get("warc-type") == "response":
+            body = data[body_start:body_start + clen]
+            split = body.find(CRLF + CRLF)
+            if split < 0:
+                raise ValueError("response record without HTTP header block")
+            date = headers.get("warc-date", "")
+            epoch = int(datetime.strptime(
+                date, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc).timestamp())
+            yield (headers.get("warc-target-uri", ""), epoch,
+                   body[split + 4:])
+        i = body_start + clen + 4
+
+
+def write_warc(pages: DataFrame, out_dir: str,
+               gzip_records: bool = True) -> int:
+    """Write (url, warc_epoch, html) partitions as ``part-N.warc[.gz]``
+    files under ``out_dir``; returns the total record count. One file
+    per partition, streamed batch-by-batch (Arrow), so executor memory
+    holds one batch, not one file."""
+    import os
+
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        wrote = 0
+        with open(path, "ab") as f:
+            for pdf in batches:
+                for url, epoch, html in zip(pdf["url"], pdf["warc_epoch"],
+                                            pdf["html"]):
+                    f.write(build_record(str(url), int(epoch), bytes(html),
+                                         gzip_record=gzip_records))
+                    wrote += 1
+        yield pd.DataFrame({"n": [wrote]})
+
+    counts = (pages.select("url", "warc_epoch", "html")
+              .mapInPandas(_write, "n long").collect())
+    return sum(r["n"] for r in counts)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Source connector: WARC directory/glob → DataFrame(url,
+    warc_epoch, html). One task per file (the format's parallelism
+    unit), parsed inside an Arrow-batched mapInPandas."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [rec for content in pdf["content"]
+                    for rec in parse_warc(bytes(content))]
+            yield pd.DataFrame(rows,
+                               columns=["url", "warc_epoch", "html"])
+
+    return (files.select("content")
+            .mapInPandas(_parse, "url string, warc_epoch long, html binary"))

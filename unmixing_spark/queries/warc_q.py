@@ -1,0 +1,82 @@
+"""q_warc_roundtrip — the WARC source/sink connector (io/warc.py)
+driven end-to-end under the oracle gate.
+
+The Spark side materializes the pages table INTO spec-shaped
+per-record-gzipped WARC files (one per partition), reads them back
+through the binaryFile + mapInPandas source connector, and emits
+per-url fingerprints of what survived the on-disk format. The DuckDB
+oracle computes the same fingerprints straight from the SQL page
+synthesis — so a full value-hash match proves the connector round-trips
+every row BYTE-identically (url, capture time, html payload): the
+north-rule "byte-identical extracted text per url preserved
+end-to-end" invariant, through a real file format instead of memory.
+
+Scale shape: the write is one streamed pass (a file per partition, one
+Arrow batch in memory at a time); the read is one task per WARC file —
+the format's natural parallelism unit and exactly how production
+Common Crawl jobs schedule (crawls ship as ~64k-90k ~1 GB .warc.gz
+files). Nothing shuffles; the fingerprint projection pipelines with
+the parse.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unmixing_spark import dialect as D
+from unmixing_spark import pipeline
+from unmixing_spark.io.warc import read_warc, write_warc
+from unmixing_spark.pagegen import pages_sql
+from unmixing_spark.queries import QuerySpec, register
+
+WARC_PARTS = 4   # writer partitions → files; the reader gets one task each
+
+
+def _fingerprint_sql(d: str, rel: str) -> str:
+    """Shared projection: url, capture epoch, html byte length + sha."""
+    html_str = D.from_binary("html", d)
+    return f"""
+    SELECT url,
+           warc_epoch,
+           cast({D.binary_len('html', d)} as bigint) AS html_bytes,
+           {D.sha256_(html_str, d)}                  AS html_sha
+    FROM {rel}
+    """
+
+
+def _warc_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pages = spark.sql(f"""
+        SELECT url, {D.ts_to_epoch('warc_ts', D.SPARK)} AS warc_epoch, html
+        FROM ({pages_sql(D.SPARK)})
+    """).repartition(WARC_PARTS, "url")
+    out_dir = tempfile.mkdtemp(prefix="unmixing_warc_")
+    try:
+        write_warc(pages, out_dir, gzip_records=True)
+        back = read_warc(spark, out_dir)
+        back.createOrReplaceTempView("warc_back")
+        # materialize before the files vanish
+        return spark.sql(
+            _fingerprint_sql(D.SPARK, "warc_back")).localCheckpoint(
+            eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _warc_oracle() -> str:
+    d = D.DUCKDB
+    inner = f"""(
+      SELECT url, {D.ts_to_epoch('warc_ts', d)} AS warc_epoch, html
+      FROM ({pages_sql(d)})
+    ) p"""
+    return _fingerprint_sql(d, inner)
+
+
+register("q_warc_roundtrip", QuerySpec(
+    spark_fn=_warc_roundtrip_spark, oracle=_warc_oracle(),
+    doc="WARC source/sink roundtrip: pages → per-record-gzipped WARC "
+        "files → binaryFile+mapInPandas reader → per-url byte "
+        "fingerprints, oracle-matched against the direct SQL synthesis"))
