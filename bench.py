@@ -59,6 +59,10 @@ HEADLINE = [
     # driver artifact that includes them)
     "q_semdedup",
     "q_html_extract",
+    # round-5 fourth-session additions (crawl-cycle operators)
+    "q_extract_links",
+    "q_simhash_pairs",
+    "q_bloom_crossdedup",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",

@@ -1,0 +1,195 @@
+"""Crawl-cycle operators (crawl_q.py) vs independent Python brute force.
+Dialect parity alone can't catch a wrong metric shared by both renderings —
+these pins compute the expected values a third way."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+from unmixing_spark.queries import registry
+
+
+def _docs():
+    return pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _md5_slice(s: str, start: int) -> int:
+    """Python twin of dialect.md5_slice (1-indexed hex offsets)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[start - 1:start + 7], 16)
+
+
+def _planted_links(n: int) -> list[tuple[int, int, int]]:
+    """Python twin of linkgraph_q._link_ctes: (src, k, dst) triples."""
+    from unmixing_spark.queries.linkgraph_q import PR_MAX_FAN
+    out = []
+    for src in range(n):
+        for k in range(1 + src % PR_MAX_FAN):
+            out.append((src, k, _md5_slice(f"{src}#{k}", 1) % n))
+    return out
+
+
+def test_extract_links_inverts_synthesis(spark):
+    """The recovered edge multiset equals the brute-force link graph AND
+    every row carries match=1 (extraction + protocol-relative resolution
+    invert the html synthesis exactly)."""
+    out = registry()["q_extract_links"].spark_fn(spark, SF_SMALL).toPandas()
+    links = _planted_links(len(_docs()))
+    expect: dict[tuple[int, int], int] = {}
+    for src, _k, dst in links:
+        expect[(src, dst)] = expect.get((src, dst), 0) + 1
+    got = {(int(r.src), int(r.dst)): int(r.extracted_n)
+           for r in out.itertuples()}
+    assert got == expect
+    assert (out["match"] == 1).all()
+    assert (out["extracted_n"] == out["planted_n"]).all()
+    # the protocol-relative serialization branch is exercised: both
+    # parities of (src + k) occur in the planted graph
+    assert any((s + k) % 2 == 1 for s, k, _ in links)
+    assert any((s + k) % 2 == 0 for s, k, _ in links)
+
+
+def test_anchor_text_ordered_sha(spark):
+    """Per-target anchor aggregation matches an independent Python
+    rebuild: same anchors, same (src, fan-order) ordering, same SHA."""
+    out = registry()["q_anchor_text"].spark_fn(spark, SF_SMALL).toPandas()
+    per_dst: dict[int, list[tuple[int, str]]] = {}
+    srcs: dict[int, set[int]] = {}
+    for src, k, dst in _planted_links(len(_docs())):
+        # extraction sees tags in fan order, so tag index idx = k + 1
+        per_dst.setdefault(dst, []).append((src * 8 + k + 1,
+                                            f"p{dst} k{k}"))
+        srcs.setdefault(dst, set()).add(src)
+    assert set(out["doc_id"]) == set(per_dst)
+    for r in out.itertuples():
+        anchors = [a for _, a in sorted(per_dst[int(r.doc_id)])]
+        sha = hashlib.sha256(" ".join(anchors).encode()).hexdigest()
+        assert r.anchors_sha == sha
+        assert int(r.n_inlinks) == len(anchors)
+        assert int(r.n_src_pages) == len(srcs[int(r.doc_id)])
+
+
+def _simhash64(text: str) -> tuple[int, int]:
+    toks = re.split(r"\s+", text)
+    lo = hi = 0
+    for b in range(32):
+        s_lo = s_hi = 0
+        for t in toks:
+            s_lo += 1 if (_md5_slice(t, 1) >> b) & 1 else -1
+            s_hi += 1 if (_md5_slice(t, 9) >> b) & 1 else -1
+        if s_lo > 0:
+            lo |= 1 << b
+        if s_hi > 0:
+            hi |= 1 << b
+    return lo, hi
+
+
+def test_simhash_pairs_exact_vs_brute_force(spark):
+    """The 4x16-bit block banding is EXACT for Hamming <= 3 (pigeonhole):
+    the query's pairs equal the brute-force all-pairs answer, not a
+    subset. Also checks no block bucket is hot enough that a production
+    cap (which this operator deliberately omits) would have bitten."""
+    from unmixing_spark.queries.crawl_q import SIM64_HD_MAX
+
+    out = registry()["q_simhash_pairs"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    sh = {int(r.doc_id): _simhash64(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = (bin((sh[a][0] ^ sh[b][0])).count("1")
+                  + bin((sh[a][1] ^ sh[b][1])).count("1"))
+            if hd <= SIM64_HD_MAX:
+                expect[(a, b)] = hd
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+           for r in out.itertuples()}
+    assert expect, "corpus must exercise the near-dup branch"
+    assert got == expect
+    # bucket-size audit: the largest (block, value) bucket stays far from
+    # quadratic territory on this corpus
+    buckets: dict[tuple[int, int], int] = {}
+    for lo, hi in sh.values():
+        for blk, bval in enumerate((lo & 0xFFFF, lo >> 16,
+                                    hi & 0xFFFF, hi >> 16)):
+            buckets[(blk, bval)] = buckets.get((blk, bval), 0) + 1
+    # bound = text_q.HOT_BUCKET_CAP: where the MinHash path CAPS buckets,
+    # this exact path must instead stay under the same line naturally
+    assert max(buckets.values()) <= 64
+
+
+def test_bloom_crossdedup_no_false_negatives(spark, tmp_path):
+    """On a fixture with texts planted as exact copies across the crawl
+    split, every true duplicate probe must hit the filter (Bloom filters
+    cannot false-negative), false positives stay under a loose bound,
+    and Spark == DuckDB on the fixture."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from unmixing_spark.pagegen import EPOCH_2025
+    from unmixing_spark.queries.crawl_q import BLOOM_CUTOFF
+
+    docs = _docs().copy()
+    planted = docs["doc_id"] < 90
+    docs.loc[planted, "text"] = [
+        f"planted duplicate text number {i % 3}"
+        for i in docs.loc[planted, "doc_id"]]
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    # the fixture must actually place copies of each planted text on
+    # BOTH sides of the md5-derived time split (deterministic, so this
+    # holds forever once it holds once)
+    def is_new(row) -> bool:
+        url = f"https://{row.source}.example.com/{row.lang}/{row.doc_id}"
+        return EPOCH_2025 + _md5_slice(url, 1) % 31536000 >= BLOOM_CUTOFF
+    sides = {}
+    for r in docs[planted].itertuples():
+        sides.setdefault(r.text, set()).add(is_new(r))
+    assert all(s == {False, True} for s in sides.values())
+
+    spec = registry()["q_bloom_crossdedup"]
+    sdf = spec.spark_fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    ddf = con.sql(spec.oracle).df()
+    assert not compare(sdf, ddf)
+
+    dups = sdf[sdf["exact_dup"] == 1]
+    assert len(dups) > 0, "fixture must produce true cross-split dups"
+    assert (dups["bloom_hit"] == 1).all()          # no false negatives
+    clean = sdf[sdf["exact_dup"] == 0]
+    assert clean["false_pos"].mean() < 0.15        # deliberately-small m
+
+
+def test_cdx_index_pin(spark):
+    """SURT keys, timestamps, digests, and global line numbers match an
+    independent Python rebuild of the index."""
+    from datetime import datetime, timezone
+
+    from unmixing_spark.pagegen import EPOCH_2025
+
+    out = (registry()["q_cdx_index"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("line_no").reset_index(drop=True))
+    rows = []
+    for r in _docs().itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        epoch = EPOCH_2025 + _md5_slice(url, 1) % 31536000
+        ts14 = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+            "%Y%m%d%H%M%S")
+        surt = f"com,example,{r.source})/{r.lang}/{r.doc_id}"
+        digest = hashlib.sha256(r.text.encode()).hexdigest()
+        html_len = len(f"<html><body>{r.text}</body></html>".encode())
+        rows.append((surt, ts14, url, digest, "text/html", html_len))
+    rows.sort()
+    expect = pd.DataFrame(rows, columns=["surt_key", "ts14", "url",
+                                         "digest", "mime", "length_bytes"])
+    assert len(out) == len(expect)
+    for c in expect.columns:
+        assert (out[c].astype(str) == expect[c].astype(str)).all(), c
+    assert (out["line_no"] == range(1, len(out) + 1)).all()

@@ -167,6 +167,33 @@ def dbl(x: float) -> str:
     return f"cast({x!r} as double)"
 
 
+def xor_(a: str, b: str, dialect: str) -> str:
+    """Bitwise XOR of two integer exprs. Spark's ``^`` is xor; DuckDB's
+    ``^`` is POWER (its xor is the ``xor()`` function). ``bit_count``,
+    ``&``, ``>>``, ``<<`` agree by name/operator in both dialects and
+    need no helper."""
+    if dialect == SPARK:
+        return f"(({a}) ^ ({b}))"
+    return f"xor(({a}), ({b}))"
+
+
+def host_surt(host: str, dialect: str) -> str:
+    """SURT-ordered host: dot-labels reversed and comma-joined
+    (``src1.example.com`` → ``com,example,src1``) — the key ordering web
+    archives (CDX) sort capture indexes by, so one host's captures are
+    contiguous under a plain string sort."""
+    if dialect == SPARK:
+        return f"array_join(reverse(split({host}, '[.]')), ',')"
+    return f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+
+
+def ts_compact(expr: str, dialect: str) -> str:
+    """TIMESTAMP → the 14-digit ``yyyyMMddHHmmss`` string CDX lines use."""
+    if dialect == SPARK:
+        return f"date_format({expr}, 'yyyyMMddHHmmss')"
+    return f"strftime({expr}, '%Y%m%d%H%M%S')"
+
+
 def json_get(expr: str, key: str, dialect: str) -> str:
     """Extract a JSON field as a string."""
     if dialect == SPARK:

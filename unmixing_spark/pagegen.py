@@ -30,9 +30,17 @@ CITIES: list[tuple[float, float]] = [
 EPOCH_2025 = 1735689600  # 2025-01-01T00:00:00Z
 
 
+def url_expr(dialect: str) -> str:
+    """The canonical page url as an expr over ``documents`` columns — the
+    SINGLE definition (pages_sql and crawl_q's link resolution share it,
+    so a planted href and the page table cannot disagree on a url)."""
+    return ("'https://' || source || '.example.com/' || lang || '/' || "
+            + D.to_str("doc_id", dialect))
+
+
 def pages_sql(dialect: str, documents: str = "documents") -> str:
     """SELECT producing the canonical ``pages`` table from ``documents``."""
-    url = f"'https://' || source || '.example.com/' || lang || '/' || {D.to_str('doc_id', dialect)}"
+    url = url_expr(dialect)
     h1 = D.md5_slice("url", 1, dialect)
     ts = D.epoch_to_ts(f"{EPOCH_2025} + ({h1}) % 31536000", dialect)
     html = D.to_binary("'<html><body>' || text || '</body></html>'", dialect)

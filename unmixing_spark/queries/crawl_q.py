@@ -1,0 +1,365 @@
+"""Crawl-cycle operators: the steps between fetching pages and having a
+clean, indexed, deduplicated corpus (task brief; the reference engine has
+no web surface):
+
+- q_extract_links — href extraction from page html + resolution against
+  the page table, proven IN-QUERY to recover exactly the synthetic link
+  graph the centrality queries (PageRank/HyperBall/HITS) run on.
+- q_anchor_text — the anchor-text index: per target page, in-link counts
+  and the SHA-256 of the deterministically ordered anchor texts (the
+  classic web-search relevance signal; Brin & Page 1998 §2.2).
+- q_simhash_pairs — Manku et al. 2007 ("Detecting Near-Duplicates for Web
+  Crawling"): 64-bit SimHash with 4x16-bit block banding; by pigeonhole,
+  blocking is EXACT for Hamming distance <= 3 — every qualifying pair
+  shares an intact block.
+- q_bloom_crossdedup — incremental cross-crawl dedup: a Bloom filter
+  built over the previous crawl's text digests probes the new crawl,
+  with exact-join ground truth so false positives are accounted per row.
+- q_cdx_index — CDX-style capture index generation: SURT-ordered url
+  keys, 14-digit timestamps, content digests (the index format web
+  archives/Common Crawl ship alongside WARC).
+
+All dual-rendered (Spark executes, DuckDB is the driver's oracle) and
+hash-deterministic. Scale notes per operator in the docstrings below.
+"""
+
+from __future__ import annotations
+
+from unmixing_spark import dialect as D
+from unmixing_spark.pagegen import EPOCH_2025, pages_sql, url_expr
+from unmixing_spark.queries import sql_template
+from unmixing_spark.queries.linkgraph_q import _link_ctes
+from unmixing_spark.queries.text_q import _tokens
+
+# ---- link extraction from html ------------------------------------------------
+
+A_TAG_RX = r'<a href="[^"]*">[^<]*</a>'
+A_HREF_RX = r'<a href="([^"]*)"'
+A_TEXT_RX = r'>([^<]*)</a>'
+
+
+def _links_html_ctes(d: str) -> str:
+    """Shared CTE chain ending in ``edges``(src, dst, idx, anchor).
+
+    Synthesis: each page's html carries one ``<a>`` tag per out-link of
+    the synthetic graph (_link_ctes keep_k — the SINGLE graph definition
+    shared with the centrality queries), concatenated in fan order.
+    Every other link is serialized PROTOCOL-RELATIVE (``//host/path``),
+    so resolution must recover the scheme from the linking page — a real
+    resolution step, not string passthrough.
+
+    Extraction: regexp_extract_all pulls the tags back out of the html,
+    hrefs are resolved (scheme fill-in) and joined against the page
+    table on url. That join is the web-graph build's real shape at
+    10^12 pages: the href stream shuffles on url against the page
+    table (both corpus-sized — a shuffled equi-join, never broadcast);
+    everything before it is per-row string work that pipelines with the
+    scan, and the planted-side aggregation is one (src, dst)-keyed
+    exchange. No all-pairs anywhere."""
+    href = ("CASE WHEN (l.src + l.k) % 2 = 0 THEN u.url "
+            "ELSE '//' || substr(u.url, 9) END")
+    anchor = f"'p' || {D.to_str('l.dst', d)} || ' k' || {D.to_str('l.k', d)}"
+    tag = f"'<a href=\"' || {href} || '\">' || {anchor} || '</a>'"
+    html = ("'<html><body><p>' || u.text || '</p>' || a.tags_html || "
+            "'</body></html>'")
+    if d == D.SPARK:
+        tag_stream = f"""(
+      SELECT doc_id, url, idx0 + 1 AS idx, tag
+      FROM page
+      LATERAL VIEW posexplode(regexp_extract_all(html, {D.rx_lit(A_TAG_RX, d)}, 0)) t AS idx0, tag
+    )"""
+    else:
+        tag_stream = f"""(
+      SELECT doc_id, url, cast(idx as int) AS idx, tag
+      FROM (
+        SELECT doc_id, url,
+               unnest(range(1, len(tags) + 1)) AS idx,
+               unnest(tags) AS tag
+        FROM (SELECT doc_id, url,
+                     regexp_extract_all(html, {D.rx_lit(A_TAG_RX, d)}, 0) AS tags
+              FROM page) t)
+    )"""
+    return f"""{_link_ctes(d, keep_k=True)},
+    urls AS {D.mat(d)}(
+      SELECT doc_id, {url_expr(d)} AS url, text FROM documents
+    ),
+    atags AS (
+      SELECT l.src,
+             {D.ordered_string_agg(tag, 'l.k', "''", d)} AS tags_html
+      FROM links l JOIN urls u ON u.doc_id = l.dst
+      GROUP BY l.src
+    ),
+    page AS (
+      SELECT u.doc_id, u.url, {html} AS html
+      FROM urls u JOIN atags a ON a.src = u.doc_id
+    ),
+    tags AS (SELECT doc_id, url, idx, tag FROM {tag_stream}),
+    parsed AS (
+      SELECT doc_id AS src, url AS src_url, idx,
+             regexp_extract(tag, {D.rx_lit(A_HREF_RX, d)}, 1) AS href,
+             regexp_extract(tag, {D.rx_lit(A_TEXT_RX, d)}, 1) AS anchor
+      FROM tags
+    ),
+    resolved AS (
+      SELECT src, idx, anchor,
+             CASE WHEN href LIKE '//%'
+                  THEN split_part(src_url, ':', 1) || ':' || href
+                  ELSE href END AS abs_url
+      FROM parsed
+    ),
+    edges AS {D.mat(d)}(
+      SELECT r.src, u.doc_id AS dst, r.idx, r.anchor
+      FROM resolved r JOIN urls u ON u.url = r.abs_url
+    )"""
+
+
+def _extract_links(d: str) -> str:
+    """Recovered edge multiset FULL-JOINed against the planted graph:
+    ``match = 1`` on every row iff extraction + resolution inverted the
+    synthesis exactly (the in-query proof that the html-derived graph IS
+    the graph PageRank/HyperBall/HITS consume)."""
+    return f"""
+    WITH {_links_html_ctes(d)},
+    ex AS (SELECT src, dst, cast(count(*) as bigint) AS n
+           FROM edges GROUP BY src, dst),
+    pl AS (SELECT src, dst, cast(count(*) as bigint) AS n
+           FROM links GROUP BY src, dst)
+    SELECT coalesce(e.src, p.src) AS src,
+           coalesce(e.dst, p.dst) AS dst,
+           cast(coalesce(e.n, 0) as bigint) AS extracted_n,
+           cast(coalesce(p.n, 0) as bigint) AS planted_n,
+           cast(CASE WHEN e.n = p.n THEN 1 ELSE 0 END as bigint) AS match
+    FROM ex e FULL JOIN pl p ON p.src = e.src AND p.dst = e.dst
+    """
+
+
+sql_template("q_extract_links", _extract_links,
+             "href extraction from page html + url resolution (incl. "
+             "protocol-relative) joined against the page table, with an "
+             "in-query proof the recovered edges equal the synthetic "
+             "link graph the centrality queries run on")
+
+
+def _anchor_text(d: str) -> str:
+    """Anchor-text aggregation per TARGET page (the relevance signal web
+    search indexes under the target, not the source). Order key
+    src*8+idx is unique (out-degree <= 4 < 8), so the SHA-256 pins the
+    exact ordered anchor bytes. One dst-keyed exchange over the edge
+    stream — anchor payloads ride the shuffle once; at 10^12 pages this
+    is the standard anchor-index build (skewed dsts are AQE's case;
+    per-dst caps compose like HOT_BUCKET_CAP if a super-target needs
+    one)."""
+    okey = "src * 8 + idx"
+    return f"""
+    WITH {_links_html_ctes(d)}
+    SELECT dst AS doc_id,
+           cast(count(*) as bigint) AS n_inlinks,
+           cast(count(DISTINCT src) as bigint) AS n_src_pages,
+           {D.sha256_(D.ordered_string_agg('anchor', okey, "' '", d), d)}
+             AS anchors_sha
+    FROM edges
+    GROUP BY dst
+    """
+
+
+sql_template("q_anchor_text", _anchor_text,
+             "anchor-text index: per-target in-link counts + SHA-256 of "
+             "the deterministically ordered anchor texts")
+
+
+# ---- SimHash Hamming-block near-dup pairs --------------------------------------
+
+SIM64_HD_MAX = 3   # Manku et al. 2007 use k=3 over 64 bits in production
+
+
+def _simhash64_cte(d: str) -> str:
+    """CTE chain ending in ``sh``(doc_id, lo, hi): a 64-bit SimHash as
+    two 32-bit halves (bit 63 would overflow signed int64 as a sum
+    term), from two independent md5 slices per token. Same per-bit
+    weighted-majority construction as q_simhash (Charikar 2002), one
+    tok-exploded aggregation — map-side combinable, one doc_id
+    exchange."""
+    def bits(h: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({h} >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(32))
+    return f"""toks AS (
+      SELECT doc_id, {D.md5_slice('tok', 1, d)} AS h1,
+             {D.md5_slice('tok', 9, d)} AS h2
+      FROM {_tokens(d)}
+    ),
+    sh AS {D.mat(d)}(
+      SELECT doc_id,
+             cast({bits('h1')} as bigint) AS lo,
+             cast({bits('h2')} as bigint) AS hi
+      FROM toks GROUP BY doc_id
+    )"""
+
+
+def _simhash_pairs(d: str) -> str:
+    """Near-dup pairs at Hamming distance <= SIM64_HD_MAX over a 64-bit
+    SimHash, blocked on 4x16-bit blocks (Manku et al. 2007): a pair
+    differing in <= 3 bits touches <= 3 blocks, so BY PIGEONHOLE it
+    collides on an intact block — the blocking is EXACT, not
+    approximate (the pytest pin asserts equality with the brute-force
+    all-pairs answer). Candidate generation is a (blk, bval)-keyed
+    self-join: O(docs x 4) bucket rows, 65,536 values per block, never
+    all-pairs. At web scale the hot buckets ARE the exact-duplicate
+    clusters — production runs q_dedup_exact first (Manku §4) and/or
+    splits a residual hot bucket on a second block; the corpus here has
+    none (the pin checks the max bucket size), so a cap would only mask
+    the exactness property this operator guarantees."""
+    hd = (f"bit_count({D.xor_('a.lo', 'b.lo', d)}) + "
+          f"bit_count({D.xor_('a.hi', 'b.hi', d)})")
+    return f"""
+    WITH {_simhash64_cte(d)},
+    blk AS (
+      SELECT doc_id, 0 AS blk, (lo & 65535) AS bval FROM sh
+      UNION ALL SELECT doc_id, 1, ((lo >> 16) & 65535) FROM sh
+      UNION ALL SELECT doc_id, 2, (hi & 65535) FROM sh
+      UNION ALL SELECT doc_id, 3, ((hi >> 16) & 65535) FROM sh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blk a JOIN blk b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, cast({hd} as bigint) AS hamming
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE {hd} <= {SIM64_HD_MAX}
+    """
+
+
+sql_template("q_simhash_pairs", _simhash_pairs,
+             "64-bit SimHash near-dup pairs via 4x16-bit block banding "
+             "(Manku et al. 2007) — pigeonhole-exact for Hamming <= 3, "
+             "pinned against brute force")
+
+
+# ---- Bloom-filter incremental cross-crawl dedup --------------------------------
+
+BLOOM_M = 2048   # filter bits. UNDER-sized on purpose at toy scale so the
+                 # false-positive path is exercised (~3% FP at ~250 old
+                 # keys: (1 - e^(-k n / m))^k); production sizes m ~ 10n
+                 # per shard. 64 words x 32 bits.
+BLOOM_K = 3      # hash functions = 3 independent md5 hex slices
+BLOOM_CUTOFF = EPOCH_2025 + 15768000   # mid-year: captures before it are
+                                       # the "previous crawl"
+
+
+def _bloom_crossdedup(d: str) -> str:
+    """Incremental dedup of a new crawl against the previous one — the
+    standing-corpus half of dedup that whole-corpus passes (exact /
+    MinHash / SimHash) don't cover: at 100 TB you don't re-shuffle last
+    year's corpus to admit this week's crawl; you probe its digest
+    Bloom filter.
+
+    Filter build: k md5-slice positions per OLD text digest; DISTINCT
+    (word, bit) pairs sum exact pow2 literals into 64 bigint words — a
+    B-row aggregate (B = 64 << corpus), broadcast onto the probe
+    stream. Probes: per NEW page, bloom_hit = every one of its k bits
+    set (min over bit tests); ground truth via a digest-keyed LEFT
+    join back to the old keys so false positives are per-row auditable
+    (a real pipeline drops the truth join and accepts the FP rate —
+    here it IS the oracle check). All exchanges are digest-keyed or
+    broadcast; no all-pairs. Per-shard filters at 10^12 pages are this
+    same query GROUPed by shard key."""
+    pow2_rows = ", ".join(f"({n}, {1 << n})" for n in range(32))
+    def pos_union(src: str, cols: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {cols}, ({D.hex2int(f'substr(tk, {o}, 8)', d)}) "
+            f"% {BLOOM_M} AS p FROM {src}"
+            for o in (1, 9, 17))
+    w = D.idiv_i("p", "32", d)
+    return f"""
+    WITH pg AS (SELECT * FROM ({pages_sql(d)}) q),
+    sp AS {D.mat(d)}(
+      SELECT url, md5(text) AS tk,
+             CASE WHEN {D.ts_to_epoch('warc_ts', d)} < {BLOOM_CUTOFF}
+                  THEN 0 ELSE 1 END AS is_new
+      FROM pg
+    ),
+    pow2 AS ({D.values_rel(pow2_rows, "t(n, p)", d)}),
+    oldk AS {D.mat(d)}(SELECT DISTINCT tk FROM sp WHERE is_new = 0),
+    opos AS ({pos_union('oldk', 'tk')}),
+    obits AS (SELECT DISTINCT {w} AS w, p % 32 AS b FROM opos),
+    bloom AS {D.mat(d)}(
+      SELECT w, cast(sum(p2.p) as bigint) AS wd
+      FROM obits JOIN pow2 p2 ON p2.n = b
+      GROUP BY w
+    ),
+    probe AS {D.mat(d)}(SELECT url, tk FROM sp WHERE is_new = 1),
+    ppos AS ({pos_union('probe', 'url')}),
+    hits AS (
+      SELECT pp.url,
+             min(CASE WHEN f.wd IS NOT NULL AND (f.wd & p2.p) <> 0
+                      THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ppos pp
+      JOIN pow2 p2 ON p2.n = pp.p % 32
+      LEFT JOIN bloom f ON f.w = {D.idiv_i('pp.p', '32', d)}
+      GROUP BY pp.url
+    )
+    SELECT pr.url,
+           cast(h.bloom_hit as bigint) AS bloom_hit,
+           cast(CASE WHEN o.tk IS NOT NULL THEN 1 ELSE 0 END as bigint)
+             AS exact_dup,
+           cast(CASE WHEN h.bloom_hit = 1 AND o.tk IS NULL
+                     THEN 1 ELSE 0 END as bigint) AS false_pos
+    FROM probe pr
+    JOIN hits h ON h.url = pr.url
+    LEFT JOIN oldk o ON o.tk = pr.tk
+    """
+
+
+sql_template("q_bloom_crossdedup", _bloom_crossdedup,
+             "incremental cross-crawl dedup: Bloom filter over the "
+             "previous crawl's text digests probes the new crawl, with "
+             "exact-join ground truth making false positives auditable")
+
+
+# ---- CDX capture index ----------------------------------------------------------
+
+
+def _cdx_index(d: str) -> str:
+    """CDX-style capture index over the pages table: SURT-ordered url
+    key (reversed host labels — one host's captures are contiguous
+    under a plain string sort), 14-digit timestamp, SHA-256 content
+    digest, payload length, and the global line number the sorted
+    index file would carry. Per-row string work + ONE global sort
+    window; at 10^12 captures the sort is a range-partitioned
+    sort-merge write (Spark's sortWithinPartitions over a range
+    partitioner — the exact plan writeTo(...).sortedBy produces) and
+    line_no becomes per-shard offsets + a shard manifest, the way CDX
+    shards actually ship."""
+    host = "lower(split_part(split_part(url, '://', 2), '/', 1))"
+    path = ("substr(split_part(url, '://', 2), "
+            "length(split_part(split_part(url, '://', 2), '/', 1)) + 1)")
+    surt = f"{D.host_surt('host', d)} || ')' || path"
+    return f"""
+    WITH pg AS (SELECT * FROM ({pages_sql(d)}) q),
+    parts AS (
+      SELECT url, warc_ts, text, html, {host} AS host, {path} AS path
+      FROM pg
+    ),
+    keyed AS (
+      SELECT {surt} AS surt_key,
+             {D.ts_compact('warc_ts', d)} AS ts14,
+             url,
+             {D.sha256_('text', d)} AS digest,
+             'text/html' AS mime,
+             cast({D.binary_len('html', d)} as bigint) AS length_bytes
+      FROM parts
+    )
+    SELECT surt_key, ts14, url, digest, mime, length_bytes,
+           cast(row_number() OVER (ORDER BY surt_key, ts14, url)
+                as bigint) AS line_no
+    FROM keyed
+    """
+
+
+sql_template("q_cdx_index", _cdx_index,
+             "CDX capture index: SURT-ordered keys, 14-digit timestamps, "
+             "SHA-256 digests, payload lengths, sorted line numbers")

@@ -58,21 +58,27 @@ PR_CKPT_EVERY = 8     # Spark-side lineage truncation cadence (rounds).
                       # is only worth it for ADAPTIVE loops)
 
 
-def _link_ctes(d: str) -> str:
+def _link_ctes(d: str, keep_k: bool = False) -> str:
     """CTE fragment ending in ``links``(src, outdeg, dst): each page emits
     1 + doc_id % PR_MAX_FAN out-links whose targets are md5-derived page
     ids in [0, N) — deterministic, dual-rendered, self-loops allowed
     (declared; PageRank stays well-defined). doc_ids are contiguous
     0..N-1 in the corpus, so every dst is a real page and every page has
-    out-degree >= 1 (no dangling mass to redistribute)."""
+    out-degree >= 1 (no dangling mass to redistribute).
+
+    ``keep_k=True`` appends the fan index ``k`` (unique per src) — the
+    SINGLE definition of the synthetic graph, shared with crawl_q's link
+    extraction so the html-planted anchors and the centrality queries
+    cannot silently run on different graphs."""
     fan_rows = ", ".join(f"({k})" for k in range(PR_MAX_FAN))
     key = f"{D.to_str('d.doc_id', d)} || '#' || {D.to_str('fan.k', d)}"
+    kcol = ",\n             fan.k AS k" if keep_k else ""
     return f"""nd AS (SELECT cast(count(*) as bigint) AS n FROM documents),
     fan AS ({D.values_rel(fan_rows, "t(k)", d)}),
     links AS {D.mat(d)}(
       SELECT d.doc_id AS src,
              cast(1 + d.doc_id % {PR_MAX_FAN} as bigint) AS outdeg,
-             ({D.md5_slice(key, 1, d)}) % nd.n AS dst
+             ({D.md5_slice(key, 1, d)}) % nd.n AS dst{kcol}
       FROM documents d
       JOIN fan ON fan.k < 1 + d.doc_id % {PR_MAX_FAN}
       CROSS JOIN nd
