@@ -180,9 +180,12 @@ def _simhash64_cte(d: str) -> str:
     tok-exploded aggregation — map-side combinable, one doc_id
     exchange."""
     def bits(h: str) -> str:
+        # majority of occurrences: (#set - #unset) > 0 <=> 2*#set > n —
+        # the arithmetic form keeps the per-row aggregate input a plain
+        # shift-and (no CASE branch per bit per token)
         return " + ".join(
-            f"(CASE WHEN sum(CASE WHEN ({h} >> {b}) & 1 = 1 "
-            f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+            f"(CASE WHEN 2 * sum(({h} >> {b}) & 1) > count(*) "
+            f"THEN {1 << b} ELSE 0 END)"
             for b in range(32))
     return f"""toks AS (
       SELECT doc_id, {D.md5_slice('tok', 1, d)} AS h1,
