@@ -167,6 +167,39 @@ def test_bloom_crossdedup_no_false_negatives(spark, tmp_path):
     assert clean["false_pos"].mean() < 0.15        # deliberately-small m
 
 
+def test_robots_rules_longest_match(spark):
+    """Independent RFC 9309 evaluation: rebuild the per-host rule sets in
+    Python, apply longest-match (Allow wins ties), compare every verdict
+    — and require every semantic branch to have fired."""
+    out = registry()["q_robots_rules"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    rules_by_group = {
+        0: [("Disallow", "/zh/"), ("Allow", "/zh/1")],
+        1: [("Disallow", "/")],
+        2: [("Allow", "/en/"), ("Disallow", "/en/"), ("Disallow", "/de/")],
+        3: [],
+    }
+    branches = set()
+    expect = {}
+    for r in docs.itertuples():
+        host = f"{r.source}.example.com"
+        path = f"/{r.lang}/{r.doc_id}"
+        rules = rules_by_group[_md5_slice("h" + host, 1) % 4]
+        hits = [(len(p), t, p) for t, p in rules if path.startswith(p)]
+        if not hits:
+            expect[r.doc_id] = ("", "", 1)
+            branches.add("none")
+        else:
+            # longest prefix first; 'Allow' < 'Disallow' breaks ties
+            _, typ, pref = sorted(hits, key=lambda h: (-h[0], h[1]))[0]
+            expect[r.doc_id] = (typ, pref, 0 if typ == "Disallow" else 1)
+            branches.add(pref)
+    for r in out.itertuples():
+        assert (r.rule_typ, r.rule_prefix, int(r.allowed)) \
+            == expect[int(r.doc_id)], r
+    assert branches >= {"none", "/", "/zh/", "/zh/1", "/en/", "/de/"}
+
+
 def test_cdx_index_pin(spark):
     """SURT keys, timestamps, digests, and global line numbers match an
     independent Python rebuild of the index."""

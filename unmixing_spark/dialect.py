@@ -108,6 +108,14 @@ def ws_split(expr: str, dialect: str) -> str:
     return f"string_split_regex({expr}, '\\s+')"
 
 
+def line_split(expr: str, dialect: str) -> str:
+    """Split on newline characters only (``\\n`` — NOT the whitespace
+    class; lines may contain spaces)."""
+    if dialect == SPARK:
+        return f"split({expr}, '\\\\n')"
+    return f"string_split({expr}, chr(10))"
+
+
 def mat(dialect: str) -> str:
     """``MATERIALIZED `` in the DuckDB rendering only — DuckDB inlines
     every CTE by default, so a CTE referenced N times is computed N

@@ -366,3 +366,88 @@ def _cdx_index(d: str) -> str:
 sql_template("q_cdx_index", _cdx_index,
              "CDX capture index: SURT-ordered keys, 14-digit timestamps, "
              "SHA-256 digests, payload lengths, sorted line numbers")
+
+
+# ---- robots.txt evaluation (RFC 9309 longest-match) -----------------------------
+
+RULE_RX = r"(Allow|Disallow): (.+)"
+
+
+def _robots_rules(d: str) -> str:
+    """robots.txt fetch-compliance filter with the REAL match semantics
+    (RFC 9309 §2.2.2: the longest matching path prefix wins; §2.3.2
+    ties go to Allow) — q_meta_robots' upstream sibling: the crawler
+    applies THIS before fetching, the indexer applies robots-meta after.
+
+    Each host's robots.txt is synthesized deterministically (md5(host)
+    convention) to fire every semantic branch: a Disallow overridden by
+    a longer Allow, a blanket ``Disallow: /``, an equal-length
+    Allow/Disallow tie, and rule-free hosts. The rule table is PARSED
+    back out of the file text (newline split + regexp per line, the
+    group-less single-agent scope declared), never passed around as
+    structured data — the parser is part of the operator.
+
+    Scale shape: robots files are per-HOST (~10^7 hosts vs 10^12 pages)
+    so the parsed rule table is small and the page-stream join is
+    host-keyed with a broadcast build side; the longest-match winner is
+    one doc_id-keyed window over the (few-rules-per-page) match rows.
+    Per-row work pipelines with the scan. UT1-style category blocking
+    over the same shape is q_url_blocklist."""
+    host = "source || '.example.com'"
+    path = f"'/' || lang || '/' || {D.to_str('doc_id', d)}"
+    hkey = "'h' || host"
+    g = f"({D.md5_slice(hkey, 1, d)}) % 4"
+    nl = "chr(10)"
+    body = f"""CASE {g}
+      WHEN 0 THEN {nl} || 'Disallow: /zh/' || {nl} || 'Allow: /zh/1'
+      WHEN 1 THEN {nl} || 'Disallow: /'
+      WHEN 2 THEN {nl} || 'Allow: /en/' || {nl} || 'Disallow: /en/'
+                  || {nl} || 'Disallow: /de/'
+      ELSE '' END"""
+    if d == D.SPARK:
+        line_stream = f"""(
+      SELECT host, line FROM robots
+      LATERAL VIEW explode({D.line_split('txt', d)}) t AS line
+    )"""
+    else:
+        line_stream = f"""(
+      SELECT host, unnest({D.line_split('txt', d)}) AS line FROM robots
+    )"""
+    return f"""
+    WITH hosts AS (SELECT DISTINCT {host} AS host FROM documents),
+    robots AS (
+      SELECT host, 'User-agent: *' || ({body}) AS txt FROM hosts
+    ),
+    lines AS (SELECT host, line FROM {line_stream}),
+    rules AS {D.mat(d)}(
+      SELECT host,
+             regexp_extract(line, {D.rx_lit(RULE_RX, d)}, 1) AS typ,
+             regexp_extract(line, {D.rx_lit(RULE_RX, d)}, 2) AS prefix
+      FROM lines
+      WHERE regexp_extract(line, {D.rx_lit(RULE_RX, d)}, 2) <> ''
+    ),
+    pages AS (
+      SELECT doc_id, {host} AS host, {path} AS path FROM documents
+    ),
+    matched AS (
+      SELECT p.doc_id, r.typ, r.prefix,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY length(r.prefix) DESC, r.typ)
+               AS rn
+      FROM pages p JOIN rules r
+        ON r.host = p.host AND substr(p.path, 1, length(r.prefix)) = r.prefix
+    )
+    SELECT p.doc_id, p.host, p.path,
+           coalesce(m.typ, '') AS rule_typ,
+           coalesce(m.prefix, '') AS rule_prefix,
+           cast(CASE WHEN m.typ = 'Disallow' THEN 0 ELSE 1 END as bigint)
+             AS allowed
+    FROM pages p
+    LEFT JOIN matched m ON m.doc_id = p.doc_id AND m.rn = 1
+    """
+
+
+sql_template("q_robots_rules", _robots_rules,
+             "RFC 9309 robots.txt evaluation: rules parsed from the "
+             "per-host file text, longest-match-wins with Allow winning "
+             "ties — the crawler-side compliance filter")
