@@ -200,6 +200,51 @@ def test_robots_rules_longest_match(spark):
     assert branches >= {"none", "/", "/zh/", "/zh/1", "/en/", "/de/"}
 
 
+def test_host_graph_rollup(spark):
+    """Host-pair link counts equal a Python rollup of the brute-force
+    page graph."""
+    out = registry()["q_host_graph"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    host = {int(r.doc_id): f"{r.source}.example.com"
+            for r in docs.itertuples()}
+    agg: dict[tuple[str, str], list] = {}
+    for src, _k, dst in _planted_links(len(docs)):
+        key = (host[src], host[dst])
+        e = agg.setdefault(key, [0, set(), set()])
+        e[0] += 1
+        e[1].add(src)
+        e[2].add(dst)
+    assert len(out) == len(agg)
+    for r in out.itertuples():
+        n, s, t = agg[(r.src_host, r.dst_host)]
+        assert (int(r.n_links), int(r.n_src_pages), int(r.n_dst_pages)) \
+            == (n, len(s), len(t))
+
+
+def test_crawl_delta_statuses(spark):
+    """Every delta status matches an independent Python rebuild of the
+    two snapshots, and all four branches fire."""
+    from unmixing_spark.queries.crawl_q import (DELTA_ADDED_MOD,
+                                                DELTA_REMOVED_MOD)
+
+    out = registry()["q_crawl_delta"].spark_fn(spark, SF_SMALL).toPandas()
+    expect = {}
+    for r in _docs().itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        fate = _md5_slice("f" + url, 1) % DELTA_REMOVED_MOD
+        if fate == 0:
+            expect[url] = "removed"
+        elif fate == 1:
+            expect[url] = "changed"
+        else:
+            expect[url] = "unchanged"
+        if r.doc_id % DELTA_ADDED_MOD == 0:
+            expect[url + "/v2-extra"] = "added"
+    got = {r.url: r.status for r in out.itertuples()}
+    assert got == expect
+    assert set(got.values()) == {"added", "removed", "changed", "unchanged"}
+
+
 def test_cdx_index_pin(spark):
     """SURT keys, timestamps, digests, and global line numbers match an
     independent Python rebuild of the index."""

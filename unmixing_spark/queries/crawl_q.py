@@ -451,3 +451,97 @@ sql_template("q_robots_rules", _robots_rules,
              "RFC 9309 robots.txt evaluation: rules parsed from the "
              "per-host file text, longest-match-wins with Allow winning "
              "ties — the crawler-side compliance filter")
+
+
+# ---- host-graph rollup -----------------------------------------------------------
+
+
+def _host_graph(d: str) -> str:
+    """Page graph → host graph rollup (the host/domain graph releases
+    Common Crawl publishes next to the page-level data, and the level
+    its harmonic-centrality rankings are computed at): per
+    (src_host, dst_host), link multiplicity and the distinct page
+    counts on each side.
+
+    Scale shape: the page→host map is a projection of the page table;
+    the two mappings join the edge list keyed by page id (the edge
+    list's natural keys — co-bucketable with the page table), then ONE
+    (src_host, dst_host)-keyed aggregation with map-side combine. The
+    host graph output is ~10^7 x fan rows — orders smaller than the
+    page graph, which is the point of the rollup."""
+    host = "source || '.example.com'"
+    return f"""
+    WITH {_link_ctes(d)},
+    hm AS (SELECT doc_id, {host} AS host FROM documents)
+    SELECT s.host AS src_host, t.host AS dst_host,
+           cast(count(*) as bigint) AS n_links,
+           cast(count(DISTINCT l.src) as bigint) AS n_src_pages,
+           cast(count(DISTINCT l.dst) as bigint) AS n_dst_pages
+    FROM links l
+    JOIN hm s ON s.doc_id = l.src
+    JOIN hm t ON t.doc_id = l.dst
+    GROUP BY s.host, t.host
+    """
+
+
+sql_template("q_host_graph", _host_graph,
+             "page graph -> host graph rollup (the Common Crawl "
+             "host-graph release shape): per host pair, link "
+             "multiplicity + distinct page counts")
+
+
+# ---- cross-snapshot crawl delta ---------------------------------------------------
+
+DELTA_REMOVED_MOD = 10   # urls with fate 0 disappear from snapshot B
+DELTA_CHANGED_MOD = 10   # urls with fate 1 change content in snapshot B
+DELTA_ADDED_MOD = 17     # every 17th doc contributes a B-only url
+
+
+def _crawl_delta(d: str) -> str:
+    """Crawl-over-crawl delta — the first report run when a new snapshot
+    lands (Common Crawl's crawl-diff statistics): FULL JOIN of two
+    captures keyed by url, classified added / removed / changed /
+    unchanged by content digest. Snapshot B is derived deterministically
+    from snapshot A (md5(url) fate: ~10% removed, ~10% changed, plus a
+    B-only url per 17th doc), so every status branch fires and both
+    renderings construct identical snapshots.
+
+    Scale shape: one url-keyed FULL OUTER equi-join between two
+    corpus-sized snapshots (the canonical sort/shuffle-merge case —
+    bucketing both snapshots by url makes it exchange-free), digest
+    compare per row. Nothing else."""
+    url = url_expr(d)
+    fkey = "'f' || url"
+    fate = f"({D.md5_slice(fkey, 1, d)}) % {DELTA_REMOVED_MOD}"
+    return f"""
+    WITH a AS (
+      SELECT url, md5(text) AS digest
+      FROM (SELECT {url} AS url, text FROM documents) t
+    ),
+    fated AS (
+      SELECT url, digest, {fate} AS fate FROM a
+    ),
+    b AS (
+      SELECT url,
+             CASE WHEN fate = 1 THEN md5('v2:' || digest) ELSE digest END
+               AS digest
+      FROM fated WHERE fate <> 0
+      UNION ALL
+      SELECT {url} || '/v2-extra' AS url, md5('new:' || text) AS digest
+      FROM documents WHERE doc_id % {DELTA_ADDED_MOD} = 0
+    )
+    SELECT coalesce(a.url, b.url) AS url,
+           coalesce(a.digest, '') AS digest_a,
+           coalesce(b.digest, '') AS digest_b,
+           CASE WHEN a.url IS NULL THEN 'added'
+                WHEN b.url IS NULL THEN 'removed'
+                WHEN a.digest <> b.digest THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL JOIN b ON b.url = a.url
+    """
+
+
+sql_template("q_crawl_delta", _crawl_delta,
+             "crawl-over-crawl delta: url-keyed FULL JOIN of two "
+             "snapshots classified added/removed/changed/unchanged by "
+             "content digest")
