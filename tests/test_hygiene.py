@@ -539,3 +539,40 @@ def test_meta_robots_matches_brute_force(spark):
     # both flags, and a kept majority
     assert all(v > 0 for v in seen.values()), seen
     assert seen["clean"] > seen["noindex"]
+
+
+def test_span_scrub_matches_brute_force(spark):
+    """The removal half of Lee et al.: Python recomputes the covered
+    intervals, scrubs, and re-hashes — byte-exact agreement, with both
+    the partially- and fully-scrubbed branches exercised."""
+    import hashlib
+
+    from unmixing_spark.queries.hygiene_q import SPAN_K
+
+    out = (registry()["q_span_scrub"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id"))
+    docs = _docs()
+    counts: dict[str, int] = {}
+    toks_by_doc: dict[int, list[str]] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", row["text"])
+        toks_by_doc[row["doc_id"]] = toks
+        for i in range(len(toks) - SPAN_K + 1):
+            g = " ".join(toks[i:i + SPAN_K])
+            counts[g] = counts.get(g, 0) + 1
+    saw_partial = saw_empty = False
+    for doc_id, toks in toks_by_doc.items():
+        covered = set()
+        for i in range(len(toks) - SPAN_K + 1):
+            if counts[" ".join(toks[i:i + SPAN_K])] >= 2:
+                covered.update(range(i, i + SPAN_K))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        r = out.loc[doc_id]
+        assert int(r["n_tok"]) == len(toks)
+        assert int(r["kept_tokens"]) == len(kept)
+        assert int(r["removed_tokens"]) == len(covered)
+        assert r["scrubbed_sha"] == hashlib.sha256(
+            " ".join(kept).encode()).hexdigest()
+        saw_partial |= 0 < len(covered) < len(toks)
+        saw_empty |= len(covered) == len(toks) > 0
+    assert saw_partial and saw_empty

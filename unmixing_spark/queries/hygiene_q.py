@@ -38,19 +38,14 @@ SPAN_K = 6   # minimum duplicated span length in tokens (Lee et al. use 50
              # at sf0.001)
 
 
-def _duplicated_spans(d: str) -> str:
-    """Positions whose SPAN_K-gram occurs >= 2 times corpus-wide cover
-    intervals [pos, pos + K - 1]; merging overlapping/adjacent intervals
-    (gaps-and-islands, same machinery as q_gopher_repetition) yields the
-    MAXIMAL duplicated spans. Scale shape: one gram-keyed shuffle for the
-    global HAVING count >= 2 (map-side partial agg), one gram-keyed join
-    back onto the gram stream (the duplicated-gram set is corpus-sized in
-    the worst case, so it shuffles rather than broadcasts — the standard
-    repeated-substring pass), then one doc_id-keyed window. No all-pairs
-    anywhere."""
+def _span_isl_ctes(d: str) -> str:
+    """Shared CTE chain ending in ``isl``(doc_id, pos, island): token
+    positions whose SPAN_K-gram occurs >= 2 times corpus-wide, labeled
+    with their merged-interval island id (gaps-and-islands). Composed by
+    q_duplicated_spans (report the spans) and q_span_scrub (remove
+    them)."""
     k = SPAN_K
-    return f"""
-    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    return f"""pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
     g AS (
       SELECT doc_id, pos, gram FROM (
         SELECT doc_id, pos, {_lead_gram(k)} AS gram
@@ -71,7 +66,22 @@ def _duplicated_spans(d: str) -> str:
              sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM gaps
-    )
+    )"""
+
+
+def _duplicated_spans(d: str) -> str:
+    """Positions whose SPAN_K-gram occurs >= 2 times corpus-wide cover
+    intervals [pos, pos + K - 1]; merging overlapping/adjacent intervals
+    (gaps-and-islands, same machinery as q_gopher_repetition) yields the
+    MAXIMAL duplicated spans. Scale shape: one gram-keyed shuffle for the
+    global HAVING count >= 2 (map-side partial agg), one gram-keyed join
+    back onto the gram stream (the duplicated-gram set is corpus-sized in
+    the worst case, so it shuffles rather than broadcasts — the standard
+    repeated-substring pass), then one doc_id-keyed window. No all-pairs
+    anywhere."""
+    k = SPAN_K
+    return f"""
+    WITH {_span_isl_ctes(d)}
     SELECT doc_id,
            cast(min(pos) as bigint)                    AS span_start,
            cast(max(pos) + {k} - min(pos) as bigint)   AS span_len,
@@ -84,6 +94,59 @@ def _duplicated_spans(d: str) -> str:
 sql_template("q_duplicated_spans", _duplicated_spans,
              "substring-level dedup (Lee et al. 2021): maximal >=K-token "
              "spans occurring >=2 times corpus-wide, gaps-and-islands merge")
+
+
+# sha256 of the empty string (docs whose every token sits in a duplicated
+# span scrub to empty; the aggregate group vanishes, so the value is a
+# literal) — FIPS 180-4 test vector
+_SHA256_EMPTY = ("e3b0c44298fc1c149afbf4c8996fb924"
+                 "27ae41e4649b934ca495991b7852b855")
+
+
+def _span_scrub(d: str) -> str:
+    """The REMOVAL half of Lee et al. 2021 (their pipeline cuts every
+    duplicated span out of the training text; q_duplicated_spans only
+    reports them): tokens inside any merged duplicated interval are
+    dropped and the surviving text is rebuilt in position order, pinned
+    by SHA-256. Scale shape: the span chain's exchanges (gram-keyed agg
+    + join, doc window) plus one doc_id-keyed interval anti-join — the
+    merged intervals per doc are disjoint, so a position matches at most
+    one interval and the join never fans out. The rebuild is one ordered
+    aggregation per doc (the exchange the token stream already paid)."""
+    k = SPAN_K
+    return f"""
+    WITH {_span_isl_ctes(d)},
+    iv AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {k} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM pos p LEFT JOIN iv
+        ON iv.doc_id = p.doc_id AND p.pos BETWEEN iv.s AND iv.e
+      WHERE iv.s IS NULL
+    ),
+    reb AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS kept_tokens,
+             {D.sha256_(D.ordered_string_agg('tok', 'pos', "' '", d), d)}
+               AS scrubbed_sha
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok
+           FROM pos GROUP BY doc_id)
+    SELECT n.doc_id, n.n_tok,
+           coalesce(r.kept_tokens, 0) AS kept_tokens,
+           n.n_tok - coalesce(r.kept_tokens, 0) AS removed_tokens,
+           coalesce(r.scrubbed_sha, '{_SHA256_EMPTY}') AS scrubbed_sha
+    FROM nt n LEFT JOIN reb r ON r.doc_id = n.doc_id
+    """
+
+
+sql_template("q_span_scrub", _span_scrub,
+             "duplicated-span REMOVAL (Lee et al. 2021): drop every "
+             "token inside a merged duplicated interval, rebuild the "
+             "surviving text in position order, SHA-256 pinned")
 
 
 # ---- PII detection / redaction ----------------------------------------------
