@@ -59,10 +59,11 @@ HEADLINE = [
     # driver artifact that includes them)
     "q_semdedup",
     "q_html_extract",
-    # round-5 fourth-session additions (crawl-cycle operators)
+    # round-5 fourth-session additions (crawl-cycle + scrub operators)
     "q_extract_links",
     "q_simhash_pairs",
     "q_bloom_crossdedup",
+    "q_span_scrub",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
