@@ -63,4 +63,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.kmeans_q  # noqa: F401
     import unmixing_spark.queries.warc_q  # noqa: F401
     import unmixing_spark.queries.crawl_q  # noqa: F401
+    import unmixing_spark.queries.search_q  # noqa: F401
     return dict(_REGISTRY)

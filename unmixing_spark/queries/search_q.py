@@ -1,0 +1,187 @@
+"""Web-search indexing operators over the documents corpus (task brief;
+the reference engine has no search surface):
+
+- q_bm25_topk — Okapi BM25 ranked retrieval (Robertson & Walker 1994;
+  the SPARQL/Lucene default scoring) for a deterministic synthetic query
+  set: per query, the top-10 documents by BM25 score.
+- q_tfidf_keywords — per-document keyword extraction: the top-3 tokens
+  by TF-IDF weight (Sparck Jones 1972), the classic doc-summary /
+  related-content signal an indexer materializes next to postings.
+
+Both dual-rendered (Spark executes, DuckDB is the driver's oracle).
+
+Float doctrine (dialect.py): every ln() argument is an integer-valued
+double (idf uses the (2N-2df+1)/(2df+1) integer split), every float
+aggregate is either a single-value max() or a FIXED-ORDER sum of named
+columns (the per-term contributions are pivoted onto rn-indexed columns
+and added left-to-right — no order-dependent float aggregation), and
+the only rounding is the final round(..., 6) applied identically in
+both renderings before ranking.
+"""
+
+from __future__ import annotations
+
+from unmixing_spark import dialect as D
+from unmixing_spark.queries import sql_template
+from unmixing_spark.queries.text_q import _tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES = 8     # synthetic query ids 0..7
+BM25_QLEN = 3        # terms per query
+BM25_MIN_DF = 5      # query terms drawn from mid-frequency vocabulary
+BM25_TOPK = 10
+TFIDF_TOPK = 3
+
+
+def _corpus_ctes(d: str) -> str:
+    """Shared CTE chain: token stream → per-(doc, tok) tf, per-doc
+    length, corpus stats, document-frequency lexicon.
+
+    Scale shape (10^12 docs): ``tf`` and ``dl`` are doc_id-keyed
+    aggregations with map-side combine over the token stream (the
+    posting-list build's exact shape); ``lex`` is one tok-keyed
+    aggregation (the dictionary build); ``stats`` is a 1-row global
+    aggregate broadcast into the scorer. Nothing here is worse than the
+    inverted-index construction every search engine already runs."""
+    return f"""toks AS {D.mat(d)}(SELECT doc_id, tok FROM {_tokens(d)}),
+    tf AS {D.mat(d)}(
+      SELECT doc_id, tok, cast(count(*) as bigint) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS {D.mat(d)}(
+      SELECT doc_id, cast(count(*) as bigint) AS dl
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS {D.mat(d)}(
+      SELECT cast(count(*) as bigint) AS n_docs,
+             cast(sum(dl) as double) / cast(count(*) as double) AS avgdl
+      FROM dl
+    ),
+    lex AS {D.mat(d)}(
+      SELECT tok, cast(count(*) as bigint) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM tf) t GROUP BY tok
+    )"""
+
+
+def _bm25_topk(d: str) -> str:
+    """BM25 top-10 per synthetic query.
+
+    Query synthesis (sandbox stand-in for the external query log a real
+    cluster reads): for each qid, the {BM25_QLEN} mid-frequency
+    (df >= {BM25_MIN_DF}) vocabulary terms ranked by md5('qt'||qid||':'
+    ||tok) — deterministic in both renderings, and biased away from
+    df=1 hapaxes so every query actually ranks a candidate set.
+
+    Scoring: idf = ln(1 + (N-df+0.5)/(df+0.5)) — the Lucene BM25 idf,
+    strictly positive even for df > N/2 (the raw Robertson form goes
+    negative there, and this corpus's common vocabulary makes that the
+    typical case) — algebraically (N+1)/(df+0.5), so it renders as
+    ln(2N+2) - ln(2df+1) with both ln() arguments integer-valued
+    doubles; tfnorm = tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)). Per-term
+    contributions land on rn-indexed pivot columns and are added in
+    FIXED order, so no float aggregation order exists to differ.
+
+    Scale shape: the query-term table is tiny (external input in
+    production) — broadcast onto the tf posting stream; scoring rows are
+    (qid, doc) keyed; the final top-k window per qid is the map-side
+    partial top-k + merge Spark already plans for rank-limit windows
+    (AQE handles a hot query's skew like any hot reduce key)."""
+    k1 = D.dbl(BM25_K1)
+    b = D.dbl(BM25_B)
+    qkey = f"'qt' || {D.to_str('q.qid', d)} || ':' || l.tok"
+    idf = ("ln(cast(2 * s.n_docs + 2 as double)) - "
+           "ln(cast(2 * l2.df + 1 as double))")
+    tfnorm = (f"(cast(t.tf as double) * ({k1} + {D.dbl(1.0)})) / "
+              f"(cast(t.tf as double) + {k1} * ({D.dbl(1.0)} - {b} + "
+              f"{b} * cast(g.dl as double) / s.avgdl))")
+    qid_rows = ", ".join(f"({q})" for q in range(BM25_QUERIES))
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN rn = {r} THEN contrib END), {D.dbl(0.0)})"
+        for r in range(1, BM25_QLEN + 1))
+    nhit = " + ".join(
+        f"max(CASE WHEN rn = {r} THEN 1 ELSE 0 END)"
+        for r in range(1, BM25_QLEN + 1))
+    return f"""
+    WITH {_corpus_ctes(d)},
+    qids AS ({D.values_rel(qid_rows, "t(qid)", d)}),
+    qcand AS (
+      SELECT q.qid, l.tok,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY md5({qkey})) AS rn
+      FROM lex l CROSS JOIN qids q
+      WHERE l.df >= {BM25_MIN_DF}
+    ),
+    qterms AS {D.mat(d)}(
+      SELECT qid, tok, rn FROM qcand WHERE rn <= {BM25_QLEN}
+    ),
+    contribs AS (
+      SELECT qt.qid, t.doc_id, qt.rn,
+             ({idf}) * ({tfnorm}) AS contrib
+      FROM qterms qt
+      JOIN tf t ON t.tok = qt.tok
+      JOIN lex l2 ON l2.tok = qt.tok
+      JOIN dl g ON g.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             round({pivot}, 6) AS score,
+             cast({nhit} as bigint) AS n_hit_terms
+      FROM contribs GROUP BY qid, doc_id
+    )
+    SELECT qid, cast(rnk as bigint) AS rank, doc_id, score, n_hit_terms
+    FROM (
+      SELECT qid, doc_id, score, n_hit_terms,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) r
+    WHERE rnk <= {BM25_TOPK}
+    """
+
+
+sql_template("q_bm25_topk", _bm25_topk,
+             "Okapi BM25 ranked retrieval: top-10 docs per synthetic "
+             "query over the corpus posting lists (integer-ln idf, "
+             "fixed-order per-term sums)")
+
+
+def _tfidf_keywords(d: str) -> str:
+    """Per-document top-{TFIDF_TOPK} TF-IDF keywords:
+    w = tf * (ln(N+1) - ln(df)), both ln() arguments integer-valued
+    doubles; per-(doc, tok) weight is a single deterministic product
+    (no float aggregation at all); rank by round(w, 6) DESC with tok as
+    the tie-break.
+
+    Scale shape: tf ⋈ lex is tok-keyed (the dictionary side is
+    vocab-sized — broadcast when it fits, shuffle otherwise, exactly
+    the posting-scorer join); the per-doc top-k window is doc_id-keyed
+    — Spark plans rank-limit windows with map-side partial top-k, so
+    no doc's full token set crosses the wire past the first exchange."""
+    w = ("cast(t.tf as double) * "
+         "(ln(cast(s.n_docs + 1 as double)) - ln(cast(l.df as double)))")
+    return f"""
+    WITH {_corpus_ctes(d)},
+    weighted AS (
+      SELECT t.doc_id, t.tok, t.tf, l.df,
+             round({w}, 6) AS weight
+      FROM tf t
+      JOIN lex l ON l.tok = t.tok
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, cast(rnk as bigint) AS rank, tok,
+           cast(tf as bigint) AS tf, cast(df as bigint) AS df, weight
+    FROM (
+      SELECT doc_id, tok, tf, df, weight,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY weight DESC, tok) AS rnk
+      FROM weighted
+    ) r
+    WHERE rnk <= {TFIDF_TOPK}
+    """
+
+
+sql_template("q_tfidf_keywords", _tfidf_keywords,
+             "per-document keyword extraction: top-3 tokens by TF-IDF "
+             "weight (integer-ln idf, deterministic tie-break)")
