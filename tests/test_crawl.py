@@ -271,3 +271,128 @@ def test_cdx_index_pin(spark):
     for c in expect.columns:
         assert (out[c].astype(str) == expect[c].astype(str)).all(), c
     assert (out["line_no"] == range(1, len(out) + 1)).all()
+
+
+def test_crawl_frontier_politeness(spark):
+    """Slots, schedule offsets, and the global fetch order match a
+    Python rebuild; the politeness and priority invariants hold."""
+    from unmixing_spark.queries.crawl_q import FRONTIER_DELAY_MODS
+
+    out = registry()["q_crawl_frontier"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    indeg: dict[int, int] = {}
+    for _src, _k, dst in _planted_links(len(docs)):
+        indeg[dst] = indeg.get(dst, 0) + 1
+    rows = []
+    for r in docs.itertuples():
+        host = f"{r.source}.example.com"
+        delay = 1 + _md5_slice("d" + host, 1) % FRONTIER_DELAY_MODS
+        rows.append((host, -indeg.get(int(r.doc_id), 0), int(r.doc_id), delay))
+    expect = {}
+    by_host: dict[str, list] = {}
+    for row in sorted(rows):
+        by_host.setdefault(row[0], []).append(row)
+    for host, hrows in by_host.items():
+        for slot, (h, neg, doc, delay) in enumerate(hrows):
+            expect[doc] = (h, -neg, delay, slot, slot * delay)
+    for r in out.itertuples():
+        assert expect[int(r.doc_id)] == (
+            r.host, int(r.inlinks), int(r.delay_s), int(r.slot),
+            int(r.sched_offset_s)), r
+    # global order is the (sched, host, doc) sort, 1..N with no gaps
+    srt = out.sort_values("fetch_order")
+    assert list(srt.fetch_order) == list(range(1, len(out) + 1))
+    assert (srt.sort_values(["sched_offset_s", "host", "doc_id"])
+            .fetch_order.is_monotonic_increasing)
+    # per host: indegree never increases with slot (priority order), and
+    # consecutive fetches are exactly delay_s apart (politeness)
+    for _host, g in out.groupby("host"):
+        g = g.sort_values("slot")
+        assert g.inlinks.is_monotonic_decreasing
+        d = g.sched_offset_s.diff().dropna()
+        assert (d == g.delay_s.iloc[0]).all()
+
+
+def test_sitemap_urls_statuses(spark):
+    """Status and staleness per url match a Python rebuild of the
+    sitemap synthesis, and all three statuses + both staleness
+    branches fire."""
+    from datetime import datetime, timezone
+
+    from unmixing_spark.pagegen import EPOCH_2025
+    from unmixing_spark.queries.crawl_q import (SITEMAP_LISTED_MOD,
+                                                SITEMAP_PHANTOMS)
+
+    def ts14(epoch: int) -> str:
+        return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+            "%Y%m%d%H%M%S")
+
+    out = registry()["q_sitemap_urls"].spark_fn(spark, SF_SMALL).toPandas()
+    crawled = {}
+    hosts = set()
+    for r in _docs().itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        host = f"{r.source}.example.com"
+        hosts.add(host)
+        crawled[url] = (host, ts14(EPOCH_2025 + _md5_slice(url, 1) % 31536000))
+    listed = {}
+    for url, (host, _w) in crawled.items():
+        if _md5_slice("sm" + url, 1) % SITEMAP_LISTED_MOD < 2:
+            listed[url] = (host,
+                           ts14(EPOCH_2025 + _md5_slice("lm" + url, 1) % 63072000))
+    for host in hosts:
+        for n in range(1, SITEMAP_PHANTOMS + 1):
+            url = f"https://{host}/sitemap-only/{n}"
+            listed[url] = (host,
+                           ts14(EPOCH_2025 + _md5_slice(f"ph{host}{n}", 1) % 63072000))
+    expect = {}
+    for url in set(crawled) | set(listed):
+        if url in crawled and url in listed:
+            stale = int(listed[url][1] > crawled[url][1])
+            expect[url] = ("both", listed[url][1], crawled[url][1], stale)
+        elif url in listed:
+            expect[url] = ("sitemap_only", listed[url][1], "", 0)
+        else:
+            expect[url] = ("crawl_only", "", crawled[url][1], 0)
+    got = {r.url: (r.status, r.lastmod14, r.warc14, int(r.stale))
+           for r in out.itertuples()}
+    assert got == expect
+    statuses = {v[0] for v in got.values()}
+    assert statuses == {"both", "sitemap_only", "crawl_only"}
+    stales = {v[3] for v in got.values() if v[0] == "both"}
+    assert stales == {0, 1}
+
+
+def test_recrawl_priority_estimator(spark):
+    """Change counts, ages, and priorities match the Python MLE rebuild;
+    tiers partition by non-increasing priority."""
+    from unmixing_spark.pagegen import EPOCH_2025
+    from unmixing_spark.queries.crawl_q import (RECRAWL_CAPTURES,
+                                                RECRAWL_CHANGE_PCT,
+                                                RECRAWL_STEP)
+
+    out = registry()["q_recrawl_priority"].spark_fn(spark, SF_SMALL).toPandas()
+    now = EPOCH_2025 + RECRAWL_CAPTURES * RECRAWL_STEP
+    expect = {}
+    for r in _docs().itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        changes, last = 0, EPOCH_2025
+        for i in range(1, RECRAWL_CAPTURES):
+            if _md5_slice(f"ch{url}:{i}", 1) % 10 < RECRAWL_CHANGE_PCT:
+                changes += 1
+                last = EPOCH_2025 + i * RECRAWL_STEP
+        age = (now - last) // 86400
+        lam = changes / (RECRAWL_CAPTURES - 1)
+        expect[url] = (changes, age, round(lam * age, 6))
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        e = expect[r.url]
+        assert (int(r.changes), int(r.age_days)) == e[:2]
+        assert abs(r.priority - e[2]) < 1e-9
+    # tiers: 4 near-equal buckets ordered by priority
+    sizes = out.tier.value_counts()
+    assert set(sizes.index) == {1, 2, 3, 4}
+    assert sizes.max() - sizes.min() <= 1
+    for t in (1, 2, 3):
+        assert (out[out.tier == t].priority.min()
+                >= out[out.tier == t + 1].priority.max())

@@ -541,6 +541,245 @@ def _crawl_delta(d: str) -> str:
     """
 
 
+# ---- politeness-aware frontier scheduling -----------------------------------------
+
+FRONTIER_DELAY_MODS = 5   # per-host crawl delay in 1..5 seconds
+
+
+def _crawl_frontier(d: str) -> str:
+    """Politeness-aware crawl frontier scheduling — the ordering step
+    between having a URL set and fetching it: per host, fetches are
+    serialized one per crawl-delay window (the per-host queue every
+    polite crawler maintains; RFC 9309 crawl-delay semantics), and
+    within a host the indegree-richest pages fetch first (BFS/indegree
+    prioritization — Cho, Garcia-Molina & Page 1998's backlink-count
+    ordering, the simple end of OPIC).
+
+    Synthesis: the frontier is the page table itself; per-host delay is
+    1 + md5('d'||host) % {FRONTIER_DELAY_MODS} seconds; priority is the
+    planted link graph's indegree (0 for unlinked pages via LEFT JOIN).
+
+    Scale shape: indegree is one dst-keyed aggregation of the edge
+    list; slot assignment is a host-partitioned window (hot hosts ARE
+    the skew — but a host's frontier is serialized by politeness
+    anyway, so the window's skew mirrors the real fetch queue; at
+    10^12 urls the per-host queues are written out bucketed by host and
+    consumed as ranges). The global fetch_order is a total sort —
+    range-partitioned sort-merge at scale, same as the CDX write."""
+    host = "source || '.example.com'"
+    dkey = "'d' || host"
+    delay = f"1 + ({D.md5_slice(dkey, 1, d)}) % {FRONTIER_DELAY_MODS}"
+    return f"""
+    WITH {_link_ctes(d)},
+    indeg AS {D.mat(d)}(
+      SELECT dst AS doc_id, cast(count(*) as bigint) AS inlinks
+      FROM links GROUP BY dst
+    ),
+    fr AS (
+      SELECT doc_id, {host} AS host,
+             cast({delay} as bigint) AS delay_s
+      FROM documents
+    ),
+    slotted AS (
+      SELECT f.doc_id, f.host, f.delay_s,
+             cast(coalesce(i.inlinks, 0) as bigint) AS inlinks,
+             cast(row_number() OVER (PARTITION BY f.host
+                                     ORDER BY coalesce(i.inlinks, 0) DESC,
+                                              f.doc_id) - 1
+                  as bigint) AS slot
+      FROM fr f LEFT JOIN indeg i ON i.doc_id = f.doc_id
+    )
+    SELECT doc_id, host, inlinks, delay_s, slot,
+           cast(slot * delay_s as bigint) AS sched_offset_s,
+           cast(row_number() OVER (ORDER BY slot * delay_s, host, doc_id)
+                as bigint) AS fetch_order
+    FROM slotted
+    """
+
+
+sql_template("q_crawl_frontier", _crawl_frontier,
+             "politeness-aware frontier scheduling: per-host crawl-delay "
+             "slots with indegree-first prioritization and a global "
+             "fetch order")
+
+
+# ---- sitemap coverage -------------------------------------------------------------
+
+SITEMAP_LISTED_MOD = 3       # ~2/3 of a host's pages appear in its sitemap
+SITEMAP_PHANTOMS = 2         # per-host sitemap-only urls not yet crawled
+SITEMAP_ENTRY_RX = r"<url><loc>[^<]*</loc><lastmod>[^<]*</lastmod></url>"
+SITEMAP_LOC_RX = r"<loc>([^<]*)</loc>"
+SITEMAP_LASTMOD_RX = r"<lastmod>([^<]*)</lastmod>"
+
+
+def _sitemap_urls(d: str) -> str:
+    """Sitemap coverage report — crawl scheduling's discovery input
+    (sitemaps.org protocol): each host's sitemap.xml is synthesized
+    deterministically (2/3 of its crawled pages listed, plus
+    {SITEMAP_PHANTOMS} sitemap-only urls per host), then PARSED back out
+    of the xml text (regexp per entry — the parser is part of the
+    operator, robots_rules doctrine), and FULL JOINed against the crawl
+    by url: status = both / sitemap_only (discovery backlog) /
+    crawl_only (unlisted but crawled); for matched urls, stale = the
+    sitemap lastmod postdates the capture (refetch signal). lastmod and
+    capture time both render as 14-digit compact timestamps, so
+    staleness is a plain string compare.
+
+    Scale shape: sitemaps are per-HOST (~10^7 files vs 10^12 urls) —
+    the xml build/parse side is host-keyed and tiny relative to the
+    crawl; the coverage join is url-keyed between the parsed entry
+    stream and the capture table (both bucketable by url); every branch
+    of the synthesis fires at sf0.001."""
+    host = "source || '.example.com'"
+    url = url_expr(d)
+    smkey = "'sm' || url"
+    lmkey = "'lm' || url"
+    listed = f"({D.md5_slice(smkey, 1, d)}) % {SITEMAP_LISTED_MOD} < 2"
+    lm_epoch = f"{EPOCH_2025} + ({D.md5_slice(lmkey, 1, d)}) % 63072000"
+    lastmod = D.ts_compact(D.epoch_to_ts(lm_epoch, d), d)
+    entry = "'<url><loc>' || url || '</loc><lastmod>' || lm || '</lastmod></url>'"
+    if d == D.SPARK:
+        entry_stream = f"""(
+      SELECT host, entry FROM sitemaps
+      LATERAL VIEW explode(regexp_extract_all(xml, {D.rx_lit(SITEMAP_ENTRY_RX, d)}, 0)) t AS entry
+    )"""
+    else:
+        entry_stream = f"""(
+      SELECT host, unnest(regexp_extract_all(xml, {D.rx_lit(SITEMAP_ENTRY_RX, d)}, 0)) AS entry
+      FROM sitemaps
+    )"""
+    phantom_rows = ", ".join(f"({n})" for n in range(1, SITEMAP_PHANTOMS + 1))
+    return f"""
+    WITH pg AS (SELECT * FROM ({pages_sql(d)}) q),
+    crawled AS {D.mat(d)}(
+      SELECT url,
+             lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+             {D.ts_compact('warc_ts', d)} AS warc14
+      FROM pg
+    ),
+    listed AS (
+      SELECT host, url, {lastmod} AS lm FROM crawled WHERE {listed}
+      UNION ALL
+      SELECT h.host,
+             'https://' || h.host || '/sitemap-only/' || {D.to_str('n.n', d)}
+               AS url,
+             {D.ts_compact(D.epoch_to_ts(
+                 f"{EPOCH_2025} + ({D.md5_slice(chr(39) + 'ph' + chr(39) + ' || h.host || ' + D.to_str('n.n', d), 1, d)}) % 63072000",
+                 d), d)} AS lm
+      FROM (SELECT DISTINCT host FROM crawled) h
+      CROSS JOIN ({D.values_rel(phantom_rows, "t(n)", d)}) n
+    ),
+    sitemaps AS {D.mat(d)}(
+      SELECT host,
+             '<?xml version="1.0"?><urlset>' ||
+             {D.ordered_string_agg(entry, 'url', "''", d)} ||
+             '</urlset>' AS xml
+      FROM listed GROUP BY host
+    ),
+    entries AS (SELECT host, entry FROM {entry_stream}),
+    parsed AS {D.mat(d)}(
+      SELECT host,
+             regexp_extract(entry, {D.rx_lit(SITEMAP_LOC_RX, d)}, 1) AS url,
+             regexp_extract(entry, {D.rx_lit(SITEMAP_LASTMOD_RX, d)}, 1)
+               AS lastmod14
+      FROM entries
+    )
+    SELECT coalesce(p.url, c.url) AS url,
+           coalesce(p.host, c.host) AS host,
+           CASE WHEN c.url IS NULL THEN 'sitemap_only'
+                WHEN p.url IS NULL THEN 'crawl_only'
+                ELSE 'both' END AS status,
+           coalesce(p.lastmod14, '') AS lastmod14,
+           coalesce(c.warc14, '') AS warc14,
+           cast(CASE WHEN p.url IS NOT NULL AND c.url IS NOT NULL
+                          AND p.lastmod14 > c.warc14
+                     THEN 1 ELSE 0 END as bigint) AS stale
+    FROM parsed p FULL JOIN crawled c ON c.url = p.url
+    """
+
+
+sql_template("q_sitemap_urls", _sitemap_urls,
+             "sitemap coverage: per-host sitemap.xml synthesized then "
+             "parsed back, FULL JOINed against the crawl — "
+             "both/sitemap_only/crawl_only status + lastmod staleness")
+
+
+# ---- change-rate recrawl priority ---------------------------------------------------
+
+RECRAWL_CAPTURES = 6          # capture history length per url
+RECRAWL_STEP = 2592000        # 30 days between captures
+RECRAWL_CHANGE_PCT = 3        # md5 % 10 < 3 -> ~30% change per interval
+
+
+def _recrawl_priority(d: str) -> str:
+    """Change-rate-driven recrawl prioritization (Cho & Garcia-Molina
+    2003, "Effective Page Refresh Policies for Web Crawlers"): estimate
+    each url's change rate from its capture history, then rank refetch
+    urgency by (change rate x staleness age).
+
+    Synthesis: {RECRAWL_CAPTURES} captures per url, 30 days apart;
+    interval i changed iff md5('ch'||url||':'||i) % 10 <
+    {RECRAWL_CHANGE_PCT} (~30%). In production the history IS the CDX
+    index (q_cdx_index) grouped by urlkey — this query composes
+    downstream of it.
+
+    Estimator: lambda_hat = changes / intervals (the MLE for the
+    per-interval Bernoulli change probability — integer ratio, so the
+    double is deterministic); age_days = days since the last observed
+    change (or since first capture if never changed); priority =
+    round(lambda_hat * age_days, 6); tier = ntile(4) by priority DESC
+    (tier 1 = refetch first).
+
+    Scale shape: the per-url aggregation is one url-keyed exchange over
+    the K-row-per-url history stream (map-side combinable); the global
+    ntile is the only total window — at 10^12 urls it becomes
+    approx-quantile cutpoints (one 1-row broadcast) instead of a sort,
+    the standard rank-to-threshold rewrite."""
+    url = url_expr(d)
+    iv_rows = ", ".join(f"({i})" for i in range(1, RECRAWL_CAPTURES))
+    ckey = f"'ch' || u.url || ':' || {D.to_str('i.i', d)}"
+    changed = (f"CASE WHEN ({D.md5_slice(ckey, 1, d)}) % 10 "
+               f"< {RECRAWL_CHANGE_PCT} THEN 1 ELSE 0 END")
+    t_i = f"{EPOCH_2025} + i.i * {RECRAWL_STEP}"
+    now = EPOCH_2025 + RECRAWL_CAPTURES * RECRAWL_STEP
+    lam = (f"cast(changes as double) / "
+           f"cast({RECRAWL_CAPTURES - 1} as double)")
+    return f"""
+    WITH urls AS (SELECT {url} AS url FROM documents),
+    ivs AS ({D.values_rel(iv_rows, "t(i)", d)}),
+    hist AS (
+      SELECT u.url, i.i,
+             {changed} AS changed,
+             {t_i} AS t_epoch
+      FROM urls u CROSS JOIN ivs i
+    ),
+    agg AS (
+      SELECT url,
+             cast(sum(changed) as bigint) AS changes,
+             max(CASE WHEN changed = 1 THEN t_epoch
+                      ELSE {EPOCH_2025} END) AS last_change_epoch
+      FROM hist GROUP BY url
+    ),
+    scored AS (
+      SELECT url, changes,
+             {D.idiv(f'{now} - last_change_epoch', '86400')} AS age_days,
+             round(({lam}) * cast({D.idiv(f'{now} - last_change_epoch', '86400')} as double), 6)
+               AS priority
+      FROM agg
+    )
+    SELECT url, changes, age_days, priority,
+           cast(ntile(4) OVER (ORDER BY priority DESC, url) as bigint)
+             AS tier
+    FROM scored
+    """
+
+
+sql_template("q_recrawl_priority", _recrawl_priority,
+             "change-rate recrawl priority (Cho & Garcia-Molina 2003): "
+             "per-url Bernoulli change-rate MLE from the capture "
+             "history x staleness age, ntile'd into refetch tiers")
+
+
 sql_template("q_crawl_delta", _crawl_delta,
              "crawl-over-crawl delta: url-keyed FULL JOIN of two "
              "snapshots classified added/removed/changed/unchanged by "
