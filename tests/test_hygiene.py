@@ -576,3 +576,60 @@ def test_span_scrub_matches_brute_force(spark):
         saw_partial |= 0 < len(covered) < len(toks)
         saw_empty |= len(covered) == len(toks) > 0
     assert saw_partial and saw_empty
+
+
+def test_kn_bigram_lm_matches_brute_force(spark):
+    """Interpolated Kneser-Ney per-doc scores equal a plain-Python
+    rebuild using the exact integer-ratio probability, and the filter
+    separates the reference slice."""
+    import math
+
+    from unmixing_spark.queries.hygiene_q import KN_D4, LM_REF_MOD
+
+    out = (registry()["q_kn_bigram_lm"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    bigrams: dict[int, list[tuple[str, str]]] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r"\s+", row["text"])
+        bigrams[row["doc_id"]] = list(zip(toks, toks[1:]))
+    refc: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for did, bg in bigrams.items():
+        if did % LM_REF_MOD == 0:
+            vocab.update(re.split(r"\s+", docs.set_index("doc_id")
+                                  .loc[did, "text"]))
+            for p in bg:
+                refc[p] = refc.get(p, 0) + 1
+    c1: dict[str, int] = {}
+    n1w: dict[str, int] = {}
+    n2: dict[str, int] = {}
+    for (w1, w2), c in refc.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1w[w1] = n1w.get(w1, 0) + 1
+        n2[w2] = n2.get(w2, 0) + 1
+    t = len(refc)
+    v = len(vocab)
+    for did, bg in bigrams.items():
+        if not bg:
+            continue
+        lls = []
+        for w1, w2 in bg:
+            if c1.get(w1, 0) > 0:
+                num = (max(4 * refc.get((w1, w2), 0) - KN_D4, 0) * (t + v)
+                       + KN_D4 * n1w[w1] * (n2.get(w2, 0) + 1))
+                den = 4 * c1[w1] * (t + v)
+            else:
+                num = n2.get(w2, 0) + 1
+                den = t + v
+            lls.append(math.log(num) - math.log(den))
+        avg = round(sum(lls) / len(lls), 6)
+        got = out.loc[did]
+        assert int(got["n_bigrams"]) == len(bg)
+        assert abs(got["avg_ll"] - avg) < 1e-9, did
+        assert abs(got["ppl"] - round(math.exp(-avg), 4)) < 1e-9, did
+        # every probability is a proper probability (num <= den)
+    # separation: the reference slice scores better under its own LM
+    ref_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD == 0], "ppl"]
+    other = out.loc[[d for d in out.index if d % LM_REF_MOD != 0], "ppl"]
+    assert ref_ppl.mean() < other.mean()

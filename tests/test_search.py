@@ -111,3 +111,68 @@ def test_tfidf_keywords_vs_brute_force(spark):
     # token when tf ties (spot property, guards a tf-only regression)
     per_doc = out[out["rank"] == 1]
     assert (per_doc["df"] < n).all()
+
+
+def test_posting_lists_vs_brute_force(spark):
+    """Delta-encoded posting strings and their SHA-256 equal a Python
+    index build byte-for-byte."""
+    out = registry()["q_posting_lists"].spark_fn(spark, SF_SMALL).toPandas()
+    tf, _dl, df, _n, _avg = _corpus()
+    index: dict[str, list[tuple[int, int]]] = {}
+    for doc in sorted(tf):
+        for tok, c in tf[doc].items():
+            index.setdefault(tok, []).append((doc, c))
+    assert len(out) == len(index)
+    for r in out.itertuples():
+        plist = index[r.tok]
+        prev = 0
+        parts = []
+        for doc, c in plist:
+            parts.append(f"{doc - prev}:{c}")
+            prev = doc
+        postings = " ".join(parts)
+        assert r.postings == postings, r.tok
+        assert r.postings_sha == hashlib.sha256(postings.encode()).hexdigest()
+        assert (int(r.df), int(r.cf), int(r.first_doc)) == (
+            len(plist), sum(c for _, c in plist), plist[0][0])
+
+
+def test_shingle_containment_vs_brute_force(spark):
+    """Directed containment pairs equal a Python rebuild of the exact
+    rare-gram-blocked spec; both full (C=1) and partial pairs occur."""
+    from unmixing_spark.queries.search_q import (CONT_DF_CAP, CONT_MIN,
+                                                 CONT_N)
+
+    out = registry()["q_shingle_containment"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    sh: dict[int, set] = {}
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", r.text)
+        sh[int(r.doc_id)] = {tuple(toks[i:i + CONT_N])
+                             for i in range(len(toks) - CONT_N + 1)}
+    dfg: Counter = Counter()
+    for s in sh.values():
+        dfg.update(s)
+    rare = {g for g, c in dfg.items() if 2 <= c <= CONT_DF_CAP}
+    by_gram: dict[tuple, list[int]] = {}
+    for doc, s in sh.items():
+        for g in s & rare:
+            by_gram.setdefault(g, []).append(doc)
+    cand = set()
+    for g, ds in by_gram.items():
+        for a in ds:
+            for b in ds:
+                if a != b:
+                    cand.add((a, b))
+    expect = {}
+    for a, b in cand:
+        shared = len(sh[a] & sh[b])
+        c = round(shared / len(sh[a]), 6)
+        if shared / len(sh[a]) >= CONT_MIN:
+            expect[(a, b)] = (shared, len(sh[a]), c)
+    got = {(int(r.doc_a), int(r.doc_b)):
+           (int(r.n_shared), int(r.n_sh_a), round(float(r.containment), 6))
+           for r in out.itertuples()}
+    assert got == expect
+    cs = [v[2] for v in got.values()]
+    assert any(c == 1.0 for c in cs) and any(c < 1.0 for c in cs)

@@ -392,6 +392,91 @@ PPL_MAX = 36.0  # keep threshold on bigram-LM perplexity: p95 of the
                 # quantile a production pipeline would calibrate
 
 
+KN_D4 = 3   # Kneser-Ney absolute discount D = 0.75 carried as the
+            # integer 3 over the implicit denominator 4, so every KN
+            # probability is a ratio of integers
+
+
+def _kn_bigram_lm(d: str) -> str:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.25) trained on the same reference slice as
+    q_lm_perplexity and scored per document — the standard upgrade over
+    the add-one LM for CCNet-style perplexity filtering:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                 + D·N1+(w1,*)/c(w1) · Pcont(w2)
+
+    with D = 3/4 and the continuation distribution add-one smoothed
+    (Pcont(w2) = (N1+(*,w2)+1)/(N1+(*,*)+V)) so unseen-type tokens stay
+    finite; unseen-history bigrams (c(w1) = 0) back off to Pcont alone.
+
+    Bit-parity: with D = {KN_D4}/4, every probability is a RATIO OF
+    INTEGERS — P = (max(4c-3,0)·(T+V) + 3·N1w·(n2+1)) / (4·c1·(T+V)) —
+    so ln P = ln(num) - ln(den) keeps the integer-ln doctrine intact
+    (no ln of a composite float anywhere); avg_ll rounds to 6 before
+    ppl exponentiates, like the add-one LM. Count products stay under
+    2^52 far past sf0.1 (4·c1·(T+V) ~ 1e13 at 1e6-bigram slices);
+    beyond that the double-precision count cast costs ~1e-16 relative,
+    which the rounding absorbs.
+
+    Scale shape: identical to q_lm_perplexity — one doc_id-keyed window
+    for the bigram stream, gram-keyed aggregations for the count
+    tables (plus the two distinct-count continuation tables, same
+    keys), scoring joins keyed by (w1, w2) and w1, 1-row broadcasts
+    for the totals. Map-side combine everywhere; no all-pairs."""
+    m = LM_REF_MOD
+    num = (f"(greatest(4 * coalesce(r.c, 0) - {KN_D4}, 0) * (ct.t + v.v) "
+           f"+ {KN_D4} * coalesce(u.n1w, 0) * (coalesce(cw.n2, 0) + 1))")
+    den = "(4 * u.c1 * (ct.t + v.v))"
+    bo_num = "(coalesce(cw.n2, 0) + 1)"
+    bo_den = "(ct.t + v.v)"
+    ll = (f"CASE WHEN u.c1 IS NOT NULL AND u.c1 > 0 "
+          f"THEN ln(cast({num} as double)) - ln(cast({den} as double)) "
+          f"ELSE ln(cast({bo_num} as double)) - ln(cast({bo_den} as double)) "
+          f"END")
+    return f"""
+    WITH pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    big AS {D.mat(d)}(
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE w2 IS NOT NULL
+    ),
+    refc AS {D.mat(d)}(SELECT w1, w2, cast(count(*) as bigint) AS c FROM big
+             WHERE doc_id % {m} = 0 GROUP BY w1, w2),
+    uni AS {D.mat(d)}(
+      SELECT w1, cast(sum(c) as bigint) AS c1,
+             cast(count(*) as bigint) AS n1w
+      FROM refc GROUP BY w1
+    ),
+    contw AS (SELECT w2, cast(count(*) as bigint) AS n2 FROM refc GROUP BY w2),
+    ctot AS (SELECT cast(count(*) as bigint) AS t FROM refc),
+    voc AS (SELECT cast(count(DISTINCT tok) as bigint) AS v FROM pos
+            WHERE doc_id % {m} = 0),
+    scored AS (
+      SELECT b.doc_id, {ll} AS ll
+      FROM big b
+      LEFT JOIN refc r ON r.w1 = b.w1 AND r.w2 = b.w2
+      LEFT JOIN uni u ON u.w1 = b.w1
+      LEFT JOIN contw cw ON cw.w2 = b.w2
+      CROSS JOIN ctot ct
+      CROSS JOIN voc v
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           round(sum(ll) / count(*), 6) AS avg_ll,
+           round(exp(-round(sum(ll) / count(*), 6)), 4) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+sql_template("q_kn_bigram_lm", _kn_bigram_lm,
+             "interpolated Kneser-Ney bigram LM (D=3/4 as an integer "
+             "ratio, add-one continuation floor) trained on the "
+             "reference slice, per-doc avg log-likelihood + perplexity")
+
+
 def _corpus_keep(d: str) -> str:
     """The end-to-end curation decision a training pipeline materializes
     per document: keep = not an exact-dup copy, not an LSH near-dup drop,

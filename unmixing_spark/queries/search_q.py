@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from unmixing_spark import dialect as D
 from unmixing_spark.queries import sql_template
-from unmixing_spark.queries.text_q import _tokens
+from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens, _tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -185,3 +185,119 @@ def _tfidf_keywords(d: str) -> str:
 sql_template("q_tfidf_keywords", _tfidf_keywords,
              "per-document keyword extraction: top-3 tokens by TF-IDF "
              "weight (integer-ln idf, deterministic tie-break)")
+
+
+def _posting_lists(d: str) -> str:
+    """The inverted-index build itself — the physical artifact BM25
+    reads: per term, document frequency, collection frequency, and the
+    delta-encoded posting list ("gap:tf" entries in doc_id order, gaps
+    from the previous posting — the standard d-gap compression input;
+    Witten/Moffat/Bell, Managing Gigabytes ch. 3). The SHA-256 of the
+    postings string pins the exact bytes an index segment would write.
+
+    Scale shape: THE canonical indexer shuffle — one tok-keyed exchange
+    of the (doc, tok, tf) stream; the lag window and the ordered
+    aggregation both run inside that single partitioning (Spark plans
+    them in one stage after the exchange). At 10^12 docs hot terms make
+    skewed partitions — real indexers split a hot term's postings into
+    range-sharded segment runs (tok, doc_id-range), which is this same
+    query with a bucketed composite key; the corpus here has no term
+    anywhere near a task-sized posting."""
+    gap = ("doc_id - lag(doc_id, 1, 0) OVER "
+           "(PARTITION BY tok ORDER BY doc_id)")
+    entry = f"{D.to_str('gap', d)} || ':' || {D.to_str('tf', d)}"
+    return f"""
+    WITH {_corpus_ctes(d)},
+    gapped AS (
+      SELECT tok, doc_id, tf, {gap} AS gap FROM tf
+    ),
+    lists AS (
+      SELECT tok,
+             cast(count(*) as bigint) AS df,
+             cast(sum(tf) as bigint) AS cf,
+             cast(min(doc_id) as bigint) AS first_doc,
+             {D.ordered_string_agg(entry, 'doc_id', "' '", d)} AS postings
+      FROM gapped GROUP BY tok
+    )
+    SELECT tok, df, cf, first_doc, postings,
+           {D.sha256_('postings', d)} AS postings_sha
+    FROM lists
+    """
+
+
+sql_template("q_posting_lists", _posting_lists,
+             "inverted-index posting lists: per term df/cf + the "
+             "delta-encoded (gap:tf) posting string in doc order, "
+             "SHA-256 pinned")
+
+
+CONT_N = 4        # token shingle length for containment
+CONT_DF_CAP = 8   # blocking grams: shingles in <= this many docs
+CONT_MIN = 0.5    # report pairs where containment(a in b) >= this
+
+
+def _shingle_containment(d: str) -> str:
+    """Directed shingle CONTAINMENT (Broder 1997, "On the resemblance
+    and containment of documents"): C(A,B) = |S(A) ∩ S(B)| / |S(A)| over
+    distinct token {CONT_N}-shingles — the asymmetric sibling of the
+    Jaccard resemblance q_ngram_jaccard computes, and the signal that
+    catches quotes/wrapped copies resemblance misses (a short doc fully
+    contained in a long one has high C but low Jaccard).
+
+    Blocking is PART OF THE SPEC: candidate pairs share at least one
+    RARE shingle (document frequency <= {CONT_DF_CAP}) — the Manku-style
+    rare-feature blocking that keeps candidate generation O(docs x rare
+    grams) instead of all-pairs; a pair whose every shared shingle is
+    corpus-common is declared out of scope (those pairs are boilerplate
+    overlap, q_boilerplate_ngrams' business, not containment). The
+    pytest pin replicates the blocking exactly AND verifies the planted
+    exact-copy pairs all surface with C = 1 both ways.
+
+    Scale shape: shingle stream is one doc_id window; the df table is
+    gram-keyed; the candidate self-join runs only on <=CAP buckets
+    (bounded fan-out per gram, hot grams excluded BY THE SPEC — the cap
+    is the skew guard); the intersection count joins the two gram
+    streams pair-keyed. No all-pairs anywhere."""
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ng AS {D.mat(d)}(
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, {_lead_gram(CONT_N)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) t
+      WHERE gram IS NOT NULL
+    ),
+    gsize AS {D.mat(d)}(
+      SELECT doc_id, cast(count(*) as bigint) AS n_sh
+      FROM ng GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT gram FROM ng GROUP BY gram
+      HAVING count(*) <= {CONT_DF_CAP} AND count(*) >= 2
+    ),
+    cand AS {D.mat(d)}(
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ng a
+      JOIN rare r ON r.gram = a.gram
+      JOIN ng b ON b.gram = a.gram AND b.doc_id <> a.doc_id
+    ),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS n_shared
+      FROM cand c
+      JOIN ng ga ON ga.doc_id = c.doc_a
+      JOIN ng gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared, z.n_sh AS n_sh_a,
+           round(cast(s.n_shared as double) / cast(z.n_sh as double), 6)
+             AS containment
+    FROM shared s
+    JOIN gsize z ON z.doc_id = s.doc_a
+    WHERE cast(s.n_shared as double) / cast(z.n_sh as double)
+          >= {D.dbl(CONT_MIN)}
+    """
+
+
+sql_template("q_shingle_containment", _shingle_containment,
+             "directed shingle containment (Broder 1997) via rare-gram "
+             "blocking: |S(A) n S(B)| / |S(A)| >= 0.5 pairs — catches "
+             "quote/wrapped-copy relations Jaccard resemblance misses")
