@@ -241,3 +241,61 @@ def test_hits_matches_integer_brute_force(spark):
     # truncation honesty: residuals are small relative to the spread
     assert dh < (out["hub_fp"].max() - out["hub_fp"].min()) // 10
     assert da < (out["auth_fp"].max() - out["auth_fp"].min()) // 10
+
+
+def test_trustrank_matches_integer_brute_force(spark):
+    """q_trustrank vs the pure-Python personalized power iteration: bit
+    equality, plus the spam-demotion semantics (seeds dominate,
+    seed-unreachable pages carry exactly zero trust)."""
+    from unmixing_spark.queries.linkgraph_q import TRUST_SEED_MOD
+
+    out = (registry()["q_trustrank"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    links = []
+    for d in doc_ids:
+        outdeg = 1 + d % PR_MAX_FAN
+        for k in range(outdeg):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            links.append((d, outdeg, h % n))
+    seeds = [d for d in doc_ids if d % TRUST_SEED_MOD == 0]
+    ns = len(seeds)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * ns)
+    tr = {d: (PR_SCALE // ns if d % TRUST_SEED_MOD == 0 else 0)
+          for d in doc_ids}
+    prev = tr
+    for _ in range(PR_ROUNDS):
+        prev = tr
+        inc = dict.fromkeys(doc_ids, 0)
+        for src, outdeg, dst in links:
+            inc[dst] += tr[src] // outdeg
+        tr = {d: (base if d % TRUST_SEED_MOD == 0 else 0)
+              + PR_DAMP_NUM * inc[d] // PR_DAMP_DEN
+              for d in doc_ids}
+    max_delta = max(abs(tr[d] - prev[d]) for d in doc_ids)
+    assert len(out) == n
+    assert (out["max_delta"] == max_delta).all()
+    got = dict(zip(out["doc_id"].astype(int), out["trust_fp"].astype(int)))
+    assert got == tr  # bit-exact integer recurrence
+    assert (out["is_seed"] == (out["doc_id"] % TRUST_SEED_MOD == 0)
+            .astype(int)).all()
+    # semantics: seed-unreachable pages carry zero trust; the seed slice
+    # holds far more trust per page than the rest
+    reach = set(seeds)
+    frontier = set(seeds)
+    adj: dict[int, list[int]] = {}
+    for src, _o, dst in links:
+        adj.setdefault(src, []).append(dst)
+    while frontier:
+        nxt = {d for s in frontier for d in adj.get(s, [])} - reach
+        reach |= nxt
+        frontier = nxt
+    for d in doc_ids:
+        if d not in reach:
+            assert got[d] == 0, d
+    seed_mean = sum(got[d] for d in seeds) / ns
+    rest = [got[d] for d in doc_ids if d % TRUST_SEED_MOD != 0]
+    assert seed_mean > 5 * (sum(rest) / len(rest))

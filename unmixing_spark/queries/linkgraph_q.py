@@ -85,19 +85,39 @@ def _link_ctes(d: str, keep_k: bool = False) -> str:
     )"""
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(seed_mod: int | None = None) -> str:
     """Unrolled PR_ROUNDS-deep power iteration as DuckDB SQL. Every round
     CTE is MATERIALIZED (each is referenced by the next round plus, for
     the last two, the residual) and uses the identical integer recurrence
     the Spark loop runs: pr' = (1-d)*SCALE/N + d * sum_in(pr/outdeg), all
-    divisions exact bigint."""
+    divisions exact bigint.
+
+    ``seed_mod`` switches the teleport vector from uniform (PageRank) to
+    uniform-over-the-trusted-seed-set {{doc_id % seed_mod = 0}}
+    (TrustRank, Gyongyi et al. 2004): the initial vector and the
+    (1-d) base mass land ONLY on seeds — the rest of the recurrence is
+    unchanged, which is exactly the paper's formulation (personalized
+    PageRank with the trust seed as the personalization vector)."""
     dd = D.DUCKDB
+    if seed_mod is None:
+        denom, extra_cte, extra_cross, seed_pred = "nd.n", "", "", None
+    else:
+        denom = "ns.n"
+        extra_cte = (f""",
+    ns AS (SELECT cast(count(*) as bigint) AS n FROM documents
+           WHERE doc_id % {seed_mod} = 0)""")
+        extra_cross = " CROSS JOIN ns"
+        seed_pred = f"doc_id % {seed_mod} = 0"
     base = D.idiv_i(f"{(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE}",
-                    f"{PR_DAMP_DEN} * nd.n", dd)
-    ctes = [_link_ctes(dd), f"""r0 AS MATERIALIZED (
-      SELECT doc_id, cast({D.idiv_i(str(PR_SCALE), 'nd.n', dd)} as bigint)
+                    f"{PR_DAMP_DEN} * {denom}", dd)
+    init = D.idiv_i(str(PR_SCALE), denom, dd)
+    if seed_pred is not None:
+        base = f"CASE WHEN d.{seed_pred} THEN {base} ELSE 0 END"
+        init = f"CASE WHEN {seed_pred} THEN {init} ELSE 0 END"
+    ctes = [_link_ctes(dd) + extra_cte, f"""r0 AS MATERIALIZED (
+      SELECT doc_id, cast({init} as bigint)
                AS pr
-      FROM documents CROSS JOIN nd)"""]
+      FROM documents CROSS JOIN nd{extra_cross})"""]
     contrib = D.idiv_i("r.pr", "l.outdeg", dd)
     damped = D.idiv_i(f"{PR_DAMP_NUM} * coalesce(inc.s, 0)",
                       str(PR_DAMP_DEN), dd)
@@ -105,7 +125,7 @@ def _pagerank_oracle() -> str:
         ctes.append(f"""r{r + 1} AS MATERIALIZED (
       SELECT d.doc_id, cast({base} + {damped} as bigint) AS pr
       FROM documents d
-      CROSS JOIN nd
+      CROSS JOIN nd{extra_cross}
       LEFT JOIN (
         SELECT l.dst, sum({contrib}) AS s
         FROM links l JOIN r{r} r ON r.doc_id = l.src
@@ -115,11 +135,19 @@ def _pagerank_oracle() -> str:
       SELECT max(abs(a.pr - b.pr)) AS max_delta
       FROM {last} a JOIN {prev} b ON b.doc_id = a.doc_id)""")
     joined = ",\n    ".join(ctes)
+    if seed_mod is None:
+        keycol = (f"cast(1 + d.doc_id % {PR_MAX_FAN} as bigint)    "
+                  f"AS out_degree")
+        rankcol = "rank_fp"
+    else:
+        keycol = (f"cast(CASE WHEN d.{seed_pred} THEN 1 ELSE 0 END "
+                  f"as bigint) AS is_seed")
+        rankcol = "trust_fp"
     return f"""
     WITH {joined}
     SELECT d.doc_id,
-           cast(1 + d.doc_id % {PR_MAX_FAN} as bigint)    AS out_degree,
-           cast(r.pr as bigint)                           AS rank_fp,
+           {keycol},
+           cast(r.pr as bigint)                           AS {rankcol},
            cast((SELECT max_delta FROM delta) as bigint)  AS max_delta,
            cast({PR_ROUNDS} as bigint)                    AS rounds
     FROM documents d JOIN {last} r ON r.doc_id = d.doc_id
@@ -131,7 +159,8 @@ def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_documents(spark)
 
 
-def pagerank_over_documents(spark: SparkSession) -> DataFrame:
+def pagerank_over_documents(spark: SparkSession,
+                            seed_mod: int | None = None) -> DataFrame:
     """Driver loop twin of the unrolled oracle: PR_ROUNDS exact-integer
     power-iteration rounds over DataFrames, reading whatever ``documents``
     view is registered (the scaling bench points it at a replicated
@@ -140,15 +169,30 @@ def pagerank_over_documents(spark: SparkSession) -> DataFrame:
     lineage is truncated every PR_CKPT_EVERY rounds so the
     self-referencing plan stays shallow. The N count() is a one-row
     parquet-footer action (SURVEY §3.4 class) feeding the integer base
-    literal."""
+    literal.
+
+    ``seed_mod`` selects the TrustRank variant (see _pagerank_oracle):
+    the teleport base and the initial vector land only on the trusted
+    seeds {doc_id % seed_mod = 0}; the loop body is IDENTICAL — the
+    seed count replaces N in the two integer bases, and the per-node
+    base is masked by seed membership."""
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
     ).localCheckpoint(eager=True)
     docs = spark.table("documents").select("doc_id")
-    n = docs.count()
-    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
-    pr = docs.select(
-        "doc_id", F.lit(PR_SCALE // n).cast("bigint").alias("pr"))
+    if seed_mod is None:
+        denom = docs.count()
+        is_seed = None
+    else:
+        denom = docs.filter(F.col("doc_id") % seed_mod == 0).count()
+        is_seed = (F.col("doc_id") % seed_mod == 0)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * denom)
+    init = F.lit(PR_SCALE // denom)
+    base_col = F.lit(base)
+    if is_seed is not None:
+        init = F.when(is_seed, init).otherwise(F.lit(0))
+        base_col = F.when(is_seed, base_col).otherwise(F.lit(0))
+    pr = docs.select("doc_id", init.cast("bigint").alias("pr"))
     prev = pr
     for r in range(PR_ROUNDS):
         prev = pr
@@ -157,7 +201,7 @@ def pagerank_over_documents(spark: SparkSession) -> DataFrame:
                .groupBy("dst").agg(F.sum("c").alias("s")))
         pr = (docs.join(inc, docs["doc_id"] == inc["dst"], "left")
               .select(docs["doc_id"],
-                      (F.lit(base) + F.expr(
+                      (base_col + F.expr(
                           f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
                           f"div {PR_DAMP_DEN}"))
                       .cast("bigint").alias("pr")))
@@ -169,14 +213,20 @@ def pagerank_over_documents(spark: SparkSession) -> DataFrame:
     delta = (pr.withColumnRenamed("pr", "a")
              .join(prev.withColumnRenamed("pr", "b"), "doc_id")
              .agg(F.max(F.abs(F.col("a") - F.col("b"))).alias("max_delta")))
+    if seed_mod is None:
+        keycol = ((F.lit(1) + F.col("doc_id") % PR_MAX_FAN)
+                  .cast("bigint").alias("out_degree"))
+        keyname, rankname = "out_degree", "rank_fp"
+    else:
+        keycol = ((F.col("doc_id") % seed_mod == 0)
+                  .cast("bigint").alias("is_seed"))
+        keyname, rankname = "is_seed", "trust_fp"
     return (docs
-            .select("doc_id",
-                    (F.lit(1) + F.col("doc_id") % PR_MAX_FAN)
-                    .cast("bigint").alias("out_degree"))
+            .select("doc_id", keycol)
             .join(pr, "doc_id")
             .crossJoin(F.broadcast(delta))
-            .select("doc_id", "out_degree",
-                    F.col("pr").cast("bigint").alias("rank_fp"),
+            .select("doc_id", keyname,
+                    F.col("pr").cast("bigint").alias(rankname),
                     F.col("max_delta").cast("bigint").alias("max_delta"),
                     F.lit(PR_ROUNDS).cast("bigint").alias("rounds")))
 
@@ -186,6 +236,25 @@ register("q_link_pagerank", QuerySpec(
     doc="page-level PageRank over a deterministic synthetic link graph: "
         "fixed-point integer power iteration (bit-identical across "
         "engines), fixed depth with an in-query residual column"))
+
+
+TRUST_SEED_MOD = 50   # trusted seed set = doc_id % 50 == 0 (~2% of pages
+                      # — the paper selects seeds by inverse PageRank +
+                      # human review; a deterministic slice is the
+                      # declared sandbox stand-in)
+
+
+def _trustrank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    return pagerank_over_documents(spark, seed_mod=TRUST_SEED_MOD)
+
+
+register("q_trustrank", QuerySpec(
+    spark_fn=_trustrank_spark, oracle=_pagerank_oracle(TRUST_SEED_MOD),
+    doc="TrustRank (Gyongyi et al. 2004): personalized PageRank whose "
+        "teleport mass lands only on a trusted seed slice — the "
+        "link-spam demotion signal; same exact-integer recurrence and "
+        "residual column as q_link_pagerank"))
 
 
 # ---------------------------------------------------------------------------
