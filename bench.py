@@ -64,6 +64,10 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_bloom_crossdedup",
     "q_span_scrub",
+    # round-5 fifth-session additions (search-index + containment)
+    "q_bm25_topk",
+    "q_posting_lists",
+    "q_shingle_containment",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
