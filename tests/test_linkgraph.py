@@ -299,3 +299,138 @@ def test_trustrank_matches_integer_brute_force(spark):
     seed_mean = sum(got[d] for d in seeds) / ns
     rest = [got[d] for d in doc_ids if d % TRUST_SEED_MOD != 0]
     assert seed_mean > 5 * (sum(rest) / len(rest))
+
+
+def test_degree_dist_matches_brute_force(spark):
+    """Log-binned degree histogram equals a Python rebuild."""
+    out = registry()["q_degree_dist"].spark_fn(spark, SF_SMALL).toPandas()
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    indeg: dict[int, int] = {}
+    outdeg: dict[int, int] = {}
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            dst = h % n
+            indeg[dst] = indeg.get(dst, 0) + 1
+            outdeg[d] = outdeg.get(d, 0) + 1
+    expect: dict[tuple[str, int], list[int]] = {}
+    for side, degs in (("in", indeg), ("out", outdeg)):
+        for deg in degs.values():
+            key = (side, deg.bit_length() - 1)
+            e = expect.setdefault(key, [0, 0])
+            e[0] += 1
+            e[1] += deg
+    got = {(r.side, int(r.log2_deg)): [int(r.n_nodes), int(r.n_edges)]
+           for r in out.itertuples()}
+    assert got == expect
+
+
+def test_link_spam_features_match_brute_force(spark):
+    """Host-level intra-fraction and reciprocity equal a Python rebuild
+    of the host-pair rollup."""
+    out = registry()["q_link_spam_features"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    host = {int(r.doc_id): f"{r.source}.example.com"
+            for r in docs.itertuples()}
+    n = len(docs)
+    hp: dict[tuple[str, str], int] = {}
+    for d in sorted(host):
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            key = (host[d], host[h % n])
+            hp[key] = hp.get(key, 0) + 1
+    assert len(out) == len({s for s, _ in hp})
+    for r in out.itertuples():
+        pairs = {(s, t): c for (s, t), c in hp.items() if s == r.host}
+        n_out = sum(pairs.values())
+        n_intra = pairs.get((r.host, r.host), 0)
+        inter = [(s, t) for (s, t) in pairs if t != s]
+        recip = sum(1 for (s, t) in inter if (t, s) in hp)
+        assert int(r.n_out_links) == n_out
+        assert int(r.n_dst_hosts) == len(pairs)
+        assert int(r.n_intra) == n_intra
+        assert abs(r.intra_frac - round(n_intra / n_out, 6)) < 1e-9
+        assert abs(r.reciprocity
+                   - round(recip / max(len(inter), 1), 6)) < 1e-9
+
+
+def test_effective_diameter_matches_python_twin(spark):
+    """NF(r) rows equal the pure-Python HyperANF twin (same register
+    propagation, same envelope monotonization), the fraction column is
+    monotone ending at 1, exactly one radius carries the flag, and the
+    estimate lands near the EXACT BFS effective diameter."""
+    from unmixing_spark.queries.linkgraph_q import (
+        HB_LC_CUT, HB_LC_EST, HB_M, HB_NUM, HB_ROUNDS, HB_W)
+
+    out = (registry()["q_effective_diameter"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("r").reset_index(drop=True))
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    links = []
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            links.append((d, h % n))
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    state = {}
+    for d in doc_ids:
+        b = md5_32(f"{d}!b") % HB_M
+        x = md5_32(f"{d}!r")
+        state[d] = {b: HB_W + 1 - x.bit_length()}
+
+    def estimate(regs):
+        cnt = len(regs)
+        s_int = (sum(1 << (HB_W + 1 - rho) for rho in regs.values())
+                 + (HB_M - cnt) * (1 << (HB_W + 1)))
+        raw = HB_NUM / float(s_int)
+        if raw <= HB_LC_CUT and cnt < HB_M:
+            return HB_LC_EST[HB_M - cnt]
+        return raw
+
+    env = {d: estimate(state[d]) for d in doc_ids}
+    prev_e = dict(env)
+    nf = [round(sum(env.values()), 6)]
+    for _r in range(1, HB_ROUNDS + 1):
+        nxt = {d: dict(regs) for d, regs in state.items()}
+        for src, dst in links:
+            for b, rho in state[src].items():
+                if rho > nxt[dst].get(b, 0):
+                    nxt[dst][b] = rho
+        state = nxt
+        for d in doc_ids:
+            e = estimate(state[d])
+            env[d] = env[d] + max(0.0, e - prev_e[d])
+            prev_e[d] = e
+        nf.append(round(sum(env.values()), 6))
+    assert len(out) == HB_ROUNDS + 1
+    for r in range(HB_ROUNDS + 1):
+        assert abs(out.loc[r, "nf"] - nf[r]) < 1e-5, r
+    fr = out["frac"].to_numpy()
+    assert (fr[1:] >= fr[:-1] - 1e-12).all()
+    assert abs(fr[-1] - 1.0) < 1e-12
+    assert int(out["is_effective_diameter"].sum()) == 1
+    est_ed = int(out.loc[out["is_effective_diameter"] == 1, "r"].iloc[0])
+    # exact forward-BFS neighborhood function for the truth comparison
+    adj: dict[int, list[int]] = {}
+    for s, t in links:
+        adj.setdefault(s, []).append(t)
+    total = [0] * (HB_ROUNDS + 1)
+    for v in doc_ids:
+        seen = {v}
+        frontier = {v}
+        total[0] += 1
+        for r in range(1, HB_ROUNDS + 1):
+            frontier = {w for u in frontier for w in adj.get(u, [])} - seen
+            seen |= frontier
+            total[r] += len(seen)
+    target = 0.9 * total[HB_ROUNDS]
+    exact_ed = next(r for r in range(HB_ROUNDS + 1) if total[r] >= target)
+    assert abs(est_ed - exact_ed) <= 2

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from unmixing_spark import dialect as D
 from unmixing_spark import pipeline
-from unmixing_spark.queries import QuerySpec, register
+from unmixing_spark.queries import QuerySpec, register, sql_template
 
 PR_SCALE = 10 ** 12   # fixed-point scale: total rank mass in integer units
 PR_ROUNDS = 20        # truncated power iteration depth (both renderings):
@@ -236,6 +236,103 @@ register("q_link_pagerank", QuerySpec(
     doc="page-level PageRank over a deterministic synthetic link graph: "
         "fixed-point integer power iteration (bit-identical across "
         "engines), fixed depth with an in-query residual column"))
+
+
+def _degree_dist(d: str) -> str:
+    """Log-binned in/out-degree distribution — the first table in every
+    web-graph structure report (Broder et al. 2000 §3 measure power-law
+    exponents from exactly this histogram). Bucket = floor(log2(deg))
+    computed EXACTLY from the bigint bit length (no float log), so both
+    renderings bin identically.
+
+    Scale shape: one dst-keyed count (indegree), one src-keyed count
+    (outdegree is closed-form here but aggregated anyway — the operator
+    must not assume the synthetic fan), then two tiny bucket
+    aggregations UNION ALL'd. Nothing bigger than the edge list's
+    natural exchanges."""
+    # floor(log2(n)) for n>=1 via a 32-row bit-length lookup
+    bitlen_rows = ", ".join(
+        f"({k}, {1 << k}, {(1 << (k + 1)) - 1})" for k in range(32))
+    return f"""
+    WITH {_link_ctes(d)},
+    bl AS ({D.values_rel(bitlen_rows, "t(k, lo, hi)", d)}),
+    indeg AS (SELECT dst AS doc_id, cast(count(*) as bigint) AS deg
+              FROM links GROUP BY dst),
+    outdeg AS (SELECT src AS doc_id, cast(count(*) as bigint) AS deg
+               FROM links GROUP BY src),
+    binned AS (
+      SELECT 'in' AS side, b.k AS log2_deg, count(*) AS n_nodes,
+             sum(i.deg) AS n_edges
+      FROM indeg i JOIN bl b ON i.deg BETWEEN b.lo AND b.hi
+      GROUP BY b.k
+      UNION ALL
+      SELECT 'out', b.k, count(*), sum(o.deg)
+      FROM outdeg o JOIN bl b ON o.deg BETWEEN b.lo AND b.hi
+      GROUP BY b.k
+    )
+    SELECT side, cast(log2_deg as bigint) AS log2_deg,
+           cast(n_nodes as bigint) AS n_nodes,
+           cast(n_edges as bigint) AS n_edges
+    FROM binned
+    """
+
+
+sql_template("q_degree_dist", _degree_dist,
+             "log-binned in/out-degree histogram of the link graph "
+             "(Broder et al. 2000 structure-report shape), exact "
+             "bit-length binning")
+
+
+def _link_spam_features(d: str) -> str:
+    """Host-level link-spam feature table (Becchetti et al. 2008,
+    "Link Analysis for Web Spam Detection"; Fetterly et al. 2004):
+    per host — out-edge count, intra-host link fraction (link farms
+    self-link heavily), reciprocity (fraction of this host's out-pairs
+    whose reverse pair also exists — mutual-admiration rings), and
+    distinct destination hosts. Pure features; a downstream classifier
+    (q_quality_classifier shape) consumes them.
+
+    Scale shape: two page-id-keyed joins map edges to host pairs (the
+    q_host_graph rollup), one (src_host, dst_host) aggregation, then a
+    self-join of the host-pair table on the REVERSED key for
+    reciprocity — host-pair cardinality, orders below the page graph.
+    Final per-host aggregation with map-side combine."""
+    host = "source || '.example.com'"
+    return f"""
+    WITH {_link_ctes(d)},
+    hm AS (SELECT doc_id, {host} AS host FROM documents),
+    hp AS {D.mat(d)}(
+      SELECT s.host AS src_host, t.host AS dst_host,
+             cast(count(*) as bigint) AS n
+      FROM links l
+      JOIN hm s ON s.doc_id = l.src
+      JOIN hm t ON t.doc_id = l.dst
+      GROUP BY s.host, t.host
+    )
+    SELECT a.src_host AS host,
+           cast(sum(a.n) as bigint) AS n_out_links,
+           cast(count(*) as bigint) AS n_dst_hosts,
+           cast(sum(CASE WHEN a.dst_host = a.src_host THEN a.n ELSE 0 END)
+                as bigint) AS n_intra,
+           round(cast(sum(CASE WHEN a.dst_host = a.src_host
+                               THEN a.n ELSE 0 END) as double)
+                 / cast(sum(a.n) as double), 6) AS intra_frac,
+           round(cast(sum(CASE WHEN b.src_host IS NOT NULL
+                               AND a.dst_host <> a.src_host
+                          THEN 1 ELSE 0 END) as double)
+                 / cast(greatest(sum(CASE WHEN a.dst_host <> a.src_host
+                                     THEN 1 ELSE 0 END), 1) as double), 6)
+             AS reciprocity
+    FROM hp a
+    LEFT JOIN hp b ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+    GROUP BY a.src_host
+    """
+
+
+sql_template("q_link_spam_features", _link_spam_features,
+             "host-level link-spam features: intra-host link fraction, "
+             "host-pair reciprocity, fan-out — the Becchetti/Fetterly "
+             "feature-table shape over the host-graph rollup")
 
 
 TRUST_SEED_MOD = 50   # trusted seed set = doc_id % 50 == 0 (~2% of pages
@@ -659,3 +756,141 @@ register("q_hits_scores", QuerySpec(
         "fixed-point integer iteration with exact integer L1 "
         "normalization per half-step (bit-identical across engines), "
         "fixed depth with in-query residual columns"))
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function + effective diameter (Palmer/Gibbons/Faloutsos ANF
+# 2002; Boldi/Rosa/Vigna "HyperANF" 2011; the stat Broder et al. 2000
+# report for the web graph). NF(r) = sum over nodes v of |B_r(v)|; the
+# effective diameter is the smallest r with NF(r) >= 0.9 * NF(r_max).
+# Reuses the HyperBall machinery above verbatim (_hb_base_ctes /
+# _hb_agg_sql / _hb_est_sql / _hb_est_col): per node the ball estimate is
+# forced monotone via the same clamped-increment envelope the harmonic
+# accumulator uses (env += max(0, e_r - e_{r-1}) — HyperANF's standard
+# monotonization), and NF(r) is the per-round global sum of envelopes.
+# The per-round global float sum is the one order-dependent aggregation
+# in the family — rounded to 6 in both renderings (values O(N * m), so
+# double noise is ~1e5 ulps below the rounding grain).
+
+
+def _nf_oracle() -> str:
+    """Unrolled HB_ROUNDS-deep neighborhood function as DuckDB SQL: the
+    harmonic unroll's register propagation with the envelope accumulator
+    instead of the 1/r harmonic sum, then one row per radius with the
+    cumulative fraction and the first-crossing effective-diameter flag."""
+    dd = D.DUCKDB
+    ctes = [_link_ctes(dd), _hb_base_ctes(dd),
+            f"a0 AS MATERIALIZED ({_hb_agg_sql('s0')})",
+            f"""e0 AS MATERIALIZED (
+      SELECT a.node, {_hb_est_sql('a')} AS env, {_hb_est_sql('a')} AS prev
+      FROM a0 a LEFT JOIN lc ON lc.v = {HB_M} - a.cnt)"""]
+    for r in range(1, HB_ROUNDS + 1):
+        ctes.append(f"""s{r} AS MATERIALIZED (
+      SELECT node, b, max(rho) AS rho FROM (
+        SELECT l.dst AS node, s.b, s.rho
+        FROM links l JOIN s{r - 1} s ON s.node = l.src
+        UNION ALL
+        SELECT node, b, rho FROM s{r - 1}) u
+      GROUP BY node, b)""")
+        ctes.append(f"a{r} AS MATERIALIZED ({_hb_agg_sql(f's{r}')})")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+      SELECT e.node,
+             e.env + greatest({D.dbl(0.0)}, est.e - e.prev) AS env,
+             est.e AS prev
+      FROM e{r - 1} e JOIN (
+        SELECT a.node, {_hb_est_sql('a')} AS e
+        FROM a{r} a LEFT JOIN lc ON lc.v = {HB_M} - a.cnt) est
+        ON est.node = e.node)""")
+    nf_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, round(sum(env), 6) AS nf FROM e{r}"
+        for r in range(HB_ROUNDS + 1))
+    joined = ",\n    ".join(ctes)
+    frac = "round(nf / nfl.nfl, 6)"
+    return f"""
+    WITH {joined},
+    nf AS MATERIALIZED ({nf_rows}),
+    nfl AS (SELECT nf AS nfl FROM nf WHERE r = {HB_ROUNDS})
+    SELECT cast(r as bigint) AS r, nf,
+           {frac} AS frac,
+           cast(CASE WHEN {frac} >= {D.dbl(0.9)}
+                      AND coalesce(lag({frac}) OVER (ORDER BY r),
+                                   {D.dbl(0.0)}) < {D.dbl(0.9)}
+                THEN 1 ELSE 0 END as bigint) AS is_effective_diameter
+    FROM nf CROSS JOIN nfl
+    """
+
+
+def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
+    """Driver loop twin of the unrolled NF oracle: the harmonic loop's
+    register propagation with the envelope accumulator; state, envelope,
+    and the 1-row per-round NF sum are checkpointed every round (the
+    CC/HITS cadence — each round's NF row is consumed immediately, so
+    lazy accumulation would re-run the chain per row)."""
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+    ).localCheckpoint(eager=True)
+    state = spark.sql(
+        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
+    ).localCheckpoint(eager=True)
+
+    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
+
+    def node_stats(st: DataFrame) -> DataFrame:
+        return st.groupBy("node").agg(
+            F.count("*").alias("cnt"),
+            (F.sum(shift)
+             + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
+            .alias("s_int"))
+
+    a = node_stats(state)
+    env = a.select("node",
+                   _hb_est_col(F.col("cnt"), F.col("s_int")).alias("env"),
+                   _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
+
+    def nf_row(r: int, e: DataFrame) -> DataFrame:
+        return (e.agg(F.round(F.sum("env"), 6).alias("nf"))
+                .select(F.lit(r).cast("bigint").alias("r"), "nf")
+                .localCheckpoint(eager=True))
+
+    rows = [nf_row(0, env)]
+    for r in range(1, HB_ROUNDS + 1):
+        contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"), "b", "rho"))
+        state = (state.unionByName(contrib)
+                 .groupBy("node", "b").agg(F.max("rho").alias("rho"))
+                 .localCheckpoint(eager=True))
+        est = node_stats(state).select(
+            "node", _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
+        env = (env.join(est, "node")
+               .select("node",
+                       (F.col("env")
+                        + F.greatest(F.lit(0.0),
+                                     F.col("e") - F.col("prev")))
+                       .alias("env"),
+                       F.col("e").alias("prev"))
+               .localCheckpoint(eager=True))
+        rows.append(nf_row(r, env))
+    nf = rows[0]
+    for more in rows[1:]:
+        nf = nf.unionByName(more)
+    from pyspark.sql.window import Window
+    nfl = (nf.filter(F.col("r") == HB_ROUNDS)
+           .select(F.col("nf").alias("nfl")))
+    frac = F.round(F.col("nf") / F.col("nfl"), 6)
+    lagf = F.coalesce(F.lag(frac).over(Window.orderBy("r")), F.lit(0.0))
+    return (nf.crossJoin(F.broadcast(nfl))
+            .select("r", "nf", frac.alias("frac"),
+                    ((frac >= F.lit(0.9)) & (lagf < F.lit(0.9)))
+                    .cast("bigint").alias("is_effective_diameter")))
+
+
+def _nf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    return neighborhood_function_over_documents(spark)
+
+
+register("q_effective_diameter", QuerySpec(
+    spark_fn=_nf_spark, oracle=_nf_oracle(),
+    doc="neighborhood function NF(r) + 90% effective diameter via "
+        "HyperANF (monotone-envelope HyperBall estimates, per-radius "
+        "global sums) — the Broder et al. 2000 web-graph structure stat"))
