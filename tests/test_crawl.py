@@ -396,3 +396,58 @@ def test_recrawl_priority_estimator(spark):
     for t in (1, 2, 3):
         assert (out[out.tier == t].priority.min()
                 >= out[out.tier == t + 1].priority.max())
+
+
+def test_index_shards_balance(spark):
+    """Shard assignment and the imbalance factor equal a Python rebuild;
+    every doc lands in exactly one shard."""
+    from unmixing_spark.queries.crawl_q import INDEX_SHARDS
+
+    out = registry()["q_index_shards"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    per: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        s = _md5_slice(url, 1) % INDEX_SHARDS
+        e = per.setdefault(s, [0, 0])
+        e[0] += 1
+        e[1] += len(r.text)
+    assert len(out) == len(per)
+    assert int(out.n_docs.sum()) == len(docs)
+    k = len(per)
+    sm = sum(b for _, b in per.values())
+    mx = max(b for _, b in per.values())
+    for r in out.itertuples():
+        nd, nb = per[int(r.shard)]
+        assert (int(r.n_docs), int(r.n_bytes)) == (nd, nb)
+        assert abs(r.rel_load - round(nb * k / sm, 6)) < 1e-9
+        assert abs(r.imbalance_factor - round(mx * k / sm, 6)) < 1e-9
+
+
+def test_capture_retention_policy(spark):
+    """Latest-K retention accounting equals a Python rebuild of the
+    capture history."""
+    from unmixing_spark.pagegen import EPOCH_2025
+    from unmixing_spark.queries.crawl_q import (RECRAWL_CAPTURES,
+                                                RECRAWL_STEP, RETAIN_K)
+
+    out = registry()["q_capture_retention"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    assert len(out) == len(docs)
+    got = {r.url: r for r in out.itertuples()}
+    for r in docs.itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        caps = []
+        for i in range(RECRAWL_CAPTURES):
+            nb = 500 + _md5_slice(f"sz{url}:{i}", 1) % 1500
+            caps.append((EPOCH_2025 + i * RECRAWL_STEP, nb))
+        caps.sort(reverse=True)
+        kept = caps[:RETAIN_K]
+        dropped = caps[RETAIN_K:]
+        g = got[url]
+        assert int(g.n_captures) == RECRAWL_CAPTURES
+        assert int(g.n_kept) == len(kept)
+        assert int(g.n_dropped) == len(dropped)
+        assert int(g.bytes_total) == sum(b for _, b in caps)
+        assert int(g.bytes_reclaimed) == sum(b for _, b in dropped)
+        assert int(g.oldest_kept_epoch) == min(t for t, _ in kept)

@@ -355,3 +355,30 @@ def test_chunk_overlap_matches_brute_force(spark):
     assert got == expect
     assert multi > 0, "corpus must exercise multi-chunk docs"
     assert covered == len(_docs()), "chunks must cover every token"
+
+
+def test_token_entropy_matches_brute_force(spark):
+    """Entropy and normalized entropy equal a plain-Python recompute of
+    H = ln(N) - (1/N) sum c ln c, with the documented rounding."""
+    import math
+    from collections import Counter
+
+    out = (registry()["q_token_entropy"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+    assert len(out) == len(docs)
+    for row in docs.itertuples():
+        c = Counter(re.split(r"\s+", row.text))
+        n = sum(c.values())
+        sum_clnc = round(sum(k * math.log(k) for k in c.values()), 6)
+        h = round(math.log(n) - sum_clnc / n, 6)
+        norm = (round((math.log(n) - sum_clnc / n) / math.log(len(c)), 6)
+                if len(c) > 1 else 0.0)
+        got = out.loc[int(row.doc_id)]
+        assert int(got["n_tok"]) == n
+        assert int(got["n_distinct"]) == len(c)
+        assert abs(got["entropy"] - h) < 1e-9, row.doc_id
+        assert abs(got["norm_entropy"] - norm) < 1e-9, row.doc_id
+    # invariants: 0 <= H <= ln(n_distinct) => 0 <= norm <= 1
+    assert (out["entropy"] >= -1e-9).all()
+    assert (out["norm_entropy"] <= 1 + 1e-9).all()

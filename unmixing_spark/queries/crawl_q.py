@@ -774,6 +774,114 @@ def _recrawl_priority(d: str) -> str:
     """
 
 
+INDEX_SHARDS = 16   # hash shards for the serving-index layout
+
+
+def _index_shards(d: str) -> str:
+    """Index shard assignment + balance report — the layout audit run
+    before a serving-index build (and the query-side view of the
+    engine's write-time bucketing path, io/bucketing.py): docs hash to
+    {INDEX_SHARDS} shards by md5(url); per shard, doc count and payload
+    bytes, plus the global imbalance factor (max shard bytes / mean
+    shard bytes) every row carries so a skewed layout is visible in one
+    scan of the report.
+
+    Scale shape: one shard-keyed aggregation with map-side combine
+    (16 groups), one 1-row global aggregate broadcast back. The hash
+    assignment is the same modulo-of-md5 the bucketed writer uses, so
+    this report audits the real layout, not a simulation of it."""
+    url = url_expr(d)
+    shard = f"({D.md5_slice('url', 1, d)}) % {INDEX_SHARDS}"
+    return f"""
+    WITH pg AS (
+      SELECT {url} AS url, text, n_chars FROM documents
+    ),
+    sharded AS (
+      SELECT {shard} AS shard, length(text) AS nb FROM pg
+    ),
+    per AS {D.mat(d)}(
+      SELECT shard,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(nb) as bigint) AS n_bytes
+      FROM sharded GROUP BY shard
+    ),
+    tot AS (
+      SELECT cast(max(n_bytes) as bigint) AS mx,
+             cast(sum(n_bytes) as bigint) AS sm,
+             cast(count(*) as bigint) AS k
+      FROM per
+    )
+    SELECT p.shard, p.n_docs, p.n_bytes,
+           round(cast(p.n_bytes as double) * t.k / t.sm, 6)
+             AS rel_load,
+           round(cast(t.mx as double) * t.k / t.sm, 6)
+             AS imbalance_factor
+    FROM per p CROSS JOIN tot t
+    """
+
+
+sql_template("q_index_shards", _index_shards,
+             "serving-index shard assignment + balance report: per-shard "
+             "doc/byte counts, relative load, global imbalance factor")
+
+
+RETAIN_K = 3   # web-archive retention: keep the latest K captures per url
+
+
+def _capture_retention(d: str) -> str:
+    """Capture retention / compaction policy — the storage-side report a
+    web archive runs per crawl cycle: over each url's capture history
+    (same deterministic {RECRAWL_CAPTURES}-capture synthesis as
+    q_recrawl_priority — in production this IS the CDX index), keep the
+    latest {RETAIN_K} captures, and report kept/dropped counts plus the
+    bytes compaction reclaims. Capture payload sizes are deterministic
+    md5 functions so both renderings price the same bytes.
+
+    Scale shape: one url-keyed row_number window over the history
+    stream + one url-keyed aggregation — exactly the latest-K shape
+    q_dedup_latest_crawl already proves at K=1, extended with the
+    byte accounting."""
+    url = url_expr(d)
+    iv_rows = ", ".join(f"({i})" for i in range(RECRAWL_CAPTURES))
+    szkey = f"'sz' || u.url || ':' || {D.to_str('i.i', d)}"
+    nb = f"500 + ({D.md5_slice(szkey, 1, d)}) % 1500"
+    return f"""
+    WITH urls AS (SELECT {url} AS url FROM documents),
+    ivs AS ({D.values_rel(iv_rows, "t(i)", d)}),
+    hist AS (
+      SELECT u.url, i.i AS cap_i,
+             {EPOCH_2025} + i.i * {RECRAWL_STEP} AS t_epoch,
+             cast({nb} as bigint) AS n_bytes
+      FROM urls u CROSS JOIN ivs i
+    ),
+    ranked AS (
+      SELECT url, cap_i, t_epoch, n_bytes,
+             row_number() OVER (PARTITION BY url ORDER BY t_epoch DESC)
+               AS rn
+      FROM hist
+    )
+    SELECT url,
+           cast(count(*) as bigint) AS n_captures,
+           cast(sum(CASE WHEN rn <= {RETAIN_K} THEN 1 ELSE 0 END)
+                as bigint) AS n_kept,
+           cast(sum(CASE WHEN rn > {RETAIN_K} THEN 1 ELSE 0 END)
+                as bigint) AS n_dropped,
+           cast(sum(n_bytes) as bigint) AS bytes_total,
+           cast(sum(CASE WHEN rn > {RETAIN_K} THEN n_bytes ELSE 0 END)
+                as bigint) AS bytes_reclaimed,
+           cast(min(CASE WHEN rn <= {RETAIN_K} THEN t_epoch END)
+                as bigint) AS oldest_kept_epoch
+    FROM ranked
+    GROUP BY url
+    """
+
+
+sql_template("q_capture_retention", _capture_retention,
+             "web-archive retention compaction: keep the latest K "
+             "captures per url, report kept/dropped counts and "
+             "reclaimed bytes over the capture history")
+
+
 sql_template("q_recrawl_priority", _recrawl_priority,
              "change-rate recrawl priority (Cho & Garcia-Molina 2003): "
              "per-url Bernoulli change-rate MLE from the capture "

@@ -300,6 +300,53 @@ sql_template("q_token_count", _token_count,
              "whitespace + BPE-ish regex token counting")
 
 
+def _token_entropy(d: str) -> str:
+    """Per-document token-distribution Shannon entropy (nats) — the
+    cheap repetition/diversity quality signal (a low-entropy doc is a
+    keyword-stuffed or template page; RefinedWeb/Gopher-class pipelines
+    gate on exactly this family). Normalized entropy divides by the
+    max ln(n_distinct), flooring single-token docs at 0.
+
+    Bit-parity: H = ln(N) - (1/N)·sum c·ln(c) — every ln() argument is
+    an INTEGER count, the per-(doc, tok) term c·ln(c) is a single
+    deterministic product, and the only order-dependent aggregation
+    (the sum over a doc's distinct tokens) is rounded to 6 in both
+    renderings before the final arithmetic.
+
+    Scale shape: one (doc_id, tok)-keyed count + one doc_id-keyed
+    aggregation, both map-side combinable — strictly cheaper than the
+    q_quality_score pass it complements."""
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, tok, cast(count(*) as bigint) AS c
+      FROM {_tokens(d)} GROUP BY doc_id, tok
+    ),
+    agg AS (
+      SELECT doc_id,
+             cast(sum(c) as bigint) AS n_tok,
+             cast(count(*) as bigint) AS n_distinct,
+             round(sum(cast(c as double) * ln(cast(c as double))), 6)
+               AS sum_clnc
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_distinct,
+           round(ln(cast(n_tok as double))
+                 - sum_clnc / cast(n_tok as double), 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(cast(n_tok as double))
+                            - sum_clnc / cast(n_tok as double))
+                           / ln(cast(n_distinct as double))
+                      ELSE {D.dbl(0.0)} END, 6) AS norm_entropy
+    FROM agg
+    """
+
+
+sql_template("q_token_entropy", _token_entropy,
+             "per-doc token Shannon entropy (integer-ln form) + "
+             "normalized entropy — the repetition/diversity quality "
+             "signal")
+
+
 # ---- fingerprinting ----------------------------------------------------------
 
 def _fingerprint(d: str) -> str:
