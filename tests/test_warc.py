@@ -98,3 +98,70 @@ def test_warc_roundtrip_query_registered(spark):
     pdf = out.toPandas()
     assert len(pdf) == 500
     assert pdf["html_sha"].nunique() == pdf["url"].nunique() == 500
+
+
+def test_wet_record_roundtrip_and_linkage():
+    """Conversion records round-trip byte-exactly (plain + gzip), carry
+    the spec headers, and their WARC-Refers-To is the uuid5 id the
+    response record for the same url carries."""
+    import uuid
+
+    from unmixing_spark.io.warc import build_conversion_record, parse_wet
+
+    url = "https://src0.example.com/en/42"
+    text = "hello web é world"
+    for gz in (False, True):
+        rec = build_conversion_record(url, 1735689600, text.encode(),
+                                      gzip_record=gz)
+        [(u, ep, t)] = list(parse_wet(rec))
+        assert (u, ep, t) == (url, 1735689600, text)
+    raw = build_conversion_record(url, 1735689600, text.encode(),
+                                  gzip_record=False)
+    head = raw.split(CRLF + CRLF, 1)[0].decode()
+    assert "WARC-Type: conversion" in head
+    assert "Content-Type: text/plain" in head
+    refers = str(uuid.uuid5(uuid.NAMESPACE_URL, url))
+    assert f"WARC-Refers-To: <urn:uuid:{refers}>" in head
+    resp = build_record(url, 1735689600, b"<html/>", gzip_record=False)
+    assert f"WARC-Record-ID: <urn:uuid:{refers}>" in resp.decode()
+
+
+def test_mixed_warc_wet_stream_filters_by_type():
+    """A stream holding response AND conversion records: parse_warc
+    yields only responses, parse_wet only conversions; malformed
+    conversion records still raise."""
+    from unmixing_spark.io.warc import build_conversion_record, parse_wet
+
+    url = "https://src1.example.com/de/7"
+    stream = (build_record(url, 1735689600, b"<html>x</html>")
+              + build_conversion_record(url, 1735689600, b"x"))
+    assert [r[2] for r in parse_warc(stream)] == [b"<html>x</html>"]
+    assert [r[2] for r in parse_wet(stream)] == ["x"]
+    bad = build_conversion_record(url, 1735689600, b"x",
+                                  gzip_record=False)[:-2]
+    with pytest.raises(ValueError):
+        list(parse_wet(bad))
+
+
+def test_wet_distributed_roundtrip_byte_identical(spark, tmp_path):
+    """write_wet → read_wet over the pages synthesis preserves every
+    (url, epoch, text) byte-exactly."""
+    from unmixing_spark import dialect as D
+    from unmixing_spark.io.warc import read_wet, write_wet
+    from unmixing_spark.pagegen import pages_sql
+    from unmixing_spark.pipeline import register_tables
+
+    register_tables(spark, SF_SMALL, ("documents",))
+    pages = spark.sql(f"""
+        SELECT url, {D.ts_to_epoch('warc_ts', D.SPARK)} AS warc_epoch, text
+        FROM ({pages_sql(D.SPARK)})
+    """).repartition(3, "url")
+    out = str(tmp_path / "wet")
+    import os
+    os.makedirs(out)
+    n = write_wet(pages, out, gzip_records=True)
+    src = {(r.url, r.warc_epoch, r.text) for r in pages.collect()}
+    assert n == len(src)
+    back = {(r.url, r.warc_epoch, r.text)
+            for r in read_wet(spark, out).collect()}
+    assert back == src

@@ -60,8 +60,8 @@ def build_record(url: str, warc_epoch: int, html: bytes,
     return gzip.compress(rec, mtime=0) if gzip_record else rec
 
 
-def parse_warc(data: bytes):
-    """Yield (url, warc_epoch, html) per response record. Accepts plain
+def _iter_records(data: bytes):
+    """Yield (headers, body) per WARC record of any type. Accepts plain
     or gzip (multi-member) files; raises ValueError on malformed
     input."""
     if data[:2] == b"\x1f\x8b":
@@ -90,18 +90,111 @@ def parse_warc(data: bytes):
             raise ValueError("truncated WARC record content")
         if data[body_start + clen:body_start + clen + 4] != CRLF + CRLF:
             raise ValueError("missing WARC record terminator")
-        if headers.get("warc-type") == "response":
-            body = data[body_start:body_start + clen]
-            split = body.find(CRLF + CRLF)
-            if split < 0:
-                raise ValueError("response record without HTTP header block")
-            date = headers.get("warc-date", "")
-            epoch = int(datetime.strptime(
-                date, "%Y-%m-%dT%H:%M:%SZ").replace(
-                tzinfo=timezone.utc).timestamp())
-            yield (headers.get("warc-target-uri", ""), epoch,
-                   body[split + 4:])
+        yield headers, data[body_start:body_start + clen]
         i = body_start + clen + 4
+
+
+def _record_epoch(headers: dict[str, str]) -> int:
+    date = headers.get("warc-date", "")
+    return int(datetime.strptime(
+        date, "%Y-%m-%dT%H:%M:%SZ").replace(
+        tzinfo=timezone.utc).timestamp())
+
+
+def parse_warc(data: bytes):
+    """Yield (url, warc_epoch, html) per response record."""
+    for headers, body in _iter_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        split = body.find(CRLF + CRLF)
+        if split < 0:
+            raise ValueError("response record without HTTP header block")
+        yield (headers.get("warc-target-uri", ""), _record_epoch(headers),
+               body[split + 4:])
+
+
+def parse_wet(data: bytes):
+    """Yield (url, warc_epoch, text) per conversion record (the WET
+    sidecar layout: the body IS the extracted text, no HTTP block)."""
+    for headers, body in _iter_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        yield (headers.get("warc-target-uri", ""), _record_epoch(headers),
+               body.decode("utf-8", "strict"))
+
+
+def build_conversion_record(url: str, warc_epoch: int, text: bytes,
+                            gzip_record: bool = True) -> bytes:
+    """One WET conversion record (Common Crawl's extracted-text sidecar,
+    WARC 1.0 Annex C usage): WARC-Type: conversion, WARC-Refers-To
+    pointing at the uuid5 id the response record for the same url
+    carries, payload = the extracted text bytes directly (no HTTP
+    block)."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, "wet:" + url)
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    date = datetime.fromtimestamp(int(warc_epoch), tz=timezone.utc)
+    headers = CRLF.join([
+        _MAGIC,
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">",
+        b"WARC-Refers-To: <urn:uuid:" + str(refers).encode() + b">",
+        b"WARC-Date: " + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(text)).encode(),
+    ])
+    rec = headers + CRLF + CRLF + text + CRLF + CRLF
+    return gzip.compress(rec, mtime=0) if gzip_record else rec
+
+
+def write_wet(pages: DataFrame, out_dir: str,
+              gzip_records: bool = True) -> int:
+    """Write (url, warc_epoch, text) partitions as ``part-N.warc.wet[.gz]``
+    conversion-record files under ``out_dir``; returns the record count.
+    Same streamed one-file-per-partition shape as ``write_warc``."""
+    import os
+
+    ext = ".warc.wet.gz" if gzip_records else ".warc.wet"
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        wrote = 0
+        with open(path, "ab") as f:
+            for pdf in batches:
+                for url, epoch, text in zip(pdf["url"], pdf["warc_epoch"],
+                                            pdf["text"]):
+                    f.write(build_conversion_record(
+                        str(url), int(epoch), str(text).encode(),
+                        gzip_record=gzip_records))
+                    wrote += 1
+        yield pd.DataFrame({"n": [wrote]})
+
+    counts = (pages.select("url", "warc_epoch", "text")
+              .mapInPandas(_write, "n long").collect())
+    return sum(r["n"] for r in counts)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Source connector: WET directory/glob → DataFrame(url, warc_epoch,
+    text). One task per file, Arrow-batched parse — same shape as
+    ``read_warc``."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [rec for content in pdf["content"]
+                    for rec in parse_wet(bytes(content))]
+            yield pd.DataFrame(rows,
+                               columns=["url", "warc_epoch", "text"])
+
+    return (files.select("content")
+            .mapInPandas(_parse, "url string, warc_epoch long, text string"))
 
 
 def write_warc(pages: DataFrame, out_dir: str,

@@ -80,3 +80,51 @@ register("q_warc_roundtrip", QuerySpec(
     doc="WARC source/sink roundtrip: pages → per-record-gzipped WARC "
         "files → binaryFile+mapInPandas reader → per-url byte "
         "fingerprints, oracle-matched against the direct SQL synthesis"))
+
+
+def _wet_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar roundtrip: the extracted-text layer (WARC-Type:
+    conversion) written and re-read through io/warc.py's WET path. The
+    corpus `text` column IS the extracted text (q_html_extract proves
+    extraction inverts the page synthesis), so fingerprinting what
+    survives the conversion-record format extends the north-rule
+    byte-identical-text invariant through the SECOND on-disk format web
+    corpora ship in. Same scale shape as q_warc_roundtrip: streamed
+    file-per-partition write, one reader task per file, no shuffles."""
+    from unmixing_spark.io.warc import read_wet, write_wet
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pages = spark.sql(f"""
+        SELECT url, {D.ts_to_epoch('warc_ts', D.SPARK)} AS warc_epoch, text
+        FROM ({pages_sql(D.SPARK)})
+    """).repartition(WARC_PARTS, "url")
+    out_dir = tempfile.mkdtemp(prefix="unmixing_wet_")
+    try:
+        write_wet(pages, out_dir, gzip_records=True)
+        back = read_wet(spark, out_dir)
+        back.createOrReplaceTempView("wet_back")
+        return spark.sql(f"""
+            SELECT url, warc_epoch,
+                   cast(length(text) as bigint) AS text_chars,
+                   {D.sha256_('text', D.SPARK)} AS text_sha
+            FROM wet_back
+        """).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _wet_oracle() -> str:
+    d = D.DUCKDB
+    return f"""
+    SELECT url, {D.ts_to_epoch('warc_ts', d)} AS warc_epoch,
+           cast(length(text) as bigint) AS text_chars,
+           {D.sha256_('text', d)} AS text_sha
+    FROM ({pages_sql(d)}) p
+    """
+
+
+register("q_wet_roundtrip", QuerySpec(
+    spark_fn=_wet_roundtrip_spark, oracle=_wet_oracle(),
+    doc="WET conversion-record roundtrip: extracted text → per-record-"
+        "gzipped WET files → reader → per-url text fingerprints, "
+        "oracle-matched against the direct SQL synthesis"))
