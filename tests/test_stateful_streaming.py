@@ -38,3 +38,38 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     n_urls = pages.select("url").distinct().count()
     assert got.count() == n_urls, "each url must be emitted exactly once"
     assert got.select("url").distinct().count() == n_urls
+
+
+def test_streaming_rate_limit_across_microbatches(spark, tmp_path):
+    """Per-host fetch sequence numbers stay dense across micro-batches
+    (state carries k_next and the schedule anchor), spacing is exactly
+    the per-host crawl delay, and the delay matches the batch twin's
+    md5 function."""
+    from unmixing_spark.streaming.ratelimit import (host_delay_s,
+                                                    streaming_host_rate_limit)
+
+    pipeline.register_tables(spark, SF_SMALL)
+    pages = spark.sql(pages_sql(D.SPARK))
+    src = str(tmp_path / "src")
+    pages.repartition(8).write.parquet(src)   # several files → >1 trigger
+
+    stream = stream_pages(spark, src, PAGES_SCHEMA)
+    limited = streaming_host_rate_limit(stream)
+    out = str(tmp_path / "out")
+    q = (limited.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == pages.count()
+    for host, g in got.groupby("host"):
+        n = len(g)
+        assert sorted(g["k"]) == list(range(n)), host   # dense across batches
+        delay = host_delay_s(host)
+        assert (g["delay_s"] == delay).all()
+        anchor = int(g.loc[g["k"] == 0, "sched_epoch"].iloc[0])
+        assert (g["sched_epoch"] == anchor + g["k"] * delay).all()
+        sched = sorted(g["sched_epoch"])
+        assert all(b - a == delay for a, b in zip(sched, sched[1:]))
