@@ -64,10 +64,15 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_bloom_crossdedup",
     "q_span_scrub",
-    # round-5 fifth-session additions (search-index + containment)
+    # round-5 fifth-session additions (search-index family).
+    # q_shingle_containment stays OUT of the headline suite by choice:
+    # the synthetic corpus's 31-token vocabulary makes 4-token shingles
+    # collide ~100x more than real text, so its (bounded, capped)
+    # candidate join reads ~30 s at sf0.1 — representative of the
+    # operator's cost on THIS corpus, not of the plan shape; it remains
+    # fully oracled + pinned.
     "q_bm25_topk",
     "q_posting_lists",
-    "q_shingle_containment",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
