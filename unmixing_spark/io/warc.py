@@ -163,7 +163,7 @@ def write_wet(pages: DataFrame, out_dir: str,
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         wrote = 0
-        with open(path, "ab") as f:
+        with open(path, "wb") as f:
             for pdf in batches:
                 for url, epoch, text in zip(pdf["url"], pdf["warc_epoch"],
                                             pdf["text"]):
@@ -214,7 +214,7 @@ def write_warc(pages: DataFrame, out_dir: str,
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         wrote = 0
-        with open(path, "ab") as f:
+        with open(path, "wb") as f:
             for pdf in batches:
                 for url, epoch, html in zip(pdf["url"], pdf["warc_epoch"],
                                             pdf["html"]):

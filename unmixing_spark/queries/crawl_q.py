@@ -794,7 +794,7 @@ def _index_shards(d: str) -> str:
     shard = f"({D.md5_slice('url', 1, d)}) % {INDEX_SHARDS}"
     return f"""
     WITH pg AS (
-      SELECT {url} AS url, text, n_chars FROM documents
+      SELECT {url} AS url, text FROM documents
     ),
     sharded AS (
       SELECT {shard} AS shard, length(text) AS nb FROM pg
@@ -831,8 +831,11 @@ RETAIN_K = 3   # web-archive retention: keep the latest K captures per url
 def _capture_retention(d: str) -> str:
     """Capture retention / compaction policy — the storage-side report a
     web archive runs per crawl cycle: over each url's capture history
-    (same deterministic {RECRAWL_CAPTURES}-capture synthesis as
-    q_recrawl_priority — in production this IS the CDX index), keep the
+    (same parameters as q_recrawl_priority's synthesis — {RECRAWL_CAPTURES}
+    captures, 30-day step; note the grids differ by design: retention
+    prices all {RECRAWL_CAPTURES} captures i=0..5 while recrawl models
+    the 5 change INTERVALS i=1..5 — in production both read the CDX
+    index), keep the
     latest {RETAIN_K} captures, and report kept/dropped counts plus the
     bytes compaction reclaims. Capture payload sizes are deterministic
     md5 functions so both renderings price the same bytes.

@@ -250,9 +250,11 @@ def _degree_dist(d: str) -> str:
     must not assume the synthetic fan), then two tiny bucket
     aggregations UNION ALL'd. Nothing bigger than the edge list's
     natural exchanges."""
-    # floor(log2(n)) for n>=1 via a 32-row bit-length lookup
+    # floor(log2(n)) for n>=1 via a 63-row bit-length lookup (covers the
+    # full non-negative bigint degree range — a 2^32-row cap would
+    # silently drop a mega-hub's bucket at 10^12 urls)
     bitlen_rows = ", ".join(
-        f"({k}, {1 << k}, {(1 << (k + 1)) - 1})" for k in range(32))
+        f"({k}, {1 << k}, {(1 << (k + 1)) - 1})" for k in range(63))
     return f"""
     WITH {_link_ctes(d)},
     bl AS ({D.values_rel(bitlen_rows, "t(k, lo, hi)", d)}),
@@ -513,6 +515,39 @@ def _hb_est_col(cnt, s_int):  # type: ignore[no-untyped-def]
                   lc_e).otherwise(raw)
 
 
+def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Checkpointed edge list + initial register state from the SAME SQL
+    templates the oracles render — the shared loop scaffolding of the
+    HyperBall family (harmonic + neighborhood function)."""
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+    ).localCheckpoint(eager=True)
+    state = spark.sql(
+        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
+    ).localCheckpoint(eager=True)
+    return links, state
+
+
+def _hb_node_stats(st: DataFrame) -> DataFrame:
+    """Per-node register sufficient statistics (cnt, exact-integer
+    s_int) — the DataFrame twin of _hb_agg_sql."""
+    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
+    return st.groupBy("node").agg(
+        F.count("*").alias("cnt"),
+        (F.sum(shift)
+         + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
+        .alias("s_int"))
+
+
+def _hb_propagate(links: DataFrame, state: DataFrame) -> DataFrame:
+    """One HyperBall round: src-keyed edge join + (node, b) register-max
+    aggregation (lazy — callers decide the checkpoint cadence)."""
+    contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"), "b", "rho"))
+    return (state.unionByName(contrib)
+            .groupBy("node", "b").agg(F.max("rho").alias("rho")))
+
+
 def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     """Driver loop twin of the unrolled oracle, reading the registered
     ``documents`` view. The edge list and initial registers come from the
@@ -521,33 +556,15 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     register-max aggregation; the harmonic accumulator is one node-keyed
     join per round. State and accumulator lineage truncate every
     HB_CKPT_EVERY rounds."""
-    links = spark.sql(
-        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
-    ).localCheckpoint(eager=True)
-    state = spark.sql(
-        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
-    ).localCheckpoint(eager=True)
-
-    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
-
-    def node_stats(st: DataFrame) -> DataFrame:
-        return st.groupBy("node").agg(
-            F.count("*").alias("cnt"),
-            (F.sum(shift)
-             + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
-            .alias("s_int"))
-
-    a = node_stats(state)
+    links, state = _hb_setup(spark)
+    a = _hb_node_stats(state)
     hc = a.select("node", F.lit(0.0).alias("h"),
                   _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
     prev_state = state
     for r in range(1, HB_ROUNDS + 1):
         prev_state = state
-        contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
-                   .select(F.col("dst").alias("node"), "b", "rho"))
-        state = (state.unionByName(contrib)
-                 .groupBy("node", "b").agg(F.max("rho").alias("rho")))
-        a = node_stats(state)
+        state = _hb_propagate(links, state)
+        a = _hb_node_stats(state)
         est = a.select("node",
                        _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
         hc = (hc.join(est, "node")
@@ -826,23 +843,8 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
     and the 1-row per-round NF sum are checkpointed every round (the
     CC/HITS cadence — each round's NF row is consumed immediately, so
     lazy accumulation would re-run the chain per row)."""
-    links = spark.sql(
-        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
-    ).localCheckpoint(eager=True)
-    state = spark.sql(
-        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
-    ).localCheckpoint(eager=True)
-
-    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
-
-    def node_stats(st: DataFrame) -> DataFrame:
-        return st.groupBy("node").agg(
-            F.count("*").alias("cnt"),
-            (F.sum(shift)
-             + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
-            .alias("s_int"))
-
-    a = node_stats(state)
+    links, state = _hb_setup(spark)
+    a = _hb_node_stats(state)
     env = a.select("node",
                    _hb_est_col(F.col("cnt"), F.col("s_int")).alias("env"),
                    _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
@@ -854,12 +856,8 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
 
     rows = [nf_row(0, env)]
     for r in range(1, HB_ROUNDS + 1):
-        contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
-                   .select(F.col("dst").alias("node"), "b", "rho"))
-        state = (state.unionByName(contrib)
-                 .groupBy("node", "b").agg(F.max("rho").alias("rho"))
-                 .localCheckpoint(eager=True))
-        est = node_stats(state).select(
+        state = _hb_propagate(links, state).localCheckpoint(eager=True)
+        est = _hb_node_stats(state).select(
             "node", _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
         env = (env.join(est, "node")
                .select("node",

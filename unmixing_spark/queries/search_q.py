@@ -60,7 +60,7 @@ def _corpus_ctes(d: str) -> str:
     ),
     lex AS {D.mat(d)}(
       SELECT tok, cast(count(*) as bigint) AS df
-      FROM (SELECT DISTINCT doc_id, tok FROM tf) t GROUP BY tok
+      FROM tf GROUP BY tok
     )"""
 
 
@@ -91,7 +91,7 @@ def _bm25_topk(d: str) -> str:
     b = D.dbl(BM25_B)
     qkey = f"'qt' || {D.to_str('q.qid', d)} || ':' || l.tok"
     idf = ("ln(cast(2 * s.n_docs + 2 as double)) - "
-           "ln(cast(2 * l2.df + 1 as double))")
+           "ln(cast(2 * qt.df + 1 as double))")
     tfnorm = (f"(cast(t.tf as double) * ({k1} + {D.dbl(1.0)})) / "
               f"(cast(t.tf as double) + {k1} * ({D.dbl(1.0)} - {b} + "
               f"{b} * cast(g.dl as double) / s.avgdl))")
@@ -106,21 +106,20 @@ def _bm25_topk(d: str) -> str:
     WITH {_corpus_ctes(d)},
     qids AS ({D.values_rel(qid_rows, "t(qid)", d)}),
     qcand AS (
-      SELECT q.qid, l.tok,
+      SELECT q.qid, l.tok, l.df,
              row_number() OVER (PARTITION BY q.qid
                                 ORDER BY md5({qkey})) AS rn
       FROM lex l CROSS JOIN qids q
       WHERE l.df >= {BM25_MIN_DF}
     ),
     qterms AS {D.mat(d)}(
-      SELECT qid, tok, rn FROM qcand WHERE rn <= {BM25_QLEN}
+      SELECT qid, tok, df, rn FROM qcand WHERE rn <= {BM25_QLEN}
     ),
     contribs AS (
       SELECT qt.qid, t.doc_id, qt.rn,
              ({idf}) * ({tfnorm}) AS contrib
       FROM qterms qt
       JOIN tf t ON t.tok = qt.tok
-      JOIN lex l2 ON l2.tok = qt.tok
       JOIN dl g ON g.doc_id = t.doc_id
       CROSS JOIN stats s
     ),

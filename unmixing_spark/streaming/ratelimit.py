@@ -51,31 +51,33 @@ def host_delay_s(host: str) -> int:
 
 def _limit_group(key, pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
+    # drain the iterator FIRST: a micro-batch arrives as Arrow-sized
+    # chunks, and sorting/anchoring per chunk would order (and anchor)
+    # each chunk independently — the whole batch must sort as one FIFO
     host = key[0]
     delay = host_delay_s(host)
     if state.exists:
         k_next, first_epoch = state.get
     else:
         k_next, first_epoch = 0, None
-    outs = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["warc_epoch", "url"])
-        if first_epoch is None and len(pdf):
-            first_epoch = int(pdf["warc_epoch"].iloc[0])
-        n = len(pdf)
-        ks = range(k_next, k_next + n)
-        outs.append(pd.DataFrame({
-            "url": pdf["url"].to_numpy(),
-            "host": host,
-            "k": list(ks),
-            "delay_s": delay,
-            "sched_epoch": [first_epoch + k * delay for k in ks],
-        }))
-        k_next += n
-    state.update((k_next, int(first_epoch if first_epoch is not None
-                              else 0)))
-    if outs:
-        yield pd.concat(outs, ignore_index=True)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((k_next, 0 if first_epoch is None else int(first_epoch)))
+        return
+    pdf = (pd.concat(chunks, ignore_index=True)
+           .sort_values(["warc_epoch", "url"]))
+    if first_epoch is None:
+        first_epoch = int(pdf["warc_epoch"].iloc[0])
+    n = len(pdf)
+    ks = range(k_next, k_next + n)
+    state.update((k_next + n, int(first_epoch)))
+    yield pd.DataFrame({
+        "url": pdf["url"].to_numpy(),
+        "host": host,
+        "k": list(ks),
+        "delay_s": delay,
+        "sched_epoch": [first_epoch + k * delay for k in ks],
+    })
 
 
 def streaming_host_rate_limit(pages: DataFrame) -> DataFrame:
