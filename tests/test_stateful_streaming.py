@@ -73,3 +73,20 @@ def test_streaming_rate_limit_across_microbatches(spark, tmp_path):
         assert (g["sched_epoch"] == anchor + g["k"] * delay).all()
         sched = sorted(g["sched_epoch"])
         assert all(b - a == delay for a, b in zip(sched, sched[1:]))
+
+
+def test_rate_limit_delay_in_lockstep_with_batch_frontier(spark):
+    """The streaming limiter's Python delay function, the batch
+    q_crawl_frontier SQL, and the module constants must agree — a drift
+    would silently fork the batch and streaming schedules."""
+    import pandas as pd
+
+    from unmixing_spark.queries.crawl_q import FRONTIER_DELAY_MODS
+    from unmixing_spark.queries import registry
+    from unmixing_spark.streaming.ratelimit import DELAY_MODS, host_delay_s
+
+    assert DELAY_MODS == FRONTIER_DELAY_MODS
+    out = (registry()["q_crawl_frontier"].spark_fn(spark, SF_SMALL)
+           .toPandas()[["host", "delay_s"]].drop_duplicates())
+    for r in out.itertuples():
+        assert int(r.delay_s) == host_delay_s(r.host), r.host
