@@ -176,3 +176,106 @@ def test_shingle_containment_vs_brute_force(spark):
     assert got == expect
     cs = [v[2] for v in got.values()]
     assert any(c == 1.0 for c in cs) and any(c < 1.0 for c in cs)
+
+
+def _bm25_scores():
+    """Shared plain-Python BM25 scorer (same formula as the pin above):
+    {qid: (terms, {doc: (score6, hits)})}."""
+    tf, dl, df, n, avgdl = _corpus()
+    out = {}
+    for qid in range(BM25_QUERIES):
+        cand = sorted((tok for tok, d in df.items() if d >= BM25_MIN_DF),
+                      key=lambda t: hashlib.md5(
+                          f"qt{qid}:{t}".encode()).hexdigest())
+        terms = cand[:BM25_QLEN]
+        scores = {}
+        for doc, c in tf.items():
+            s, h = 0.0, 0
+            for t in terms:
+                if c[t] == 0:
+                    continue
+                idf = math.log(2 * n + 2) - math.log(2 * df[t] + 1)
+                tfn = (c[t] * (BM25_K1 + 1)) / (
+                    c[t] + BM25_K1 * (1 - BM25_B + BM25_B * dl[doc] / avgdl))
+                s += idf * tfn
+                h += 1
+            if h:
+                scores[doc] = (round(s, 6), h)
+        out[qid] = (terms, scores)
+    return out
+
+
+def test_search_snippets_vs_brute_force(spark):
+    """Best-window choice, hit counts, and snippet bytes equal a Python
+    rebuild over the BM25 top docs."""
+    from unmixing_spark.queries.search_q import SNIP_DOCS, SNIP_W
+
+    out = registry()["q_search_snippets"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs().set_index("doc_id")
+    expect = {}
+    for qid, (terms, scores) in _bm25_scores().items():
+        top = sorted(scores, key=lambda d: (-scores[d][0], d))[:SNIP_DOCS]
+        for rank, doc in enumerate(top, 1):
+            toks = re.split(r"\s+", docs.loc[doc, "text"])
+            hitpos = [i + 1 for i, t in enumerate(toks) if t in terms]
+            best, best_n = None, -1
+            for p in hitpos:
+                nh = sum(1 for q in hitpos if p <= q <= p + SNIP_W - 1)
+                if nh > best_n:
+                    best, best_n = p, nh
+            snippet = " ".join(toks[best - 1:best - 1 + SNIP_W])
+            expect[(qid, doc)] = (rank, scores[doc][0], best, best_n,
+                                  snippet)
+    got = {(int(r.qid), int(r.doc_id)):
+           (int(r.rank), r.score, int(r.win_start), int(r.n_hits),
+            r.snippet) for r in out.itertuples()}
+    assert set(got) == set(expect)
+    for k, g in got.items():
+        e = expect[k]
+        assert g[0] == e[0] and abs(g[1] - e[1]) < 1e-6, k
+        assert g[2:] == e[2:], k
+    for r in out.itertuples():
+        assert r.snippet_sha == hashlib.sha256(
+            r.snippet.encode()).hexdigest()
+
+
+def test_query_spellfix_vs_brute_force(spark):
+    """Corrections equal a Python rebuild with an independent DP
+    levenshtein; every deterministic deletion is recovered unless a
+    nearer vocab word legitimately wins."""
+    from unmixing_spark.queries.search_q import SPELL_MAX_DIST
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = registry()["q_query_spellfix"].spark_fn(spark, SF_SMALL).toPandas()
+    tf, _dl, df, _n, _avg = _corpus()
+    missset = {}
+    for qid in range(BM25_QUERIES):
+        cand = sorted((t for t, d in df.items()
+                       if d >= BM25_MIN_DF and len(t) >= 3),
+                      key=lambda t: hashlib.md5(
+                          f"qt{qid}:{t}".encode()).hexdigest())
+        for tok in cand[:BM25_QLEN]:
+            p = 1 + int(hashlib.md5(f"sp{tok}".encode())
+                        .hexdigest()[:8], 16) % (len(tok) - 1)
+            missset[(tok, tok[:p - 1] + tok[p:])] = True
+    expect = {}
+    for (orig, miss) in missset:
+        cands = [(lev(miss, t), -df[t], t) for t in df
+                 if abs(len(t) - len(miss)) <= SPELL_MAX_DIST
+                 and lev(miss, t) <= SPELL_MAX_DIST]
+        d, negdf, fix = min(cands)
+        expect[(orig, miss)] = (fix, d, -negdf, int(fix == orig))
+    got = {(r.original, r.miss):
+           (r.corrected, int(r.dist), int(r.df), int(r.recovered))
+           for r in out.itertuples()}
+    assert got == expect
+    assert any(v[3] == 1 for v in got.values())

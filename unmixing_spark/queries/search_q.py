@@ -64,29 +64,10 @@ def _corpus_ctes(d: str) -> str:
     )"""
 
 
-def _bm25_topk(d: str) -> str:
-    """BM25 top-10 per synthetic query.
-
-    Query synthesis (sandbox stand-in for the external query log a real
-    cluster reads): for each qid, the {BM25_QLEN} mid-frequency
-    (df >= {BM25_MIN_DF}) vocabulary terms ranked by md5('qt'||qid||':'
-    ||tok) — deterministic in both renderings, and biased away from
-    df=1 hapaxes so every query actually ranks a candidate set.
-
-    Scoring: idf = ln(1 + (N-df+0.5)/(df+0.5)) — the Lucene BM25 idf,
-    strictly positive even for df > N/2 (the raw Robertson form goes
-    negative there, and this corpus's common vocabulary makes that the
-    typical case) — algebraically (N+1)/(df+0.5), so it renders as
-    ln(2N+2) - ln(2df+1) with both ln() arguments integer-valued
-    doubles; tfnorm = tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)). Per-term
-    contributions land on rn-indexed pivot columns and are added in
-    FIXED order, so no float aggregation order exists to differ.
-
-    Scale shape: the query-term table is tiny (external input in
-    production) — broadcast onto the tf posting stream; scoring rows are
-    (qid, doc) keyed; the final top-k window per qid is the map-side
-    partial top-k + merge Spark already plans for rank-limit windows
-    (AQE handles a hot query's skew like any hot reduce key)."""
+def _bm25_chain(d: str) -> str:
+    """The shared BM25 CTE chain ending in ``scored``(qid, doc_id,
+    score, n_hit_terms) — factored so q_search_snippets ranks with the
+    SAME scorer q_bm25_topk exposes."""
     k1 = D.dbl(BM25_K1)
     b = D.dbl(BM25_B)
     qkey = f"'qt' || {D.to_str('q.qid', d)} || ':' || l.tok"
@@ -102,8 +83,7 @@ def _bm25_topk(d: str) -> str:
     nhit = " + ".join(
         f"max(CASE WHEN rn = {r} THEN 1 ELSE 0 END)"
         for r in range(1, BM25_QLEN + 1))
-    return f"""
-    WITH {_corpus_ctes(d)},
+    return f"""{_corpus_ctes(d)},
     qids AS ({D.values_rel(qid_rows, "t(qid)", d)}),
     qcand AS (
       SELECT q.qid, l.tok, l.df,
@@ -128,7 +108,35 @@ def _bm25_topk(d: str) -> str:
              round({pivot}, 6) AS score,
              cast({nhit} as bigint) AS n_hit_terms
       FROM contribs GROUP BY qid, doc_id
-    )
+    )"""
+
+
+def _bm25_topk(d: str) -> str:
+    """BM25 top-10 per synthetic query.
+
+    Query synthesis (sandbox stand-in for the external query log a real
+    cluster reads): for each qid, the {BM25_QLEN} mid-frequency
+    (df >= {BM25_MIN_DF}) vocabulary terms ranked by md5('qt'||qid||':'
+    ||tok) — deterministic in both renderings, and biased away from
+    df=1 hapaxes so every query actually ranks a candidate set.
+
+    Scoring: idf = ln(1 + (N-df+0.5)/(df+0.5)) — the Lucene BM25 idf,
+    strictly positive even for df > N/2 (the raw Robertson form goes
+    negative there, and this corpus's common vocabulary makes that the
+    typical case) — algebraically (N+1)/(df+0.5), so it renders as
+    ln(2N+2) - ln(2df+1) with both ln() arguments integer-valued
+    doubles; tfnorm = tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)). Per-term
+    contributions land on rn-indexed pivot columns and are added in
+    FIXED order, so no float aggregation order exists to differ. The
+    whole chain lives in _bm25_chain, shared with q_search_snippets.
+
+    Scale shape: the query-term table is tiny (external input in
+    production) — broadcast onto the tf posting stream; scoring rows are
+    (qid, doc) keyed; the final top-k window per qid is the map-side
+    partial top-k + merge Spark already plans for rank-limit windows
+    (AQE handles a hot query's skew like any hot reduce key)."""
+    return f"""
+    WITH {_bm25_chain(d)}
     SELECT qid, cast(rnk as bigint) AS rank, doc_id, score, n_hit_terms
     FROM (
       SELECT qid, doc_id, score, n_hit_terms,
@@ -294,6 +302,147 @@ def _shingle_containment(d: str) -> str:
     WHERE cast(s.n_shared as double) / cast(z.n_sh as double)
           >= {D.dbl(CONT_MIN)}
     """
+
+
+SNIP_W = 10      # snippet window length in tokens
+SNIP_DOCS = 3    # snippet the top-N BM25 docs per query
+
+
+def _search_snippets(d: str) -> str:
+    """Result-snippet generation — the SERP step after ranking: for each
+    query's top-{SNIP_DOCS} BM25 documents, the best {SNIP_W}-token
+    window (most query-term hit POSITIONS in [p, p+{SNIP_W - 1}];
+    ties -> earliest window), with the snippet text rebuilt in position
+    order and SHA-256 pinned. Luhn 1958's significant-word window — the
+    shape every search engine's highlighter runs.
+
+    Scale shape: ranking reuses the BM25 chain; the snippet pass
+    touches ONLY the ranked (qid, doc) pairs (8 x {SNIP_DOCS} here;
+    page-size x queries in production) — hit positions come from a
+    broadcast of those pairs onto the position stream, the per-window
+    hit count is a RANGE-frame window inside the (qid, doc) partition,
+    and the snippet rebuild joins the token stream doc-keyed. Nothing
+    corpus-sized moves except the position-stream scan."""
+    return f"""
+    WITH pos AS {D.mat(d)}(SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    {_bm25_chain(d)},
+    top AS {D.mat(d)}(
+      SELECT qid, doc_id, score, rnk FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM scored) r
+      WHERE rnk <= {SNIP_DOCS}
+    ),
+    hits AS (
+      SELECT t.qid, t.doc_id, p.pos
+      FROM top t
+      JOIN qterms qt ON qt.qid = t.qid
+      JOIN pos p ON p.doc_id = t.doc_id AND p.tok = qt.tok
+    ),
+    winned AS (
+      SELECT qid, doc_id, pos AS win_start,
+             count(*) OVER (PARTITION BY qid, doc_id ORDER BY pos
+                            RANGE BETWEEN CURRENT ROW
+                                  AND {SNIP_W - 1} FOLLOWING) AS n_hits
+      FROM hits
+    ),
+    best AS {D.mat(d)}(
+      SELECT qid, doc_id, win_start, n_hits FROM (
+        SELECT qid, doc_id, win_start, n_hits,
+               row_number() OVER (PARTITION BY qid, doc_id
+                                  ORDER BY n_hits DESC, win_start) AS rn
+        FROM winned) w
+      WHERE rn = 1
+    ),
+    snip AS (
+      SELECT b.qid, b.doc_id, b.win_start, b.n_hits,
+             {D.ordered_string_agg('p.tok', 'p.pos', "' '", d)} AS snippet
+      FROM best b
+      JOIN pos p ON p.doc_id = b.doc_id
+       AND p.pos BETWEEN b.win_start AND b.win_start + {SNIP_W - 1}
+      GROUP BY b.qid, b.doc_id, b.win_start, b.n_hits
+    )
+    SELECT t.qid, t.rnk AS rank, t.doc_id, t.score,
+           s.win_start, cast(s.n_hits as bigint) AS n_hits,
+           s.snippet, {D.sha256_('s.snippet', d)} AS snippet_sha
+    FROM top t JOIN snip s ON s.qid = t.qid AND s.doc_id = t.doc_id
+    """
+
+
+sql_template("q_search_snippets", _search_snippets,
+             "SERP snippet generation: best query-term window per "
+             "top-ranked doc (RANGE-frame hit counts, earliest-tie), "
+             "snippet text rebuilt in position order and SHA-256 pinned")
+
+
+SPELL_MAX_DIST = 2   # candidate corrections within edit distance 2
+
+
+def _query_spellfix(d: str) -> str:
+    """Query spell correction ("did you mean") — the vocabulary-backed
+    edit-distance corrector every search frontend runs: each synthetic
+    misspelling (the BM25 query terms with one deterministically chosen
+    character deleted) is matched against the corpus lexicon within
+    edit distance {SPELL_MAX_DIST}; the winner is the nearest candidate
+    with document frequency then lexicographic order breaking ties —
+    the Norvig ranking with df as the language-model prior. The
+    ``recovered`` column proves in-query whether correction inverted
+    the mutation (a mutation landing nearer ANOTHER vocab word
+    legitimately reads 0 — the pin checks the exact set).
+
+    Both engines ship ``levenshtein`` natively (identical classic DP
+    semantics — the pin re-verifies against a pure-Python DP).
+
+    Scale shape: the misspelling list is query-log-sized (external
+    input in production) and broadcasts onto the lexicon; the length
+    prefilter (|len diff| <= {SPELL_MAX_DIST}) bounds the per-term
+    candidate set the same way real spellers band their dictionaries
+    (a trigram-index prefilter at 10^8-word vocabularies — same
+    query with one more join)."""
+    qkey = f"'qt' || {D.to_str('q.qid', d)} || ':' || l.tok"
+    p = f"1 + ({D.md5_slice(chr(39) + 'sp' + chr(39) + ' || tok', 1, d)}) % (length(tok) - 1)"
+    miss = "substr(tok, 1, p - 1) || substr(tok, p + 1)"
+    return f"""
+    WITH {_corpus_ctes(d)},
+    qids AS ({D.values_rel(', '.join(f'({q})' for q in range(BM25_QUERIES)), 't(qid)', d)}),
+    qcand AS (
+      SELECT q.qid, l.tok,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY md5({qkey})) AS rn
+      FROM lex l CROSS JOIN qids q
+      WHERE l.df >= {BM25_MIN_DF} AND length(l.tok) >= 3
+    ),
+    misspelled AS {D.mat(d)}(
+      SELECT DISTINCT tok AS original, {miss} AS miss
+      FROM (SELECT tok, {p} AS p FROM qcand WHERE rn <= {BM25_QLEN}) t
+    ),
+    cand AS (
+      SELECT m.original, m.miss, l.tok AS fix, l.df,
+             levenshtein(m.miss, l.tok) AS dist
+      FROM misspelled m
+      JOIN lex l ON abs(length(l.tok) - length(m.miss))
+                    <= {SPELL_MAX_DIST}
+      WHERE levenshtein(m.miss, l.tok) <= {SPELL_MAX_DIST}
+    )
+    SELECT original, miss, fix AS corrected,
+           cast(dist as bigint) AS dist, cast(df as bigint) AS df,
+           cast(CASE WHEN fix = original THEN 1 ELSE 0 END as bigint)
+             AS recovered
+    FROM (
+      SELECT original, miss, fix, df, dist,
+             row_number() OVER (PARTITION BY original, miss
+                                ORDER BY dist, df DESC, fix) AS rn
+      FROM cand
+    ) r
+    WHERE rn = 1
+    """
+
+
+sql_template("q_query_spellfix", _query_spellfix,
+             "query spell correction: edit-distance-bounded lexicon "
+             "match with df-prior tie-breaking (native levenshtein in "
+             "both engines), in-query recovery proof")
 
 
 sql_template("q_shingle_containment", _shingle_containment,
