@@ -451,3 +451,74 @@ def test_capture_retention_policy(spark):
         assert int(g.bytes_total) == sum(b for _, b in caps)
         assert int(g.bytes_reclaimed) == sum(b for _, b in dropped)
         assert int(g.oldest_kept_epoch) == min(t for t, _ in kept)
+
+
+def test_redirect_resolution_chains(spark):
+    """Terminal urls, hop counts, and the too-many-redirects flag match
+    a Python transitive resolve of the same map; both branches fire."""
+    from unmixing_spark.queries.crawl_q import REDIR_MAX_HOPS, REDIR_PCT
+
+    out = registry()["q_redirect_resolution"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    n = len(docs)
+    url_of = {int(r.doc_id): f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+              for r in docs.itertuples()}
+    id_of = {v: k for k, v in url_of.items()}
+    nxt, is_r = {}, {}
+    for d, u in url_of.items():
+        if d % 250 == 3:
+            is_r[u] = 1
+            nxt[u] = url_of[(d + 250) % n]
+        elif _md5_slice("rd" + u, 1) % 10 < REDIR_PCT:
+            is_r[u] = 1
+            nxt[u] = url_of[_md5_slice("rt" + u, 1) % n]
+        else:
+            is_r[u] = 0
+            nxt[u] = u
+    expect = {}
+    for u in url_of.values():
+        cur, hops, done = u, 0, 1 - is_r[u]
+        for _ in range(REDIR_MAX_HOPS):
+            if done:
+                break
+            cur = nxt[cur]
+            hops += 1
+            done = 1 - is_r[cur]
+        expect[u] = (cur, hops, done)
+    got = {r.url: (r.final_url, int(r.hops), int(r.resolved))
+           for r in out.itertuples()}
+    assert got == expect
+    rs = {v[2] for v in got.values()}
+    assert rs == {0, 1}              # planted cycle exercises the cap
+    assert max(v[1] for v in got.values()) == REDIR_MAX_HOPS
+
+
+def test_canonical_cluster_folding(spark):
+    """Canonical targets, cluster sizes, and head flags match a Python
+    rebuild of the planting; declared and undeclared pages both
+    occur."""
+    from unmixing_spark.queries.crawl_q import CANON_CLUSTER, CANON_PCT
+
+    out = registry()["q_canonical_cluster"].spark_fn(spark, SF_SMALL).toPandas()
+    docs = _docs()
+    url_of = {int(r.doc_id): f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+              for r in docs.itertuples()}
+    canon = {}
+    for d, u in url_of.items():
+        head = url_of[d - d % CANON_CLUSTER]
+        if d % CANON_CLUSTER != 0 and _md5_slice("cn" + u, 1) % 5 < CANON_PCT:
+            canon[u] = head
+        else:
+            canon[u] = u
+    sizes: dict[str, int] = {}
+    for tgt in canon.values():
+        sizes[tgt] = sizes.get(tgt, 0) + 1
+    got = {r.url: (r.canonical_url, int(r.cluster_size),
+                   int(r.is_canonical_head)) for r in out.itertuples()}
+    assert len(got) == len(canon)
+    for u, (tgt, sz, head) in got.items():
+        assert tgt == canon[u], u
+        assert sz == sizes[tgt], u
+        assert head == int(tgt == u)
+    folded = sum(1 for u, t in canon.items() if t != u)
+    assert folded > 0 and folded < len(canon)

@@ -774,6 +774,155 @@ def _recrawl_priority(d: str) -> str:
     """
 
 
+REDIR_PCT = 2      # md5 % 10 < 2 -> ~20% of urls redirect
+REDIR_MAX_HOPS = 4  # crawler redirect-follow cap (curl defaults ~5;
+                    # bounded unroll keeps both renderings identical)
+
+
+def _redirect_resolution(d: str) -> str:
+    """HTTP redirect-chain resolution — the fetch-side step between the
+    frontier and the page store: ~{REDIR_PCT}0% of urls 3xx-redirect to
+    an md5-chosen other url; the crawler follows up to
+    {REDIR_MAX_HOPS} hops and records the terminal url, the hop count,
+    and whether the chain resolved (chains still redirecting at the
+    cap read resolved = 0, exactly a crawler's 'too many redirects').
+    Urls with doc_id % 250 == 3 form a PLANTED deterministic cycle
+    (each redirects to the next such url modulo N), so the unresolved
+    branch fires at every sf — random md5 chains alone resolve within
+    the cap on small corpora.
+
+    The redirect map is a total function (every url has a row; non-
+    redirects carry next_url = themselves), so each hop is ONE
+    url-keyed equi-join — the bounded unroll is {REDIR_MAX_HOPS} keyed
+    joins in both renderings, never iteration-until-fixpoint (a
+    crawler never follows unbounded chains either).
+
+    Scale shape: the redirect map is corpus-sized; each hop joins the
+    frontier stream to it url-keyed (bucketing both by url makes every
+    hop exchange-free). Hop count is small and fixed."""
+    url = url_expr(d)
+    rkey = "'rd' || u.url"
+    tkey = "'rt' || u.url"
+    is_r = (f"CASE WHEN u.doc_id % 250 = 3 THEN 1 "
+            f"WHEN ({D.md5_slice(rkey, 1, d)}) % 10 < {REDIR_PCT} "
+            f"THEN 1 ELSE 0 END")
+    tgt_id = (f"CASE WHEN u.doc_id % 250 = 3 "
+              f"THEN (u.doc_id + 250) % nd.n "
+              f"ELSE ({D.md5_slice(tkey, 1, d)}) % nd.n END")
+    hops = []
+    for i in range(1, REDIR_MAX_HOPS + 1):
+        prev = f"h{i - 1}"
+        hops.append(f"""h{i} AS (
+      SELECT p.start,
+             CASE WHEN p.done = 1 THEN p.cur ELSE m.next_url END AS cur,
+             CASE WHEN p.done = 1 THEN p.hops ELSE p.hops + 1 END AS hops,
+             CASE WHEN p.done = 1 THEN 1
+                  WHEN m2.is_redirect = 0 THEN 1 ELSE 0 END AS done
+      FROM {prev} p
+      JOIN m ON m.url = p.cur
+      JOIN m m2 ON m2.url = CASE WHEN p.done = 1 THEN p.cur
+                                 ELSE m.next_url END)""")
+    hops_sql = ",\n    ".join(hops)
+    return f"""
+    WITH nd AS (SELECT cast(count(*) as bigint) AS n FROM documents),
+    urls AS (SELECT doc_id, {url} AS url FROM documents),
+    m AS {D.mat(d)}(
+      SELECT u.url, {is_r} AS is_redirect,
+             CASE WHEN u.doc_id % 250 = 3
+                       OR ({D.md5_slice(rkey, 1, d)}) % 10 < {REDIR_PCT}
+                  THEN t.url ELSE u.url END AS next_url
+      FROM urls u
+      CROSS JOIN nd
+      JOIN urls t ON t.doc_id = {tgt_id}
+    ),
+    h0 AS (
+      SELECT url AS start, url AS cur, 0 AS hops,
+             CASE WHEN is_redirect = 1 THEN 0 ELSE 1 END AS done
+      FROM m
+    ),
+    {hops_sql}
+    SELECT start AS url, cur AS final_url,
+           cast(hops as bigint) AS hops,
+           cast(done as bigint) AS resolved
+    FROM h{REDIR_MAX_HOPS}
+    """
+
+
+sql_template("q_redirect_resolution", _redirect_resolution,
+             "redirect-chain resolution: follow up to 4 hops through a "
+             "url-keyed redirect map, terminal url + hop count + "
+             "too-many-redirects flag (cycles included)")
+
+
+CANON_PCT = 2   # md5 % 5 < 2 -> ~40% of non-head pages declare a canonical
+CANON_CLUSTER = 5   # planted duplicate-cluster span (consecutive doc_ids)
+CANON_RX = r'<link rel="canonical" href="([^"]*)"'
+
+
+def _canonical_cluster(d: str) -> str:
+    """rel=canonical clustering — the index-side dedup signal SEO
+    surfaces provide: pages declare their canonical version in a
+    ``<link rel="canonical">`` head tag; the indexer extracts it and
+    folds duplicate variants onto their canonical target.
+
+    Synthesis: doc_ids partition into runs of {CANON_CLUSTER}; a
+    non-head page in a run plants the tag pointing at its run head
+    with probability ~{CANON_PCT}/5 (md5-driven), everything else
+    declares nothing — so extraction must distinguish planted from
+    absent. The tag is planted INTO the html text and regexp-extracted
+    back (parser-is-the-operator doctrine). Output: per page its
+    canonical target (self when undeclared), the cluster size under
+    canonical grouping, and is_canonical_head.
+
+    Scale shape: per-row regexp on the html stream, one url-keyed
+    aggregation for cluster sizes, one join back — the same two
+    exchanges every canonical-fold pass costs."""
+    url = url_expr(d)
+    ckey = "'cn' || url"
+    head_id = f"(doc_id - doc_id % {CANON_CLUSTER})"
+    plants = (f"CASE WHEN doc_id % {CANON_CLUSTER} <> 0 "
+              f"AND ({D.md5_slice(ckey, 1, d)}) % 5 < {CANON_PCT} "
+              f"THEN 1 ELSE 0 END")
+    return f"""
+    WITH urls AS (SELECT doc_id, {url} AS url, text FROM documents),
+    heads AS (SELECT doc_id AS head_id, url AS head_url FROM urls),
+    pg AS (
+      SELECT u.doc_id, u.url,
+             '<html><head>' ||
+             CASE WHEN {plants} = 1
+                  THEN '<link rel="canonical" href="' || h.head_url || '">'
+                  ELSE '' END ||
+             '</head><body>' || u.text || '</body></html>' AS html
+      FROM urls u JOIN heads h ON h.head_id = {head_id}
+    ),
+    extracted AS {D.mat(d)}(
+      SELECT doc_id, url,
+             regexp_extract(html, {D.rx_lit(CANON_RX, d)}, 1) AS decl
+      FROM pg
+    ),
+    canon AS {D.mat(d)}(
+      SELECT doc_id, url,
+             CASE WHEN decl <> '' THEN decl ELSE url END AS canonical_url
+      FROM extracted
+    ),
+    sizes AS (
+      SELECT canonical_url, cast(count(*) as bigint) AS cluster_size
+      FROM canon GROUP BY canonical_url
+    )
+    SELECT c.doc_id, c.url, c.canonical_url,
+           s.cluster_size,
+           cast(CASE WHEN c.canonical_url = c.url THEN 1 ELSE 0 END
+                as bigint) AS is_canonical_head
+    FROM canon c JOIN sizes s ON s.canonical_url = c.canonical_url
+    """
+
+
+sql_template("q_canonical_cluster", _canonical_cluster,
+             "rel=canonical clustering: the tag planted into html and "
+             "regexp-extracted back, variants folded onto their "
+             "canonical target with cluster sizes")
+
+
 INDEX_SHARDS = 16   # hash shards for the serving-index layout
 
 
