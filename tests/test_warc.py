@@ -165,3 +165,67 @@ def test_wet_distributed_roundtrip_byte_identical(spark, tmp_path):
     back = {(r.url, r.warc_epoch, r.text)
             for r in read_wet(spark, out).collect()}
     assert back == src
+
+
+def test_wat_record_roundtrip_and_linkage():
+    """Metadata records round-trip byte-exactly (plain + gzip), carry the
+    spec headers (WARC-Type: metadata, Content-Type: application/json),
+    and their WARC-Refers-To is the uuid5 id of the response record for
+    the same url — the WAT sidecar's linkage contract."""
+    import uuid
+
+    from unmixing_spark.io.warc import build_metadata_record, parse_wat
+
+    url = "https://src0.example.com/en/42"
+    wat = '{"Envelope":{"Payload-Metadata":{"Actual-Content-Length":7}}}'
+    for gz in (False, True):
+        rec = build_metadata_record(url, 1735689600, wat.encode(),
+                                    gzip_record=gz)
+        [(u, ep, j)] = list(parse_wat(rec))
+        assert (u, ep, j) == (url, 1735689600, wat)
+    raw = build_metadata_record(url, 1735689600, wat.encode(),
+                                gzip_record=False)
+    head = raw.split(CRLF + CRLF, 1)[0].decode()
+    assert "WARC-Type: metadata" in head
+    assert "Content-Type: application/json" in head
+    refers = str(uuid.uuid5(uuid.NAMESPACE_URL, url))
+    assert f"WARC-Refers-To: <urn:uuid:{refers}>" in head
+    # a mixed stream: parse_wat skips response records, and vice versa
+    stream = build_record(url, 1735689600, b"<html/>",
+                          gzip_record=False) + raw
+    assert [r[2] for r in parse_wat(stream)] == [wat]
+    assert [r[2] for r in parse_warc(stream)] == [b"<html/>"]
+
+
+def test_wat_distributed_roundtrip_byte_identical(spark, tmp_path):
+    """write_wat → read_wat over the pages synthesis preserves every
+    (url, epoch, wat_json) byte-exactly."""
+    from unmixing_spark import dialect as D
+    from unmixing_spark.io.warc import read_wat, write_wat
+    from unmixing_spark.pagegen import pages_sql
+    from unmixing_spark.pipeline import register_tables
+    from unmixing_spark.queries.warc_q import _wat_json_sql
+
+    register_tables(spark, SF_SMALL, ("documents",))
+    pages = spark.sql(f"""
+        SELECT url, warc_epoch, {_wat_json_sql(D.SPARK)} AS wat_json
+        FROM (
+          SELECT url, {D.ts_to_epoch('warc_ts', D.SPARK)} AS warc_epoch,
+                 html, text
+          FROM ({pages_sql(D.SPARK)})
+        )
+    """).repartition(3, "url")
+    out = str(tmp_path / "wat")
+    import os
+    os.makedirs(out)
+    n = write_wat(pages, out, gzip_records=True)
+    src = {(r.url, r.warc_epoch, r.wat_json) for r in pages.collect()}
+    assert n == len(src)
+    back = {(r.url, r.warc_epoch, r.wat_json)
+            for r in read_wat(spark, out).collect()}
+    assert back == src
+    # every payload is well-formed JSON with the envelope keys
+    import json
+    for _, _, j in back:
+        env = json.loads(j)["Envelope"]
+        assert {"Payload-Metadata", "WARC-Header-Metadata"} <= env.keys()

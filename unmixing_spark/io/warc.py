@@ -147,6 +147,92 @@ def build_conversion_record(url: str, warc_epoch: int, text: bytes,
     return gzip.compress(rec, mtime=0) if gzip_record else rec
 
 
+def build_metadata_record(url: str, warc_epoch: int, wat_json: bytes,
+                          gzip_record: bool = True) -> bytes:
+    """One WAT metadata record (Common Crawl's third sidecar format):
+    WARC-Type: metadata, Content-Type: application/json, WARC-Refers-To
+    pointing at the response record's uuid5 id, payload = the JSON
+    metadata envelope bytes. Same Annex-C usage shape as the WET
+    conversion record — only the type, content type and payload differ."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, "wat:" + url)
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    date = datetime.fromtimestamp(int(warc_epoch), tz=timezone.utc)
+    headers = CRLF.join([
+        _MAGIC,
+        b"WARC-Type: metadata",
+        b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">",
+        b"WARC-Refers-To: <urn:uuid:" + str(refers).encode() + b">",
+        b"WARC-Date: " + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: application/json",
+        b"Content-Length: " + str(len(wat_json)).encode(),
+    ])
+    rec = headers + CRLF + CRLF + wat_json + CRLF + CRLF
+    return gzip.compress(rec, mtime=0) if gzip_record else rec
+
+
+def parse_wat(data: bytes):
+    """Yield (url, warc_epoch, wat_json) per metadata record (the WAT
+    sidecar layout: the body IS the JSON envelope, no HTTP block)."""
+    for headers, body in _iter_records(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        yield (headers.get("warc-target-uri", ""), _record_epoch(headers),
+               body.decode("utf-8", "strict"))
+
+
+def write_wat(pages: DataFrame, out_dir: str,
+              gzip_records: bool = True) -> int:
+    """Write (url, warc_epoch, wat_json) partitions as
+    ``part-N.warc.wat[.gz]`` metadata-record files under ``out_dir``;
+    returns the record count. Same streamed one-file-per-partition shape
+    as ``write_warc``/``write_wet``."""
+    import os
+
+    ext = ".warc.wat.gz" if gzip_records else ".warc.wat"
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        wrote = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for url, epoch, wat in zip(pdf["url"], pdf["warc_epoch"],
+                                           pdf["wat_json"]):
+                    f.write(build_metadata_record(
+                        str(url), int(epoch), str(wat).encode(),
+                        gzip_record=gzip_records))
+                    wrote += 1
+        yield pd.DataFrame({"n": [wrote]})
+
+    counts = (pages.select("url", "warc_epoch", "wat_json")
+              .mapInPandas(_write, "n long").collect())
+    return sum(r["n"] for r in counts)
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Source connector: WAT directory/glob → DataFrame(url, warc_epoch,
+    wat_json). One task per file, Arrow-batched parse — same shape as
+    ``read_warc``."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [rec for content in pdf["content"]
+                    for rec in parse_wat(bytes(content))]
+            yield pd.DataFrame(rows,
+                               columns=["url", "warc_epoch", "wat_json"])
+
+    return (files.select("content")
+            .mapInPandas(_parse,
+                         "url string, warc_epoch long, wat_json string"))
+
+
 def write_wet(pages: DataFrame, out_dir: str,
               gzip_records: bool = True) -> int:
     """Write (url, warc_epoch, text) partitions as ``part-N.warc.wet[.gz]``
