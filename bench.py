@@ -73,6 +73,14 @@ HEADLINE = [
     # fully oracled + pinned.
     "q_bm25_topk",
     "q_posting_lists",
+    # round-5 sixth-session additions (content extraction).
+    # q_cluster_keep_best stays OUT of the headline suite by choice: it
+    # re-runs the full MinHash-LSH + CC pipeline whose cost the suite
+    # already prices via q_neardup_components (same candidate graph,
+    # same label loop — only the keeper window differs); it remains
+    # fully oracled + pinned.
+    "q_badwords_filter",
+    "q_main_content",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",

@@ -64,4 +64,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.warc_q  # noqa: F401
     import unmixing_spark.queries.crawl_q  # noqa: F401
     import unmixing_spark.queries.search_q  # noqa: F401
+    import unmixing_spark.queries.content_q  # noqa: F401
     return dict(_REGISTRY)

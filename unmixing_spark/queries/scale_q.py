@@ -521,11 +521,14 @@ CC_MAX_ROUNDS = 40     # hard cap for the adaptive loop: 2^40 - 1 hop cover.
                        # returning stale labels.
 
 
-def _cc_oracle() -> str:
-    """Unrolled label-propagation CC as DuckDB SQL. Every CTE that is
-    referenced more than once is MATERIALIZED — the default inlining
-    would otherwise replicate the LSH subquery 2^rounds times (the
-    pointer-jump self-joins double references per round)."""
+def _cc_core_ctes() -> tuple[str, str]:
+    """The shared unrolled label-propagation chain (edge list + round
+    CTEs) as DuckDB SQL; returns (joined CTE text, name of the final
+    label CTE). Every CTE referenced more than once is MATERIALIZED —
+    the default inlining would otherwise replicate the LSH subquery
+    2^rounds times (the pointer-jump self-joins double references per
+    round). Shared by _cc_oracle below and content_q's
+    q_cluster_keep_best oracle."""
     from unmixing_spark.queries.text_q import _minhash_lsh
 
     ctes = [f"""pairs AS MATERIALIZED ({_minhash_lsh(D.DUCKDB)}),
@@ -547,7 +550,13 @@ def _cc_oracle() -> str:
       SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
       FROM n{r} a LEFT JOIN n{r} b ON b.id = a.lbl
     )""")
-    last = f"l{CC_ORACLE_ROUNDS}"
+    return ",\n    ".join(ctes), f"l{CC_ORACLE_ROUNDS}"
+
+
+def _cc_oracle() -> str:
+    """Unrolled CC + min-doc_id keeper + convergence proof (DuckDB)."""
+    core, last = _cc_core_ctes()
+    ctes = [core]
     ctes.append(f"""chk AS MATERIALIZED (
       SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
       FROM {last} a
