@@ -1,0 +1,152 @@
+"""Storage-layout operators (layout_q.py) vs independent Python brute
+force. The dual renderings share the synthesis SQL, so dialect parity
+alone can't catch a wrong layout rule shared by both — these pins rebuild
+the geocode, the Morton interleave, both file layouts, the probe scans,
+and the binpack plan a third way (hashlib + plain Python)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+from unmixing_spark.pagegen import CITIES
+from unmixing_spark.queries import registry
+from unmixing_spark.queries.layout_q import (
+    FILE_MB_MIN, FILE_MB_SPAN, IX_BITS, IY_BITS, N_FILES, TARGET_MB,
+    probe_rects)
+from unmixing_spark.spatial.grid import WORLD_GRID
+
+
+def _urls() -> list[str]:
+    df = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    return [f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+            for r in df.itertuples()]
+
+
+def _h(url: str, start: int) -> int:
+    hx = hashlib.md5(url.encode()).hexdigest()
+    return int(hx[start - 1:start + 7], 16)
+
+
+def _geocode(url: str) -> tuple[float, float]:
+    h1, h2, h3 = _h(url, 1), _h(url, 9), _h(url, 17)
+    if h1 % 10 < 8:
+        lon = CITIES[h1 % 8][0] + ((h2 % 100000) / 1e5 - 0.5) * 2.0
+        lat = CITIES[h1 % 8][1] + ((h3 % 100000) / 1e5 - 0.5) * 2.0
+    else:
+        lon = (h2 % 3600000) / 1e4 - 180.0
+        lat = (h3 % 1700000) / 1e4 - 85.0
+    return lon, lat
+
+
+def _cells(url: str) -> tuple[int, int]:
+    g = WORLD_GRID
+    lon, lat = _geocode(url)
+    ix = min(max(int(math.floor((lon + 180.0) / g.deg)), 0), g.nx - 1)
+    iy = min(max(int(math.floor((90.0 - lat) / g.deg)), 0), g.ny - 1)
+    return ix, iy
+
+
+def _morton(ix: int, iy: int) -> int:
+    m = 0
+    for k in range(IX_BITS):
+        m |= ((ix >> k) & 1) << (2 * k)
+    for k in range(IY_BITS):
+        m |= ((iy >> k) & 1) << (2 * k + 1)
+    return m
+
+
+def _ntile(n_rows: int, n_tiles: int, pos: int) -> int:
+    """SQL ntile: first (n % t) tiles get ceil(n/t) rows (1-indexed)."""
+    big, rem = divmod(n_rows, n_tiles)
+    cut = (big + 1) * rem
+    if pos < cut:
+        return pos // (big + 1) + 1
+    return rem + (pos - cut) // big + 1
+
+
+def test_zorder_layout_matches_brute_force(spark):
+    out = registry()["q_zorder_layout"].spark_fn(spark, SF_SMALL).toPandas()
+    pts = [(url, *_cells(url)) for url in _urls()]
+    pts = [(url, ix, iy, _morton(ix, iy)) for url, ix, iy in pts]
+    n = len(pts)
+
+    layouts = {}
+    zorder = sorted(pts, key=lambda r: (r[3], r[0]))
+    ingest = sorted(pts, key=lambda r: r[0])
+    for name, order in (("zorder", zorder), ("ingest", ingest)):
+        files: dict[int, list[tuple[int, int]]] = {}
+        for pos, (_u, ix, iy, _m) in enumerate(order):
+            files.setdefault(_ntile(n, N_FILES, pos), []).append((ix, iy))
+        layouts[name] = {
+            f: (len(v), min(x for x, _ in v), max(x for x, _ in v),
+                min(y for _, y in v), max(y for _, y in v))
+            for f, v in files.items()}
+
+    expect = []
+    for pid, ix_lo, ix_hi, iy_lo, iy_hi in probe_rects():
+        matched = sum(1 for _u, ix, iy, _m in pts
+                      if ix_lo <= ix <= ix_hi and iy_lo <= iy <= iy_hi)
+        for layout in ("ingest", "zorder"):
+            touched = [v for v in layouts[layout].values()
+                       if v[1] <= ix_hi and v[2] >= ix_lo
+                       and v[3] <= iy_hi and v[4] >= iy_lo]
+            rows_scanned = sum(v[0] for v in touched)
+            expect.append((layout, pid, len(touched), rows_scanned, matched,
+                           round(rows_scanned / n, 6),
+                           round(rows_scanned / matched, 6)))
+
+    got = out.sort_values(["layout", "pid"]).reset_index(drop=True)
+    exp = (pd.DataFrame(expect, columns=list(got.columns))
+           .sort_values(["layout", "pid"]).reset_index(drop=True))
+    for c in got.columns:
+        assert list(got[c]) == list(exp[c]), c
+
+    # the layout claim itself: Z-order scans no more than ingest order on
+    # every probe, and strictly fewer files on most (hotspots cluster)
+    piv = got.pivot(index="pid", columns="layout", values="files_scanned")
+    assert (piv["zorder"] <= piv["ingest"]).all()
+    assert (piv["zorder"] < piv["ingest"]).sum() >= 6
+
+
+def test_compaction_plan_matches_brute_force(spark):
+    out = registry()["q_compaction_plan"].spark_fn(spark, SF_SMALL).toPandas()
+    df = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    listing: dict[str, list[tuple[str, int]]] = {}
+    for r in df.itertuples():
+        url = f"https://{r.source}.example.com/{r.lang}/{r.doc_id}"
+        mb = FILE_MB_MIN + _h("fsz" + url, 1) % FILE_MB_SPAN
+        listing.setdefault(r.source, []).append((url, mb))
+
+    expect = []
+    for part in sorted(listing):
+        groups: dict[int, tuple[int, int]] = {}
+        cum = 0
+        for _url, mb in sorted(listing[part]):
+            g = cum // TARGET_MB
+            nf, b = groups.get(g, (0, 0))
+            groups[g] = (nf + 1, b + mb)
+            cum += mb
+        files_before = sum(nf for nf, _ in groups.values())
+        for g in sorted(groups):
+            nf, b = groups[g]
+            expect.append((part, g, nf, b, round(b / TARGET_MB, 6),
+                           files_before, len(groups)))
+        # plan sanity: dense group ids, byte conservation, real compaction
+        assert sorted(groups) == list(range(len(groups)))
+        assert sum(b for _, b in groups.values()) == cum
+        assert len(groups) < files_before
+
+    got = out.sort_values(["part_key", "out_group"]).reset_index(drop=True)
+    exp = (pd.DataFrame(expect, columns=list(got.columns))
+           .sort_values(["part_key", "out_group"]).reset_index(drop=True))
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            # SQL round() is half-away, Python round() half-even; group_mb
+            # is /512 (dyadic) so exact 6-decimal ties DO occur
+            assert (got[c] - exp[c]).abs().max() <= 1.1e-6, c
+        else:
+            assert list(got[c]) == list(exp[c]), c

@@ -1,0 +1,226 @@
+"""Storage-layout operators: the table-maintenance passes a 100 TB
+Iceberg/Delta deployment runs between query workloads (task brief; the
+reference engine has no table layer):
+
+- q_zorder_layout — Z-order (Morton 1966) spatial file clustering audit:
+  the same page stream laid out into files two ways (Z-order-sorted vs
+  ingest-ordered), per-file cell bounding boxes, and per-probe scan cost
+  (files touched / rows scanned / scan amplification) for the hotspot
+  query rectangles. This is the data-skipping argument behind Delta
+  ``OPTIMIZE ZORDER BY`` and Iceberg sort orders, made measurable: a
+  min/max-pruned scan reads only files whose bbox intersects the query
+  rect, so spatial clustering turns a full-table scan into a few-file
+  read.
+- q_compaction_plan — Iceberg ``rewrite_data_files``-style small-file
+  compaction planning (binpack strategy): per partition, files are
+  packed in listing order into output groups of ~TARGET_MB, and the plan
+  reports per-group fill plus the per-partition file-count reduction.
+
+Both dual-rendered (Spark executes, DuckDB is the driver's oracle),
+full-value oracles. Brute-force pins in tests/test_layout.py rebuild the
+geocode, the Morton interleave, both layouts, and the packing in plain
+Python/numpy.
+"""
+
+from __future__ import annotations
+
+from unmixing_spark import dialect as D
+from unmixing_spark.pagegen import CITIES, geocode_exprs, url_expr
+from unmixing_spark.queries import sql_template
+from unmixing_spark.spatial.grid import WORLD_GRID
+
+# ---- Z-order layout audit ------------------------------------------------
+
+N_FILES = 64          # files per layout (the write fan-out being audited)
+IX_BITS = 13          # WORLD_GRID nx = 7200 < 2^13
+IY_BITS = 12          # WORLD_GRID ny = 3600 < 2^12
+PROBE_DEG = 1.0       # probe rectangle half-width (matches hotspot jitter)
+
+
+def morton_sql(ix: str, iy: str, d: str) -> str:
+    """Morton/Z-order interleave of (ix, iy) — ix at even bit positions,
+    iy at odd. Rendered as a sum of exact power-of-two products over
+    ``idiv_i``/``%`` so no dialect-sensitive shift operator appears; the
+    whole expression is integer math inside whole-stage codegen."""
+    terms = []
+    for k in range(IX_BITS):
+        bit = f"(({D.idiv_i(f'({ix})', str(1 << k), d)}) % 2)"
+        terms.append(f"{bit} * {1 << (2 * k)}")
+    for k in range(IY_BITS):
+        bit = f"(({D.idiv_i(f'({iy})', str(1 << k), d)}) % 2)"
+        terms.append(f"{bit} * {1 << (2 * k + 1)}")
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def probe_rects() -> list[tuple[int, int, int, int, int]]:
+    """(pid, ix_lo, ix_hi, iy_lo, iy_hi) — the 8 hotspot-city ±PROBE_DEG
+    rectangles in CELL space, computed at template-build time with the
+    same floor/clamp semantics as GridSpec.ix_sql/iy_sql (pure IEEE
+    doubles, so the Python pin reproduces them bit-exactly)."""
+    import math
+    g = WORLD_GRID
+    out = []
+    for pid, (lon, lat) in enumerate(CITIES):
+        def ix(x: float) -> int:
+            return min(max(int(math.floor((x + 180.0) / g.deg)), 0), g.nx - 1)
+
+        def iy(y: float) -> int:
+            return min(max(int(math.floor((90.0 - y) / g.deg)), 0), g.ny - 1)
+
+        out.append((pid, ix(lon - PROBE_DEG), ix(lon + PROBE_DEG),
+                    iy(lat + PROBE_DEG), iy(lat - PROBE_DEG)))
+    return out
+
+
+def _zorder_layout(d: str) -> str:
+    """Z-order vs ingest-order file layout, audited by scan cost.
+
+    Both layouts split the SAME {N_FILES}-file budget over the same rows:
+    ``zorder`` sorts by the Morton key before chunking (ntile), ``ingest``
+    chunks in url order (url is an md5-geocoded stream, so ingest order
+    has no spatial locality — the realistic worst case a crawler writes).
+    Per (layout, file): the min/max cell bbox a manifest would carry.
+    Per (layout, probe): files whose bbox intersects the probe rect
+    (exactly min/max skipping), rows inside those files, rows actually in
+    the rect, and the scan amplification rows_scanned / rows_matched.
+
+    Scale shape: at 10^12 pages the layout ASSIGNMENT is write-time
+    ``repartitionByRange(morton_key)`` (sampled range boundaries — no
+    global window) and per-file bboxes come from manifest metadata; the
+    audit here synthesizes both inside one query so the strategy's
+    skipping win is a value-hashed fact, not a narrative. The ntile
+    windows are the audit-scale stand-in for the range partitioner (both
+    produce contiguous key chunks); the probe join is an 8-row broadcast
+    nested loop against {N_FILES}-row file stats — trivially small on
+    both sides. rows_matched is probe-only (layout-independent), joined
+    back so every output row prices its own ground truth."""
+    g = geocode_exprs(d)
+    grid = WORLD_GRID
+    rect_rows = ", ".join(f"({p}, {a}, {b}, {c}, {e})"
+                          for p, a, b, c, e in probe_rects())
+    url = url_expr(d)
+    return f"""
+    WITH urls AS (SELECT {url} AS url FROM documents),
+    pts AS {D.mat(d)}(
+      SELECT url, ix, iy, {morton_sql('ix', 'iy', d)} AS mkey
+      FROM (
+        SELECT url,
+               {grid.ix_sql('lon')} AS ix,
+               {grid.iy_sql('lat')} AS iy
+        FROM (SELECT url, {g['lon']} AS lon, {g['lat']} AS lat FROM urls)
+      )
+    ),
+    layouts AS {D.mat(d)}(
+      SELECT 'zorder' AS layout, ix, iy,
+             ntile({N_FILES}) OVER (ORDER BY mkey, url) AS file_id
+      FROM pts
+      UNION ALL
+      SELECT 'ingest' AS layout, ix, iy,
+             ntile({N_FILES}) OVER (ORDER BY url) AS file_id
+      FROM pts
+    ),
+    files AS {D.mat(d)}(
+      SELECT layout, file_id,
+             cast(count(*) as bigint) AS n_rows,
+             min(ix) AS ix_min, max(ix) AS ix_max,
+             min(iy) AS iy_min, max(iy) AS iy_max
+      FROM layouts GROUP BY layout, file_id
+    ),
+    probes AS ({D.values_rel(rect_rows, "t(pid, ix_lo, ix_hi, iy_lo, iy_hi)", d)}),
+    touched AS (
+      SELECT f.layout, p.pid,
+             cast(count(*) as bigint) AS files_scanned,
+             cast(sum(f.n_rows) as bigint) AS rows_scanned
+      FROM files f JOIN probes p
+        ON f.ix_min <= p.ix_hi AND f.ix_max >= p.ix_lo
+       AND f.iy_min <= p.iy_hi AND f.iy_max >= p.iy_lo
+      GROUP BY f.layout, p.pid
+    ),
+    matched AS (
+      SELECT p.pid, cast(count(*) as bigint) AS rows_matched
+      FROM pts x JOIN probes p
+        ON x.ix BETWEEN p.ix_lo AND p.ix_hi
+       AND x.iy BETWEEN p.iy_lo AND p.iy_hi
+      GROUP BY p.pid
+    ),
+    tot AS (SELECT cast(count(*) as bigint) AS n FROM pts)
+    SELECT t.layout, t.pid,
+           t.files_scanned, t.rows_scanned, m.rows_matched,
+           round(cast(t.rows_scanned as double) / tt.n, 6) AS scan_frac,
+           round(cast(t.rows_scanned as double) / m.rows_matched, 6)
+             AS amplification
+    FROM touched t
+    JOIN matched m ON m.pid = t.pid
+    CROSS JOIN tot tt
+    ORDER BY t.layout, t.pid
+    """
+
+
+sql_template("q_zorder_layout", _zorder_layout,
+             "Z-order vs ingest file layout: per-probe min/max-pruned "
+             "files touched, rows scanned, scan amplification")
+
+
+# ---- small-file compaction planning ---------------------------------------
+
+TARGET_MB = 512       # binpack target output size
+FILE_MB_MIN = 8       # synthesized file sizes: FILE_MB_MIN + md5 % FILE_MB_SPAN
+FILE_MB_SPAN = 120
+
+
+def _compaction_plan(d: str) -> str:
+    """Binpack compaction plan over a small-file listing.
+
+    Synthesis: every page is a data file in its ``source`` partition
+    (the post-ingest worst case: one file per task commit), sized
+    {FILE_MB_MIN}..{FILE_MB_MIN}+{FILE_MB_SPAN}-1 MB by md5 so both
+    renderings price identical bytes. Plan: within each partition, files
+    pack in listing order (url) into output groups at the first
+    cumulative {TARGET_MB} MB boundary — the group of a file is
+    floor(cum_bytes_before / target), i.e. a group closes once it
+    reaches target (Iceberg binpack's greedy fill). Output: one row per
+    planned output group with its fill ratio, plus the per-partition
+    files_before/groups_after reduction every row carries.
+
+    Scale shape: ONE partition-keyed cumulative window (the planner's
+    only exchange — listing order is a per-partition sort, exactly what
+    a manifest scan returns) + one (partition, group) aggregation + a
+    partition-keyed window over the ~files/target-sized group relation.
+    No global ordering anywhere: partitions plan independently, which is
+    why rewrite planning parallelizes across a 10^6-partition table."""
+    url = url_expr(d)
+    szkey = "'fsz' || url"
+    mb = f"{FILE_MB_MIN} + ({D.md5_slice(szkey, 1, d)}) % {FILE_MB_SPAN}"
+    cum = ("sum(file_mb) OVER (PARTITION BY part_key ORDER BY url "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH listing AS (
+      SELECT source AS part_key, {url} AS url,
+             cast({mb} as bigint) AS file_mb
+      FROM documents
+    ),
+    planned AS (
+      SELECT part_key, url, file_mb,
+             {D.idiv_i(f'({cum} - file_mb)', str(TARGET_MB), d)} AS out_group
+      FROM listing
+    ),
+    groups AS {D.mat(d)}(
+      SELECT part_key, out_group,
+             cast(count(*) as bigint) AS n_files,
+             cast(sum(file_mb) as bigint) AS group_mb
+      FROM planned GROUP BY part_key, out_group
+    )
+    SELECT part_key, out_group, n_files, group_mb,
+           round(cast(group_mb as double) / {TARGET_MB}, 6) AS fill_ratio,
+           cast(sum(n_files) OVER (PARTITION BY part_key) as bigint)
+             AS files_before,
+           cast(count(*) OVER (PARTITION BY part_key) as bigint)
+             AS groups_after
+    FROM groups
+    ORDER BY part_key, out_group
+    """
+
+
+sql_template("q_compaction_plan", _compaction_plan,
+             "binpack small-file compaction plan: per-partition greedy "
+             "fill to a target size, group fills + file-count reduction")
