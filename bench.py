@@ -81,6 +81,11 @@ HEADLINE = [
     # fully oracled + pinned.
     "q_badwords_filter",
     "q_main_content",
+    # round-5 storage-layout additions (Z-order skipping audit + the
+    # S2-style covering; q_compaction_plan stays out — single-window
+    # planner shape already priced by q_dedup_latest_crawl's window)
+    "q_zorder_layout",
+    "q_cell_covering",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",

@@ -15,8 +15,8 @@ from tests.conftest import SF_SMALL
 from unmixing_spark.pagegen import CITIES
 from unmixing_spark.queries import registry
 from unmixing_spark.queries.layout_q import (
-    FILE_MB_MIN, FILE_MB_SPAN, IX_BITS, IY_BITS, N_FILES, TARGET_MB,
-    probe_rects)
+    COVER_LEVELS, FILE_MB_MIN, FILE_MB_SPAN, IX_BITS, IY_BITS, N_FILES,
+    TARGET_MB, probe_rects)
 from unmixing_spark.spatial.grid import WORLD_GRID
 
 
@@ -150,3 +150,56 @@ def test_compaction_plan_matches_brute_force(spark):
             assert (got[c] - exp[c]).abs().max() <= 1.1e-6, c
         else:
             assert list(got[c]) == list(exp[c]), c
+
+
+def _cover(rect: tuple[int, int, int, int]) -> set[tuple[int, int, int]]:
+    """Independent recursive quadtree covering: (level, cx, cy) cells."""
+    ix_lo, ix_hi, iy_lo, iy_hi = rect
+
+    def rec(level: int, cx: int, cy: int) -> set[tuple[int, int, int]]:
+        w = 1 << level
+        x0, x1 = cx * w, (cx + 1) * w - 1
+        y0, y1 = cy * w, (cy + 1) * w - 1
+        if x0 > ix_hi or x1 < ix_lo or y0 > iy_hi or y1 < iy_lo:
+            return set()
+        if x0 >= ix_lo and x1 <= ix_hi and y0 >= iy_lo and y1 <= iy_hi:
+            return {(level, cx, cy)}
+        if level == 0:
+            return {(0, cx, cy)}
+        out: set[tuple[int, int, int]] = set()
+        for dx in (0, 1):
+            for dy in (0, 1):
+                out |= rec(level - 1, cx * 2 + dx, cy * 2 + dy)
+        return out
+
+    w = 1 << COVER_LEVELS
+    cells: set[tuple[int, int, int]] = set()
+    for cx in range(ix_lo // w, ix_hi // w + 1):
+        for cy in range(iy_lo // w, iy_hi // w + 1):
+            cells |= rec(COVER_LEVELS, cx, cy)
+    return cells
+
+
+def test_cell_covering_matches_brute_force(spark):
+    out = registry()["q_cell_covering"].spark_fn(spark, SF_SMALL).toPandas()
+    assert (out["area_ok"] == 1).all()     # in-query proofs actually held
+    assert (out["count_ok"] == 1).all()
+    saw_mixed = False
+    for pid, ix_lo, ix_hi, iy_lo, iy_hi in probe_rects():
+        sub = out[out["pid"] == pid]
+        exp = _cover((ix_lo, ix_hi, iy_lo, iy_hi))
+        got = {(int(r.level), int(r.cx), int(r.cy)) for r in sub.itertuples()}
+        assert got == exp, pid
+        assert int(sub["n_cells"].iloc[0]) == len(exp)
+        # exact disjoint area, re-proven outside the query
+        assert sum(4 ** lv for lv, _, _ in exp) == \
+            (ix_hi - ix_lo + 1) * (iy_hi - iy_lo + 1)
+        # ground-truth page count vs the covering's count column
+        matched = sum(1 for url in _urls()
+                      if ix_lo <= _cells(url)[0] <= ix_hi
+                      and iy_lo <= _cells(url)[1] <= iy_hi)
+        assert int(sub["direct_pages"].iloc[0]) == matched
+        saw_mixed |= len({lv for lv, _, _ in exp}) >= 3
+    # the covering must actually be MIXED-level (else the op degenerates
+    # to a flat cell enumeration and proves nothing about the hierarchy)
+    assert saw_mixed

@@ -224,3 +224,166 @@ def _compaction_plan(d: str) -> str:
 sql_template("q_compaction_plan", _compaction_plan,
              "binpack small-file compaction plan: per-partition greedy "
              "fill to a target size, group fills + file-count reduction")
+
+
+# ---- quadtree cell covering (the S2 covering op) ---------------------------
+
+COVER_LEVELS = 6      # quadtree depth: level-l cells are 2^l base cells wide
+
+
+def _cover_seeds() -> list[tuple[int, int, int]]:
+    """(pid, cx, cy) level-{COVER_LEVELS} seed cells per probe rect —
+    the covering's starting frontier, computed at build time exactly as
+    S2 coverings start from the fixed face cells. Every level-L cell
+    intersecting the rect is a seed; refinement below is pure SQL."""
+    seeds = []
+    w = 1 << COVER_LEVELS
+    for pid, ix_lo, ix_hi, iy_lo, iy_hi in probe_rects():
+        for cx in range(ix_lo // w, ix_hi // w + 1):
+            for cy in range(iy_lo // w, iy_hi // w + 1):
+                seeds.append((pid, cx, cy))
+    return seeds
+
+
+def _cell_covering(d: str) -> str:
+    """S2-style mixed-level quadtree covering of the probe rectangles,
+    with the covering's exactness PROVEN in-query.
+
+    A covering turns a 2-D range predicate into a small IN-list of
+    hierarchical cell ids — the spatial-index primitive behind H3/S2
+    range queries (north rule). Algorithm (S2's region coverer,
+    restricted to exact rect queries on the cell lattice): start from
+    the level-{COVER_LEVELS} cells touching the rect; at each level a
+    cell fully inside the rect is EMITTED, a partially-overlapping cell
+    splits into its 4 children; base cells (level 0) that intersect are
+    emitted (a base cell intersecting a cell-aligned rect is inside it,
+    so the recursion terminates exactly). The unroll is
+    {COVER_LEVELS} fixed CTE rounds — bounded like the redirect unroll,
+    never iteration-to-fixpoint.
+
+    In-query proofs carried on every row: (1) disjoint-exact AREA —
+    Σ 4^level over the covering equals the rect's area in base cells;
+    (2) QUERY parity — counting pages by joining the point stream to
+    the covering (the index-scan plan) equals counting by the direct
+    rect predicate (the full-scan plan). Both must hold per probe or
+    the value hash breaks.
+
+    Scale shape: the covering itself is metadata-sized (seeds × ≤4^l,
+    here ≤ ~200 rows total) and computes in a LINEAR chain of tiny CTEs
+    — each refinement round carries its emitted cells forward (an
+    accumulate chain, not a union of per-level emits, which Catalyst's
+    CTE inlining would re-derive quadratically); per-pid covering stats
+    are window functions over the final covering rows so the chain is
+    referenced only twice (the page-count join + the output). The
+    page-count join broadcasts the covering against the point stream —
+    exactly how an indexed spatial range query executes at 10^12 rows
+    (covering cells → partition pruning → per-cell scan), while the
+    direct-predicate twin is the full-scan cost it replaces."""
+    g = geocode_exprs(d)
+    grid = WORLD_GRID
+    rect_rows = ", ".join(f"({p}, {a}, {b}, {c}, {e})"
+                          for p, a, b, c, e in probe_rects())
+    seed_rows = ", ".join(f"({p}, {x}, {y})" for p, x, y in _cover_seeds())
+    url = url_expr(d)
+
+    w0 = 1 << COVER_LEVELS
+    rounds = [f"""r{COVER_LEVELS} AS (
+      SELECT c.pid, {COVER_LEVELS} AS level, c.cx, c.cy,
+             c.cx * {w0} AS x0, (c.cx + 1) * {w0} - 1 AS x1,
+             c.cy * {w0} AS y0, (c.cy + 1) * {w0} - 1 AS y1,
+             CASE WHEN c.cx * {w0} >= p.ix_lo AND (c.cx + 1) * {w0} - 1 <= p.ix_hi
+                   AND c.cy * {w0} >= p.iy_lo AND (c.cy + 1) * {w0} - 1 <= p.iy_hi
+                  THEN 1 ELSE 0 END AS is_full
+      FROM seeds c JOIN probes p ON p.pid = c.pid
+      WHERE c.cx * {w0} <= p.ix_hi AND (c.cx + 1) * {w0} - 1 >= p.ix_lo
+        AND c.cy * {w0} <= p.iy_hi AND (c.cy + 1) * {w0} - 1 >= p.iy_lo
+    )"""]
+    for lv in range(COVER_LEVELS, 0, -1):
+        # ONE reference to r{lv} per round: every row expands against the
+        # 4-child quad; an already-EMITTED (full) cell passes through only
+        # on the (0,0) child, a frontier (partial) cell classifies its 4
+        # children against the rect. A second reference would double the
+        # inlined subtree per level (2^L plan blowup — the CC-loop lesson).
+        w = 1 << (lv - 1)
+        cx = "(c.cx * 2 + q.dx)"
+        cy = "(c.cy * 2 + q.dy)"
+        rounds.append(f"""r{lv - 1} AS (
+      SELECT pid, level, cx, cy, x0, x1, y0, y1, is_full FROM (
+        SELECT c.pid,
+               CASE WHEN c.is_full = 1 THEN c.level ELSE {lv - 1} END AS level,
+               CASE WHEN c.is_full = 1 THEN c.cx ELSE {cx} END AS cx,
+               CASE WHEN c.is_full = 1 THEN c.cy ELSE {cy} END AS cy,
+               CASE WHEN c.is_full = 1 THEN c.x0 ELSE {cx} * {w} END AS x0,
+               CASE WHEN c.is_full = 1 THEN c.x1
+                    ELSE ({cx} + 1) * {w} - 1 END AS x1,
+               CASE WHEN c.is_full = 1 THEN c.y0 ELSE {cy} * {w} END AS y0,
+               CASE WHEN c.is_full = 1 THEN c.y1
+                    ELSE ({cy} + 1) * {w} - 1 END AS y1,
+               CASE WHEN c.is_full = 1 THEN 1
+                    WHEN {cx} * {w} >= p.ix_lo AND ({cx} + 1) * {w} - 1 <= p.ix_hi
+                     AND {cy} * {w} >= p.iy_lo AND ({cy} + 1) * {w} - 1 <= p.iy_hi
+                    THEN 1 ELSE 0 END AS is_full,
+               CASE WHEN c.is_full = 1
+                    THEN CASE WHEN q.dx = 0 AND q.dy = 0 THEN 1 ELSE 0 END
+                    WHEN {cx} * {w} <= p.ix_hi AND ({cx} + 1) * {w} - 1 >= p.ix_lo
+                     AND {cy} * {w} <= p.iy_hi AND ({cy} + 1) * {w} - 1 >= p.iy_lo
+                    THEN 1 ELSE 0 END AS keep
+        FROM r{lv} c CROSS JOIN quad q JOIN probes p ON p.pid = c.pid
+      ) t WHERE keep = 1
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH probes AS ({D.values_rel(rect_rows, "t(pid, ix_lo, ix_hi, iy_lo, iy_hi)", d)}),
+    seeds AS ({D.values_rel(seed_rows, "t(pid, cx, cy)", d)}),
+    quad AS ({D.values_rel("(0, 0), (0, 1), (1, 0), (1, 1)", "t(dx, dy)", d)}),
+    {rounds_sql},
+    covering AS {D.mat(d)}(
+      SELECT pid, level, cx, cy, x0, x1, y0, y1 FROM r0
+    ),
+    pts AS {D.mat(d)}(
+      SELECT {grid.ix_sql('lon')} AS ix, {grid.iy_sql('lat')} AS iy
+      FROM (SELECT {g['lon']} AS lon, {g['lat']} AS lat
+            FROM (SELECT {url} AS url FROM documents))
+    ),
+    via_cover AS (
+      SELECT c.pid, cast(count(*) as bigint) AS covered_pages
+      FROM covering c JOIN pts x
+        ON x.ix BETWEEN c.x0 AND c.x1
+       AND x.iy BETWEEN c.y0 AND c.y1
+      GROUP BY c.pid
+    ),
+    direct AS (
+      SELECT p.pid, cast(count(*) as bigint) AS direct_pages
+      FROM probes p JOIN pts x
+        ON x.ix BETWEEN p.ix_lo AND p.ix_hi
+       AND x.iy BETWEEN p.iy_lo AND p.iy_hi
+      GROUP BY p.pid
+    ),
+    stats AS (
+      SELECT c.pid, c.level, c.cx, c.cy,
+             cast(count(*) OVER (PARTITION BY c.pid) as bigint) AS n_cells,
+             cast(sum((c.x1 - c.x0 + 1) * (c.y1 - c.y0 + 1))
+                  OVER (PARTITION BY c.pid) as bigint) AS area_cells,
+             cast((p.ix_hi - p.ix_lo + 1) * (p.iy_hi - p.iy_lo + 1)
+                  as bigint) AS rect_area,
+             v.covered_pages, dr.direct_pages
+      FROM covering c
+      JOIN probes p ON p.pid = c.pid
+      JOIN via_cover v ON v.pid = c.pid
+      JOIN direct dr ON dr.pid = c.pid
+    )
+    SELECT pid, level, cx, cy, n_cells, area_cells, rect_area,
+           cast(CASE WHEN area_cells = rect_area THEN 1 ELSE 0 END
+                as bigint) AS area_ok,
+           covered_pages, direct_pages,
+           cast(CASE WHEN covered_pages = direct_pages THEN 1 ELSE 0 END
+                as bigint) AS count_ok
+    FROM stats
+    ORDER BY pid, level, cx, cy
+    """
+
+
+sql_template("q_cell_covering", _cell_covering,
+             "S2-style mixed-level quadtree covering of query rects with "
+             "in-query exactness proofs (area identity + index-scan vs "
+             "full-scan count parity)")
