@@ -83,7 +83,9 @@ HEADLINE = [
     "q_main_content",
     # round-5 storage-layout additions (Z-order skipping audit + the
     # S2-style covering; q_compaction_plan stays out — single-window
-    # planner shape already priced by q_dedup_latest_crawl's window)
+    # planner shape already priced by q_dedup_latest_crawl's window —
+    # and q_mask_regions stays out: its cc_labels loop cost is already
+    # priced by q_neardup_components, same multi-round stage overhead)
     "q_zorder_layout",
     "q_cell_covering",
     # end-to-end multi-stage pipelines — what a real user runs

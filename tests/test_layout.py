@@ -180,6 +180,58 @@ def _cover(rect: tuple[int, int, int, int]) -> set[tuple[int, int, int]]:
     return cells
 
 
+def test_mask_regions_matches_union_find(spark):
+    from unmixing_spark.queries.layout_q import REGION_FACTOR
+    from unmixing_spark.spatial.grid import WORLD_GRID
+
+    out = registry()["q_mask_regions"].spark_fn(spark, SF_SMALL).toPandas()
+    assert (out["converged"] == 1).all()
+
+    pnx = WORLD_GRID.nx // REGION_FACTOR
+    occ: dict[tuple[int, int], int] = {}
+    for url in _urls():
+        ix, iy = _cells(url)
+        key = (ix // REGION_FACTOR, iy // REGION_FACTOR)
+        occ[key] = occ.get(key, 0) + 1
+
+    parent = {k: k for k in occ}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    for (px, py) in occ:
+        for nb in ((px + 1, py), (px, py + 1)):
+            if nb in occ:
+                ra, rb = find((px, py)), find(nb)
+                if ra != rb:
+                    parent[rb] = ra
+
+    regions: dict[int, list[tuple[int, int, int]]] = {}
+    for (px, py), n in occ.items():
+        root = find((px, py))
+        rid = min(y * pnx + x for (x, y) in occ
+                  if find((x, y)) == root)
+        regions.setdefault(rid, []).append((px, py, n))
+
+    got = {int(r.region): (int(r.n_cells), int(r.total_pages),
+                           int(r.px_min), int(r.px_max),
+                           int(r.py_min), int(r.py_max))
+           for r in out.itertuples()}
+    exp = {rid: (len(v), sum(n for _, _, n in v),
+                 min(x for x, _, _ in v), max(x for x, _, _ in v),
+                 min(y for _, y, _ in v), max(y for _, y, _ in v))
+           for rid, v in regions.items()}
+    assert got == exp
+    # the labeling must actually merge: the 8 hotspot blobs are solid
+    # multi-cell regions, and singletons exist (uniform background)
+    multi = [v for v in exp.values() if v[0] > 1]
+    assert len(multi) >= 8
+    assert any(v[0] == 1 for v in exp.values())
+
+
 def test_cell_covering_matches_brute_force(spark):
     out = registry()["q_cell_covering"].spark_fn(spark, SF_SMALL).toPandas()
     assert (out["area_ok"] == 1).all()     # in-query proofs actually held

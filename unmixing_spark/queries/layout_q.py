@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from unmixing_spark import dialect as D
 from unmixing_spark.pagegen import CITIES, geocode_exprs, url_expr
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 from unmixing_spark.spatial.grid import WORLD_GRID
 
 # ---- Z-order layout audit ------------------------------------------------
@@ -381,6 +381,166 @@ def _cell_covering(d: str) -> str:
     FROM stats
     ORDER BY pid, level, cx, cy
     """
+
+
+# ---- raster region labeling (polygonize) -----------------------------------
+
+REGION_FACTOR = 8          # parent-cell factor: 0.4 deg region-label lattice
+REGION_ORACLE_ROUNDS = 8   # fixed unroll depth for the DuckDB oracle ONLY
+                           # (2^8-1 = 255-hop cover; the Spark side iterates
+                           # cc_labels to a PROVEN fixpoint and raises past
+                           # its cap, so a deeper graph fails loudly, never
+                           # silently — same contract as q_neardup_components)
+
+
+def _region_cells(d: str) -> str:
+    """CTE text ending in ``cells``(pcell, px, py, n_pages): the occupied
+    parent-cell mask (REGION_FACTOR x REGION_FACTOR base cells per
+    region-lattice cell, so the hotspot blobs are solid and adjacency is
+    meaningful at every sf)."""
+    from unmixing_spark.pagegen import geocode_exprs, url_expr
+    g = geocode_exprs(d)
+    grid = WORLD_GRID
+    pnx = grid.nx // REGION_FACTOR
+    return f"""pts AS (
+      SELECT {D.idiv_i(grid.ix_sql('lon'), str(REGION_FACTOR), d)} AS px,
+             {D.idiv_i(grid.iy_sql('lat'), str(REGION_FACTOR), d)} AS py
+      FROM (SELECT {g['lon']} AS lon, {g['lat']} AS lat
+            FROM (SELECT {url_expr(d)} AS url FROM documents))
+    ),
+    cells AS {D.mat(d)}(
+      SELECT py * {pnx} + px AS pcell, px, py,
+             cast(count(*) as bigint) AS n_pages
+      FROM pts GROUP BY px, py
+    )"""
+
+
+def _region_edges_sql() -> str:
+    """4-neighbor adjacency over occupied cells, symmetrized — two
+    equi-joins on shifted keys (never a distance predicate), the shape
+    that stays a pair of keyed joins at any lattice size."""
+    return """e1 AS (
+      SELECT a.pcell AS u, b.pcell AS v
+      FROM cells a JOIN cells b ON b.px = a.px + 1 AND b.py = a.py
+    ),
+    e2 AS (
+      SELECT a.pcell AS u, b.pcell AS v
+      FROM cells a JOIN cells b ON b.px = a.px AND b.py = a.py + 1
+    ),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1
+      UNION ALL
+      SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2
+    )"""
+
+
+def _mask_regions_spark(spark, sf_dir):
+    """Raster polygonization: connected regions of the occupied-cell
+    mask (4-connectivity), the relational analogue of GDAL's
+    gdal_polygonize/sieve over the engine's tile masks (reference
+    masking surface: utils.binary_mask/density_slice — this labels the
+    mask's connected structure instead of thresholding per pixel).
+
+    Spark side: the occupied-cell mask aggregates once (one exchange),
+    adjacency is two shifted-key equi-joins, and labels iterate via
+    cc_labels (adaptive driver-checked fixpoint, raises past the cap).
+    Per-region stats are one label-keyed aggregation. At 10^12 pages
+    the mask table is bounded by the LATTICE (≤ 900x425 cells here,
+    independent of corpus size) — region labeling is metadata-scale
+    work downstream of one corpus-sized aggregation, exactly like the
+    tile pipeline's rasterize step."""
+    from pyspark.sql import functions as F
+    from unmixing_spark import pipeline
+    from unmixing_spark.queries.scale_q import cc_labels
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    cells = spark.sql(
+        f"WITH {_region_cells(D.SPARK)} SELECT * FROM cells"
+    ).localCheckpoint(eager=True)
+    a, b = cells.alias("a"), cells.alias("b")
+    e1 = a.join(b, (F.col("b.px") == F.col("a.px") + 1)
+                & (F.col("b.py") == F.col("a.py"))) \
+          .select(F.col("a.pcell").alias("u"), F.col("b.pcell").alias("v"))
+    e2 = a.join(b, (F.col("b.px") == F.col("a.px"))
+                & (F.col("b.py") == F.col("a.py") + 1)) \
+          .select(F.col("a.pcell").alias("u"), F.col("b.pcell").alias("v"))
+    edges = e1.unionAll(e1.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+              .unionAll(e2) \
+              .unionAll(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    n, _rounds = cc_labels(edges)
+    converged = n.agg(
+        (F.lit(1) - F.coalesce(
+            F.max((F.col("lbl") < F.col("prev")).cast("int")), F.lit(0)))
+        .alias("converged"))
+    lbl = n.select(F.col("id").alias("pcell"), "lbl")
+    labeled = (cells.join(lbl, "pcell", "left")
+               .select(F.coalesce("lbl", F.col("pcell")).alias("region"),
+                       "px", "py", "n_pages"))
+    return (labeled.groupBy("region")
+            .agg(F.count("*").cast("bigint").alias("n_cells"),
+                 F.sum("n_pages").cast("bigint").alias("total_pages"),
+                 F.min("px").alias("px_min"), F.max("px").alias("px_max"),
+                 F.min("py").alias("py_min"), F.max("py").alias("py_max"))
+            .crossJoin(F.broadcast(converged))
+            .select("region", "n_cells", "total_pages",
+                    "px_min", "px_max", "py_min", "py_max",
+                    F.col("converged").cast("int").alias("converged")))
+
+
+def _mask_regions_oracle() -> str:
+    """Unrolled label propagation + pointer jumps (DuckDB), depth
+    {REGION_ORACLE_ROUNDS}, with the convergence check re-derived
+    in-query (conv CTE) so an under-deep unroll breaks the value hash
+    via converged=0 against the Spark side's proven converged=1."""
+    ctes = [_region_cells(D.DUCKDB), _region_edges_sql(),
+            "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"]
+    for r in range(REGION_ORACLE_ROUNDS):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+      SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
+      FROM l{r} a
+      LEFT JOIN edges e ON e.u = a.id
+      LEFT JOIN l{r} nb ON nb.id = e.v
+      GROUP BY a.id
+    ),
+    l{r + 1} AS MATERIALIZED (
+      SELECT a.id, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+      FROM n{r} a LEFT JOIN n{r} b ON b.id = a.lbl
+    )""")
+    last = f"l{REGION_ORACLE_ROUNDS}"
+    ctes.append(f"""chk AS MATERIALIZED (
+      SELECT a.id, min(least(a.lbl, coalesce(nb.lbl, a.lbl))) AS lbl
+      FROM {last} a
+      LEFT JOIN edges e ON e.u = a.id
+      LEFT JOIN {last} nb ON nb.id = e.v
+      GROUP BY a.id
+    ),
+    conv AS (
+      SELECT max(CASE WHEN c.lbl <> l.lbl THEN 1 ELSE 0 END) AS changed
+      FROM chk c JOIN {last} l ON l.id = c.id
+    ),
+    labeled AS (
+      SELECT coalesce(l.lbl, c.pcell) AS region, c.px, c.py, c.n_pages
+      FROM cells c LEFT JOIN {last} l ON l.id = c.pcell
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT region,
+           cast(count(*) as bigint) AS n_cells,
+           cast(sum(n_pages) as bigint) AS total_pages,
+           min(px) AS px_min, max(px) AS px_max,
+           min(py) AS py_min, max(py) AS py_max,
+           cast((SELECT 1 - changed FROM conv) as int) AS converged
+    FROM labeled
+    GROUP BY region
+    """
+
+
+register("q_mask_regions", QuerySpec(
+    spark_fn=_mask_regions_spark, oracle=_mask_regions_oracle(),
+    doc="raster polygonize: connected regions of the occupied-cell mask "
+        "(4-connectivity), adaptive label propagation, per-region cell/"
+        "page counts + bbox, in-query convergence proof"))
 
 
 sql_template("q_cell_covering", _cell_covering,
