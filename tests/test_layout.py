@@ -1,8 +1,9 @@
-"""Storage-layout operators (layout_q.py) vs independent Python brute
-force. The dual renderings share the synthesis SQL, so dialect parity
-alone can't catch a wrong layout rule shared by both — these pins rebuild
-the geocode, the Morton interleave, both file layouts, the probe scans,
-and the binpack plan a third way (hashlib + plain Python)."""
+"""Storage-layout operators (layout_q.py) + the hsv_transform fixture vs
+independent Python brute force. The dual renderings share the synthesis
+SQL, so dialect parity alone can't catch a wrong rule shared by both —
+these pins rebuild the geocode, the Morton interleave, both file
+layouts, the probe scans, the binpack plan, the quadtree covering, the
+union-find region labels, and the HSV hexcone (colorsys) a third way."""
 
 from __future__ import annotations
 
@@ -255,3 +256,23 @@ def test_cell_covering_matches_brute_force(spark):
     # the covering must actually be MIXED-level (else the op degenerates
     # to a flat cell enumeration and proves nothing about the hierarchy)
     assert saw_mixed
+
+
+def test_hsv_transform_matches_colorsys(spark):
+    import colorsys
+
+    cells = registry()["q_cell_raster"].spark_fn(spark, SF_SMALL).toPandas()
+    out = (registry()["q_hsv_transform"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("cell_id"))
+    m2, m4, m5 = cells["b2"].max(), cells["b4"].max(), cells["b5"].max()
+    assert len(out) == len(cells)
+    worst = 0.0
+    for row in cells.itertuples():
+        h, s, v = colorsys.rgb_to_hsv(row.b2 / m2, row.b4 / m4, row.b5 / m5)
+        got = out.loc[row.cell_id]
+        worst = max(worst, abs(got["h"] - h), abs(got["s"] - s),
+                    abs(got["v"] - v))
+    # SQL rounds to 6; colorsys is unrounded — exact to rounding
+    assert worst <= 5.1e-7
+    # the composite must actually produce colorful pixels, not grayscale
+    assert (out["s"] > 0.1).mean() > 0.5

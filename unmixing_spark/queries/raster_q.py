@@ -462,3 +462,67 @@ def _ravel_long(d: str) -> str:
 
 sql_template("q_ravel_long_pivot", _ravel_long,
              "wide->long pivot with band-0 NoData filter (lsma.ravel_and_filter, lsma.py:769-796)")
+
+
+def _hsv_transform(d: str) -> str:
+    """Per-pixel RGB→HSV transform over a false-color composite — the
+    hsv_transform fixture the north rule names (the reference repo ships
+    no HSV code; this supplies the canonical matplotlib.colors.rgb_to_hsv
+    / Python colorsys hexcone model, Smith 1978, over raster bands).
+
+    Composite: (b2, b4, b5) of the cell raster (mean text length, mean
+    token count, mean url length — the continuous bands), each scaled to
+    [0, 1] by its global max (one 1-row aggregate, broadcast back). The
+    hue branch order replicates colorsys exactly (r-max, then g-max,
+    else b-max; gray pixels → h = s = 0), and the final modulo-1 is
+    rendered as x - floor(x) in BOTH dialects (Spark pmod and DuckDB %
+    disagree on negatives; x - floor(x) is Python's % semantics, which
+    is what colorsys applies). Every division is double/double on
+    already-rounded band values, so both renderings feed IEEE-identical
+    operands; h/s/v round to 6 in both.
+
+    Scale shape: one corpus-sized aggregation (the raster build), one
+    1-row max aggregate broadcast back, then per-row math inside
+    whole-stage codegen. Golden: tests/test_layout.py pins every output
+    row against Python colorsys.rgb_to_hsv."""
+    mx = ("SELECT max(b2) AS m2, max(b4) AS m4, max(b5) AS m5 FROM cells")
+    return f"""
+    {_cells(d)},
+    mx AS ({mx}),
+    rgb AS (
+      SELECT c.cell_id,
+             c.b2 / m.m2 AS r, c.b4 / m.m4 AS g, c.b5 / m.m5 AS b
+      FROM cells c CROSS JOIN mx m
+    ),
+    base AS (
+      SELECT cell_id, r, g, b,
+             greatest(r, g, b) AS maxc, least(r, g, b) AS minc
+      FROM rgb
+    ),
+    huec AS (
+      SELECT cell_id, maxc, minc,
+             CASE WHEN maxc = minc THEN {D.dbl(0.0)}
+                  WHEN r = maxc THEN ((maxc - b) / (maxc - minc))
+                                   - ((maxc - g) / (maxc - minc))
+                  WHEN g = maxc THEN {D.dbl(2.0)}
+                                   + ((maxc - r) / (maxc - minc))
+                                   - ((maxc - b) / (maxc - minc))
+                  ELSE {D.dbl(4.0)}
+                       + ((maxc - g) / (maxc - minc))
+                       - ((maxc - r) / (maxc - minc))
+             END / {D.dbl(6.0)} AS h6
+      FROM base
+    )
+    SELECT cell_id,
+           round(h6 - floor(h6), 6) AS h,
+           round(CASE WHEN maxc = minc OR maxc = {D.dbl(0.0)}
+                      THEN {D.dbl(0.0)}
+                      ELSE (maxc - minc) / maxc END, 6) AS s,
+           round(maxc, 6) AS v
+    FROM huec
+    """
+
+
+sql_template("q_hsv_transform", _hsv_transform,
+             "RGB->HSV hexcone transform over a false-color band composite "
+             "(colorsys semantics; north-rule hsv_transform fixture)")
