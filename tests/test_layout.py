@@ -276,3 +276,46 @@ def test_hsv_transform_matches_colorsys(spark):
     assert worst <= 5.1e-7
     # the composite must actually produce colorful pixels, not grayscale
     assert (out["s"] > 0.1).mean() > 0.5
+
+
+def test_tile_pyramid_matches_brute_force(spark):
+    from unmixing_spark.queries.raster_q import PYRAMID_LEVELS
+
+    cells = registry()["q_cell_raster"].spark_fn(spark, SF_SMALL).toPandas()
+    out = registry()["q_tile_pyramid"].spark_fn(spark, SF_SMALL).toPandas()
+    assert (out["conservation"] == 1).all()
+
+    nx = WORLD_GRID.nx
+    lvl = {}
+    for r in cells.itertuples():
+        px, py = int(r.cell_id) % nx, int(r.cell_id) // nx
+        lvl[(px, py)] = (int(r.b1), round(r.b2 * 1e6) * int(r.b1),
+                         round(r.b4 * 1e6) * int(r.b1),
+                         round(r.b5 * 1e6) * int(r.b1), int(r.b6))
+    expect = {}
+    for level in range(PYRAMID_LEVELS):
+        for (px, py), v in lvl.items():
+            expect[(level, px, py)] = v
+        nxt: dict[tuple[int, int], tuple] = {}
+        for (px, py), (b1, s2, s4, s5, b6) in lvl.items():
+            k = (px // 2, py // 2)
+            o = nxt.get(k, (0, 0, 0, 0, 0))
+            nxt[k] = (o[0] + b1, o[1] + s2, o[2] + s4, o[3] + s5,
+                      max(o[4], b6))
+        lvl = nxt
+
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        b1, s2, s4, s5, b6 = expect[(int(r.level), int(r.px), int(r.py))]
+        assert int(r.pages) == b1
+        assert int(r.latest_doy) == b6
+        assert abs(r.mean_text_len - s2 / (b1 * 1e6)) <= 5.1e-7
+        assert abs(r.mean_tokens - s4 / (b1 * 1e6)) <= 5.1e-7
+        assert abs(r.mean_url_len - s5 / (b1 * 1e6)) <= 5.1e-7
+    # real downsampling: strictly fewer cells per level somewhere, and a
+    # level-3 cell must merge >= 2 level-0 cells' pages
+    n_per = out.groupby("level").size()
+    assert n_per.loc[3] < n_per.loc[0]
+    l3 = out[out.level == 3]
+    l0 = out[out.level == 0]
+    assert l3["pages"].max() > l0["pages"].max()

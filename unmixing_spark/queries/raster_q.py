@@ -526,3 +526,89 @@ def _hsv_transform(d: str) -> str:
 sql_template("q_hsv_transform", _hsv_transform,
              "RGB->HSV hexcone transform over a false-color band composite "
              "(colorsys semantics; north-rule hsv_transform fixture)")
+
+
+PYRAMID_LEVELS = 4   # overview levels 0..3 (factor-2 downsampling each)
+
+
+def _tile_pyramid(d: str) -> str:
+    """Raster overview pyramid — the COG-overview / map-tile z-stack:
+    factor-2 downsampling per level, each level aggregated FROM THE
+    PREVIOUS LEVEL (one lattice-sized pass per level, never a re-scan of
+    the corpus — the overview build's real shape: level-L input is 4x
+    smaller than level L-1, so the whole pyramid costs ~4/3 of one
+    level-0 pass). Count-weighted band means travel as (sum, weight)
+    pairs so downsampling is exact; b6 (latest day) takes max; b3
+    (distinct langs) is deliberately absent — count-distinct is not
+    resamplable from aggregates, which is exactly why real overview
+    formats carry only resampleable statistics. Mass conservation is
+    proven in-query: every row carries its level's total page count,
+    which must equal level 0's (conservation = 1) or the value hash
+    breaks.
+
+    Scale shape: one corpus-sized aggregation (level 0 = the cell
+    raster), then three lattice-sized (cell-count-bounded) aggregations;
+    each GROUP BY key is the parent cell — contiguous under the level-0
+    range partitioning, so the rollup exchanges shrink 4x per level."""
+    from unmixing_spark.spatial.grid import WORLD_GRID
+    grid = WORLD_GRID
+    # integer micro-units: band means are already rounded to 6, so
+    # round(b*1e6) is an exact integer and every level sum is bigint
+    # arithmetic — no order-dependent float accumulation anywhere
+    def mu(col: str) -> str:
+        return (f"cast(round({col} * {D.dbl(1e6)}) as bigint)"
+                f" * cast(b1 as bigint)")
+
+    ctes = [f"""l0 AS (
+      SELECT {grid.cell_to_ix('cell_id')} AS px,
+             {grid.cell_to_iy('cell_id')} AS py,
+             cast(b1 as bigint) AS b1,
+             {mu('b2')} AS s2, {mu('b4')} AS s4, {mu('b5')} AS s5,
+             cast(b6 as bigint) AS b6
+      FROM cells
+    )"""]
+    for lv in range(1, PYRAMID_LEVELS):
+        ctes.append(f"""l{lv} AS (
+      SELECT {D.idiv_i('px', '2', d)} AS px, {D.idiv_i('py', '2', d)} AS py,
+             sum(b1) AS b1, sum(s2) AS s2, sum(s4) AS s4, sum(s5) AS s5,
+             max(b6) AS b6
+      FROM l{lv - 1} GROUP BY {D.idiv_i('px', '2', d)}, {D.idiv_i('py', '2', d)}
+    )""")
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT {lv} AS level, px, py, b1, s2, s4, s5, b6 FROM l{lv}"
+        for lv in range(PYRAMID_LEVELS))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    {_cells(d)},
+    {joined},
+    pyramid AS (
+      {arms}
+    ),
+    lvl_tot AS (
+      SELECT level, cast(sum(b1) as bigint) AS level_pages
+      FROM pyramid GROUP BY level
+    ),
+    base AS (SELECT level_pages AS total_pages FROM lvl_tot WHERE level = 0)
+    SELECT p.level, p.px, p.py,
+           p.b1 AS pages,
+           round(cast(p.s2 as double)
+                 / (cast(p.b1 as double) * {D.dbl(1e6)}), 6) AS mean_text_len,
+           round(cast(p.s4 as double)
+                 / (cast(p.b1 as double) * {D.dbl(1e6)}), 6) AS mean_tokens,
+           round(cast(p.s5 as double)
+                 / (cast(p.b1 as double) * {D.dbl(1e6)}), 6) AS mean_url_len,
+           p.b6 AS latest_doy,
+           t.level_pages AS level_pages,
+           cast(CASE WHEN t.level_pages = b.total_pages THEN 1 ELSE 0 END
+                as bigint) AS conservation
+    FROM pyramid p
+    JOIN lvl_tot t ON t.level = p.level
+    CROSS JOIN base b
+    ORDER BY p.level, p.px, p.py
+    """
+
+
+sql_template("q_tile_pyramid", _tile_pyramid,
+             "raster overview pyramid: factor-2 level-from-level rollup "
+             "with exact weighted means and an in-query mass-conservation "
+             "proof per level")
