@@ -143,3 +143,65 @@ def test_semdedup_matches_brute_force(spark):
         flagged = [v for v in members if exp_n[v] > 0]
         if flagged:
             assert any(exp_keep[v] for v in flagged), cid
+
+
+def test_pq_codes_match_integer_brute_force(spark):
+    from unmixing_spark.queries.kmeans_q import (
+        PQ_K, PQ_M, PQ_ROUNDS, PQ_SUBDIM)
+
+    df = (pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+          .sort_values("vec_id").reset_index(drop=True))
+    vecs = {}
+    for vid, emb in zip(df["vec_id"].astype(int), df["embedding"]):
+        v = np.asarray(emb, dtype=np.float64) * float(KM_SCALE)
+        q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        vecs[vid] = q.astype(np.int64) + KM_SHIFT
+
+    # per-subspace Lloyd, same integer recurrence, third implementation
+    cent = {cid: vecs[cid].copy() for cid in range(PQ_K)}
+    assign = prev = None
+    for _ in range(PQ_ROUNDS):
+        prev = assign
+        assign = {}
+        for vid, q in vecs.items():
+            for m in range(PQ_M):
+                s = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+                best = min(((int(((q[s] - c[s]) * (q[s] - c[s])).sum()), cid)
+                            for cid, c in cent.items()))
+                assign[(vid, m)] = (best[1], best[0])
+        sums = {cid: np.zeros(64, dtype=object) for cid in cent}
+        cnts = {(cid, m): 0 for cid in cent for m in range(PQ_M)}
+        for (vid, m), (cid, _) in assign.items():
+            s = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+            sums[cid][s] = sums[cid][s] + vecs[vid][s]
+            cnts[(cid, m)] += 1
+        for cid in cent:
+            new = cent[cid].copy()
+            for m in range(PQ_M):
+                if cnts[(cid, m)]:
+                    s = slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+                    new[s] = [int(x) // cnts[(cid, m)] for x in sums[cid][s]]
+            cent[cid] = new
+    n_changed = sum(1 for k in assign if assign[k][0] != prev[k][0])
+
+    out = (registry()["q_pq_codes"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("vec_id").sort_index())
+    assert len(out) == len(vecs)
+    for vid in vecs:
+        row = out.loc[vid]
+        code = 0
+        dist = 0
+        for m in range(PQ_M):
+            cid, d2 = assign[(vid, m)]
+            assert int(row[f"c{m}"]) == cid, (vid, m)
+            code += cid * (PQ_K ** m)
+            dist += d2
+        assert int(row["code"]) == code
+        assert int(row["distortion"]) == dist
+        assert int(row["n_changed"]) == n_changed
+        assert int(row["rounds"]) == PQ_ROUNDS
+    # the codebooks must be non-trivial: many distinct codes in use and
+    # every subspace uses >= 2 codewords
+    assert out["code"].nunique() > PQ_K
+    for m in range(PQ_M):
+        assert out[f"c{m}"].nunique() >= 2

@@ -310,3 +310,150 @@ register("q_semdedup", QuerySpec(
     doc="SemDeDup (Abbas et al. 2023): k-means-bucketed embedding "
         "dedup — within-cluster exact-integer cosine pairs, keep the "
         "member farthest from the centroid per duplicate neighborhood"))
+
+
+# ---- product quantization (PQ codes) ----------------------------------------
+
+PQ_M = 4        # subspaces (code bytes per vector)
+PQ_K = 8        # codewords per subspace
+PQ_ROUNDS = 8   # fixed per-subspace Lloyd depth, both renderings
+PQ_SUBDIM = 64 // PQ_M   # dims per subspace
+
+
+def _pq_ctes() -> tuple[list[str], str]:
+    """DuckDB chain for the unrolled per-subspace Lloyd iteration — the
+    k-means recurrence of ``_lloyd_ctes`` with a subspace key: the
+    64-dim vector splits into {PQ_M} x {PQ_SUBDIM}-dim sub-vectors,
+    each quantized independently against its own {PQ_K}-codeword book
+    (Jegou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search", §II.A). Same exact-integer doctrine: bigint
+    distances, integer centroid means, cid tie-break — bit parity with
+    the Spark loop at every round. The codebook table stays (cid, dim)
+    keyed — a dim's subspace is implied — so the update join is
+    LITERALLY the single-quantizer one; only the assignment's argmin
+    partition gains the sub key."""
+    dd = D.DUCKDB
+    sub_e = D.idiv_i("(e.dim - 1)", str(PQ_SUBDIM), dd)
+    mean = D.idiv_i("u.s", "u.cnt", dd)
+    ctes = [_qemb_ctes(dd), f"""p0 AS MATERIALIZED (
+      SELECT cast(vec_id as bigint) AS cid, dim, q AS c
+      FROM emb WHERE vec_id < {PQ_K})"""]
+    for r in range(1, PQ_ROUNDS + 1):
+        ctes.append(f"""pa{r} AS MATERIALIZED (
+      SELECT vec_id, sub, cid, d2 FROM (
+        SELECT e.vec_id, {sub_e} AS sub, c.cid,
+               sum((e.q - c.c) * (e.q - c.c)) AS d2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, {sub_e}
+                 ORDER BY sum((e.q - c.c) * (e.q - c.c)), c.cid) AS rn
+        FROM emb e JOIN p{r - 1} c ON c.dim = e.dim
+        GROUP BY e.vec_id, {sub_e}, c.cid) z
+      WHERE rn = 1)""")
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT p.cid, p.dim, cast(coalesce({mean}, p.c) as bigint) AS c
+      FROM p{r - 1} p LEFT JOIN (
+        SELECT a.cid, e.dim, sum(e.q) AS s, count(*) AS cnt
+        FROM pa{r} a
+        JOIN emb e ON e.vec_id = a.vec_id AND {sub_e} = a.sub
+        GROUP BY a.cid, e.dim) u
+        ON u.cid = p.cid AND u.dim = p.dim)""")
+    return ctes, f"pa{PQ_ROUNDS}"
+
+
+def _pq_oracle() -> str:
+    ctes, last = _pq_ctes()
+    prev = f"pa{PQ_ROUNDS - 1}"
+    code = " + ".join(
+        f"max(CASE WHEN sub = {m} THEN cid END) * {PQ_K ** m}"
+        for m in range(PQ_M))
+    cols = ", ".join(
+        f"cast(max(CASE WHEN sub = {m} THEN cid END) as bigint) AS c{m}"
+        for m in range(PQ_M))
+    ctes.append(f"""moved AS (
+      SELECT count(*) AS n_changed
+      FROM {last} x JOIN {prev} y
+        ON y.vec_id = x.vec_id AND y.sub = x.sub AND y.cid <> x.cid)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, {cols},
+           cast({code} as bigint) AS code,
+           cast(sum(d2) as bigint) AS distortion,
+           cast((SELECT n_changed FROM moved) as bigint) AS n_changed,
+           cast({PQ_ROUNDS} as bigint) AS rounds
+    FROM {last}
+    GROUP BY vec_id
+    """
+
+
+def pq_codes_over_embeddings(spark: SparkSession) -> DataFrame:
+    """q_pq_codes' Spark side — the driver-loop twin of ``_pq_ctes``:
+    {PQ_M} independent {PQ_K}-codeword books trained simultaneously in
+    one keyed recurrence (the sub key rides the argmin partition; the
+    codebook table is still {PQ_K}x64 rows, broadcast every round), then
+    per-vector code packing + total distortion. PQ is the compression
+    leg of the ANN scale path: q_ann_ivf_topk's coarse quantizer routes
+    a query to a cell, PQ codes re-rank inside it from {PQ_M} bytes per
+    vector instead of 64 floats — at 10^9 vectors the re-rank working
+    set drops 64x. Scale shape per round: one broadcast join + one
+    (vec_id, sub, cid) partial-aggregated sum + one argmin window + one
+    (cid, dim) aggregation — identical exchange classes to
+    q_kmeans_quantizer."""
+    emb = spark.sql(
+        f"WITH {_qemb_ctes(D.SPARK)} SELECT vec_id, dim, q FROM emb"
+    ).withColumn("sub", F.floor((F.col("dim") - 1) / PQ_SUBDIM)
+                 .cast("bigint")).localCheckpoint(eager=True)
+    cent = (emb.filter(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").cast("bigint").alias("cid"),
+                    "dim", F.col("q").alias("c"))
+            .localCheckpoint(eager=True))
+
+    assign = prev_assign = None
+    for _ in range(PQ_ROUNDS):
+        prev_assign = assign
+        d2 = (emb.join(F.broadcast(cent), "dim")
+              .groupBy("vec_id", "sub", "cid")
+              .agg(F.sum((F.col("q") - F.col("c"))
+                         * (F.col("q") - F.col("c"))).alias("d2")))
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy("d2", "cid"))
+        assign = (d2.withColumn("rn", rn).filter(F.col("rn") == 1)
+                  .select("vec_id", "sub", "cid", "d2"))
+        upd = (assign.join(emb, ["vec_id", "sub"])
+               .groupBy("cid", "dim")
+               .agg(F.sum("q").alias("s"), F.count("*").alias("cnt")))
+        cent = (cent.alias("p")
+                .join(upd.alias("u"), ["cid", "dim"], "left")
+                .select("cid", "dim",
+                        F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
+                        .cast("bigint").alias("c"))
+                .localCheckpoint(eager=True))
+
+    moved = (assign.alias("x")
+             .join(prev_assign.alias("y"), ["vec_id", "sub"])
+             .filter(F.col("x.cid") != F.col("y.cid"))
+             .agg(F.count("*").alias("n_changed")))
+    aggs = [F.max(F.when(F.col("sub") == m, F.col("cid")))
+            .cast("bigint").alias(f"c{m}") for m in range(PQ_M)]
+    aggs.append(F.sum("d2").cast("bigint").alias("distortion"))
+    out = assign.groupBy("vec_id").agg(*aggs)
+    code = sum(F.col(f"c{m}") * (PQ_K ** m) for m in range(PQ_M))
+    return (out
+            .select("vec_id", *[f"c{m}" for m in range(PQ_M)],
+                    code.cast("bigint").alias("code"), "distortion")
+            .crossJoin(F.broadcast(
+                moved.select(F.col("n_changed").cast("bigint")
+                             .alias("n_changed"))))
+            .withColumn("rounds", F.lit(PQ_ROUNDS).cast("bigint")))
+
+
+def _pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("embeddings",))
+    return pq_codes_over_embeddings(spark)
+
+
+register("q_pq_codes", QuerySpec(
+    spark_fn=_pq_spark, oracle=_pq_oracle(),
+    doc="product quantization (Jegou et al. 2011): per-subspace exact-"
+        "integer Lloyd codebooks, packed PQ code + total distortion per "
+        "vector, moved-count convergence audit"))
