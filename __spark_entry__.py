@@ -6,9 +6,9 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 172 queries, 157 with full DuckDB oracles (91%); the 15
+Current registry: 174 queries, 158 with full DuckDB oracles (91%); the 16
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
-SASMA-MESMA + distributed endmember interpolation, LSH ANN,
+SASMA-MESMA + distributed endmember interpolation, LSH/IVF/IVF-PQ ANN,
 forward-model/eigen, BPE token counting + BPE-budget packing, the
 pyspark.ml quality classifier) whose
 numerics are verified in tests/ instead (golden fixtures + property

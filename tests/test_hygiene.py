@@ -633,3 +633,46 @@ def test_kn_bigram_lm_matches_brute_force(spark):
     ref_ppl = out.loc[[d for d in out.index if d % LM_REF_MOD == 0], "ppl"]
     other = out.loc[[d for d in out.index if d % LM_REF_MOD != 0], "ppl"]
     assert ref_ppl.mean() < other.mean()
+
+
+def test_epoch_shuffle_matches_brute_force(spark):
+    import hashlib as _hl
+
+    from unmixing_spark.queries.hygiene_q import SHUF_EPOCHS, SHUF_SHARDS
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    urls = [(int(r.doc_id),
+             f"https://{r.source}.example.com/{r.lang}/{r.doc_id}")
+            for r in docs.itertuples()]
+    n = len(urls)
+
+    expect = {}
+    orders = {}
+    for e in range(SHUF_EPOCHS):
+        ranked = sorted(
+            urls, key=lambda t: (_hl.md5(f"ep{e}:{t[1]}".encode())
+                                 .hexdigest(), t[1]))
+        orders[e] = [doc_id for doc_id, _ in ranked]
+        shards: dict[int, list[tuple[int, int]]] = {}
+        for pos0, (doc_id, _) in enumerate(ranked):
+            shards.setdefault(pos0 * SHUF_SHARDS // n, []).append(
+                (pos0 + 1, doc_id))
+        for sh, rows in shards.items():
+            seq = ",".join(str(d) for _, d in rows)
+            expect[(e, sh)] = (
+                len(rows), rows[0][0], rows[-1][0],
+                _hl.sha256(seq.encode()).hexdigest())
+
+    out = registry()["q_epoch_shuffle"].spark_fn(spark, SF_SMALL).toPandas()
+    assert (out["pos_ok"] == 1).all()
+    assert len(out) == len(expect) == SHUF_EPOCHS * SHUF_SHARDS
+    for r in out.itertuples():
+        nd, pf, pl, sha = expect[(int(r.epoch), int(r.shard))]
+        assert (int(r.n_docs), int(r.pos_first), int(r.pos_last)) == \
+            (nd, pf, pl), (r.epoch, r.shard)
+        assert r.seq_sha == sha, (r.epoch, r.shard)
+    # epochs must produce genuinely different orders (the point of the
+    # epoch key), while each epoch is itself a full permutation
+    assert orders[0] != orders[1] != orders[2]
+    for e in range(SHUF_EPOCHS):
+        assert sorted(orders[e]) == sorted(d for d, _ in urls)

@@ -264,3 +264,29 @@ def test_ann_ivf_tolerates_zero_norm_vectors(spark):
                        n_centroids=4, n_probe=2).toPandas()
     assert len(out) > 0
     assert 60 not in set(out.hit_id)
+
+
+def test_ann_ivfpq_refine_matches_ivf_ceiling(spark):
+    """The residual-PQ ADC shortlist + exact refine tier must not lose
+    recall relative to the IVF candidate ceiling it re-ranks within,
+    and must clear an absolute floor on this corpus."""
+    from unmixing_spark.text.similarity import (
+        ann_bruteforce_topk, ann_ivf_topk, ann_ivfpq_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = ann_bruteforce_topk(emb, queries, k=5).toPandas()
+    ivf = ann_ivf_topk(emb, queries, dim=64, k=5).toPandas()
+    pq = ann_ivfpq_topk(emb, queries, dim=64, k=5).toPandas()
+    e = exact.groupby("query_id").hit_id.apply(set)
+
+    def recall(df):
+        s_ = df.groupby("query_id").hit_id.apply(set)
+        return np.mean([len(e[q] & s_.get(q, set())) / 5 for q in e.index])
+
+    r_ivf, r_pq = recall(ivf), recall(pq)
+    assert r_pq >= 0.55, f"ivfpq recall {r_pq}"
+    assert r_pq >= r_ivf - 0.1, f"refine lost recall: {r_pq} vs ivf {r_ivf}"
+    # exact-cosine refine output: cos must be sorted desc within query
+    for _, g in pq.groupby("query_id"):
+        v = g.sort_values("rn")["cos"].to_numpy()
+        assert (np.diff(v) <= 1e-12).all()

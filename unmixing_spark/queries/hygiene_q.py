@@ -27,6 +27,7 @@ hash-deterministic. Scale notes per operator in the docstrings below.
 from __future__ import annotations
 
 from unmixing_spark import dialect as D
+from unmixing_spark.pagegen import url_expr
 from unmixing_spark.queries import sql_template
 from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens
 
@@ -946,3 +947,67 @@ sql_template("q_meta_robots", _meta_robots,
              "robots-meta compliance filter: extract the robots "
              "directive from page html (both attribute orders, "
              "case-insensitive) and derive noindex/nofollow/keep flags")
+
+
+# ---- reproducible epoch shuffling + sharding -------------------------------
+
+SHUF_EPOCHS = 3   # training epochs, each with its own deterministic order
+SHUF_SHARDS = 8   # contiguous worker shards per epoch
+
+
+def _epoch_shuffle(d: str) -> str:
+    """Reproducible per-epoch data ordering + sharding — the data-order
+    leg of training reproducibility (a resumed or re-run job must read
+    the corpus in the SAME order; Megatron/T5-style deterministic
+    shuffles keyed on (seed, epoch)): each epoch permutes the corpus by
+    md5(epoch || url) and splits the permutation into {SHUF_SHARDS}
+    contiguous worker shards. Output is one row per (epoch, shard) with
+    the shard's size, position range, and the SHA-256 of its doc
+    sequence IN ORDER — the order itself is value-hashed, so any
+    nondeterminism in the shuffle breaks the oracle gate. The bijection
+    proof rides in-query: per epoch, positions are dense 1..n
+    (pos_ok = 1 on every row or the hash breaks).
+
+    Scale shape: the md5 rank is ONE key — at 10^12 docs the epoch
+    order materializes as write-time repartitionByRange(shuffle_key)
+    (sampled boundaries, no global window); the row_number here is the
+    audit-scale stand-in, same note as q_stratified_sample. Shards are
+    contiguous ranges of that order, so a worker's shard is a
+    partition-pruned scan, not a shuffle."""
+    url = url_expr(d)
+    ep_rows = ", ".join(f"({e})" for e in range(SHUF_EPOCHS))
+    key = f"md5('ep' || {D.to_str('e.epoch', d)} || ':' || u.url)"
+    return f"""
+    WITH urls AS (SELECT doc_id, {url} AS url FROM documents),
+    eps AS ({D.values_rel(ep_rows, "t(epoch)", d)}),
+    n AS (SELECT cast(count(*) as bigint) AS n FROM urls),
+    ranked AS {D.mat(d)}(
+      SELECT e.epoch, u.doc_id,
+             row_number() OVER (PARTITION BY e.epoch
+                                ORDER BY {key}, u.url) AS pos
+      FROM urls u CROSS JOIN eps e
+    ),
+    sharded AS (
+      SELECT r.epoch, r.doc_id, r.pos,
+             {D.idiv_i('(r.pos - 1) * ' + str(SHUF_SHARDS), 'n.n', d)}
+               AS shard
+      FROM ranked r CROSS JOIN n
+    )
+    SELECT epoch, shard,
+           cast(count(*) as bigint) AS n_docs,
+           cast(min(pos) as bigint) AS pos_first,
+           cast(max(pos) as bigint) AS pos_last,
+           cast(CASE WHEN max(pos) - min(pos) + 1 = count(*)
+                THEN 1 ELSE 0 END as bigint) AS pos_ok,
+           {D.sha256_(D.ordered_string_agg(D.to_str('doc_id', d), 'pos', "','", d), d)}
+             AS seq_sha
+    FROM sharded
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """
+
+
+sql_template("q_epoch_shuffle", _epoch_shuffle,
+             "reproducible per-epoch shuffle + contiguous worker shards: "
+             "the doc ORDER itself is SHA-pinned per (epoch, shard), "
+             "dense-position proof in-query")

@@ -487,6 +487,21 @@ register("q_ann_ivf_topk", QuerySpec(
     doc="IVF (spherical k-means inverted lists) approximate cosine top-k — the learned-quantizer scale path; recall pinned in tests"))
 
 
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.similarity import ann_ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = ann_ivfpq_topk(emb, queries, dim=64, k=5)
+    return out.select("query_id", "hit_id", F.round("cos", 6).alias("cos"), "rn")
+
+
+register("q_ann_pq_topk", QuerySpec(
+    spark_fn=_ann_ivfpq, oracle=None,
+    doc="IVF-PQ approximate cosine top-k (Jegou et al. 2011 + refine): "
+        "coarse lists -> residual-PQ ADC shortlist -> exact re-rank; "
+        "recall and IVF-ceiling parity pinned in tests"))
+
+
 # ---- MinHash dedup keep-list ---------------------------------------------------
 
 def _minhash_keep(d: str) -> str:
