@@ -104,7 +104,13 @@ def test_zorder_layout_matches_brute_force(spark):
     exp = (pd.DataFrame(expect, columns=list(got.columns))
            .sort_values(["layout", "pid"]).reset_index(drop=True))
     for c in got.columns:
-        assert list(got[c]) == list(exp[c]), c
+        if got[c].dtype.kind == "f":
+            # SQL round() is half-away, Python round() half-even; exact
+            # 6-decimal ties occur on dyadic ratios (same hazard as the
+            # compaction fills)
+            assert (got[c] - exp[c]).abs().max() <= 1.1e-6, c
+        else:
+            assert list(got[c]) == list(exp[c]), c
 
     # the layout claim itself: Z-order scans no more than ingest order on
     # every probe, and strictly fewer files on most (hotspots cluster)

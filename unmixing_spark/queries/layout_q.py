@@ -143,16 +143,26 @@ def _zorder_layout(d: str) -> str:
        AND x.iy BETWEEN p.iy_lo AND p.iy_hi
       GROUP BY p.pid
     ),
-    tot AS (SELECT cast(count(*) as bigint) AS n FROM pts)
-    SELECT t.layout, t.pid,
-           t.files_scanned, t.rows_scanned, m.rows_matched,
-           round(cast(t.rows_scanned as double) / tt.n, 6) AS scan_frac,
-           round(cast(t.rows_scanned as double) / m.rows_matched, 6)
-             AS amplification
-    FROM touched t
-    JOIN matched m ON m.pid = t.pid
+    tot AS (SELECT cast(count(*) as bigint) AS n FROM pts),
+    spine AS (
+      SELECT l.layout, p.pid FROM probes p
+      CROSS JOIN (SELECT 'zorder' AS layout
+                  UNION ALL SELECT 'ingest' AS layout) l
+    )
+    SELECT s.layout, s.pid,
+           cast(coalesce(t.files_scanned, 0) as bigint) AS files_scanned,
+           cast(coalesce(t.rows_scanned, 0) as bigint) AS rows_scanned,
+           cast(coalesce(m.rows_matched, 0) as bigint) AS rows_matched,
+           round(cast(coalesce(t.rows_scanned, 0) as double) / tt.n, 6)
+             AS scan_frac,
+           CASE WHEN coalesce(m.rows_matched, 0) = 0 THEN NULL
+                ELSE round(cast(coalesce(t.rows_scanned, 0) as double)
+                           / m.rows_matched, 6) END AS amplification
+    FROM spine s
+    LEFT JOIN touched t ON t.layout = s.layout AND t.pid = s.pid
+    LEFT JOIN matched m ON m.pid = s.pid
     CROSS JOIN tot tt
-    ORDER BY t.layout, t.pid
+    ORDER BY s.layout, s.pid
     """
 
 
@@ -366,11 +376,12 @@ def _cell_covering(d: str) -> str:
                   OVER (PARTITION BY c.pid) as bigint) AS area_cells,
              cast((p.ix_hi - p.ix_lo + 1) * (p.iy_hi - p.iy_lo + 1)
                   as bigint) AS rect_area,
-             v.covered_pages, dr.direct_pages
+             cast(coalesce(v.covered_pages, 0) as bigint) AS covered_pages,
+             cast(coalesce(dr.direct_pages, 0) as bigint) AS direct_pages
       FROM covering c
       JOIN probes p ON p.pid = c.pid
-      JOIN via_cover v ON v.pid = c.pid
-      JOIN direct dr ON dr.pid = c.pid
+      LEFT JOIN via_cover v ON v.pid = c.pid
+      LEFT JOIN direct dr ON dr.pid = c.pid
     )
     SELECT pid, level, cx, cy, n_cells, area_cells, rect_area,
            cast(CASE WHEN area_cells = rect_area THEN 1 ELSE 0 END
@@ -398,7 +409,6 @@ def _region_cells(d: str) -> str:
     parent-cell mask (REGION_FACTOR x REGION_FACTOR base cells per
     region-lattice cell, so the hotspot blobs are solid and adjacency is
     meaningful at every sf)."""
-    from unmixing_spark.pagegen import geocode_exprs, url_expr
     g = geocode_exprs(d)
     grid = WORLD_GRID
     pnx = grid.nx // REGION_FACTOR
@@ -515,7 +525,8 @@ def _mask_regions_oracle() -> str:
       GROUP BY a.id
     ),
     conv AS (
-      SELECT max(CASE WHEN c.lbl <> l.lbl THEN 1 ELSE 0 END) AS changed
+      SELECT coalesce(max(CASE WHEN c.lbl <> l.lbl THEN 1 ELSE 0 END), 0)
+        AS changed
       FROM chk c JOIN {last} l ON l.id = c.id
     ),
     labeled AS (

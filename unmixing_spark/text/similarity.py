@@ -111,6 +111,40 @@ def ann_bruteforce_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> Da
     return _cosine_rerank(cand, k)
 
 
+def _l2_normed(df: DataFrame, out: str) -> DataFrame:
+    """L2-normalize the ``embedding`` column into ``out``; DROP zero-norm
+    vectors (cosine is undefined for them and a null-element unit vector
+    would kill KMeans.fit). Shared by the IVF and IVF-PQ paths."""
+    norm = F.sqrt(F.aggregate(
+        F.expr("transform(embedding, x -> cast(x as double) * cast(x as double))"),
+        F.lit(0.0).cast("double"), lambda a, v: a + v))
+    unit = F.transform("embedding",
+                       lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
+    return (df.withColumn("__n2", norm).filter(F.col("__n2") > 0.0)
+            .drop("__n2").withColumn(out, unit))
+
+
+def _centroid_udfs(centroids: np.ndarray, n_probe: int):
+    """(assign_list, probe_lists) pandas UDFs over a broadcast centroid
+    array — nearest-centroid assignment and the n_probe nearest lists.
+    One definition for the IVF and IVF-PQ paths."""
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign_list, probe_lists
+
+
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
                  seed: int = 42) -> DataFrame:
@@ -130,40 +164,17 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    def _normed(df: DataFrame, out: str) -> DataFrame:
-        """L2-normalize; DROP zero-norm vectors (cosine is undefined for
-        them and a null-element unit vector would kill KMeans.fit)."""
-        norm = F.sqrt(F.aggregate(
-            F.expr("transform(embedding, x -> cast(x as double) * cast(x as double))"),
-            F.lit(0.0).cast("double"), lambda a, v: a + v))
-        unit = F.transform("embedding",
-                           lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
-        return (df.withColumn("__n2", norm).filter(F.col("__n2") > 0.0)
-                .drop("__n2").withColumn(out, unit))
-
-    c_n = _normed(corpus, "unit")
+    c_n = _l2_normed(corpus, "unit")
     km = KMeans(k=n_centroids, seed=seed, maxIter=20,
                 featuresCol="features", predictionCol="ivf_list")
     model = km.fit(c_n.withColumn("features", array_to_vector("unit"))
                    .select("features"))
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
-
-    @F.pandas_udf(T.IntegerType())
-    def assign_list(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+    assign_list, probe_lists = _centroid_udfs(centroids, n_probe)
 
     c = (c_n.withColumn("ivf_list", assign_list("unit"))
          .select("vec_id", "embedding", "ivf_list").alias("c"))
-    q = (_normed(queries, "unit")
+    q = (_l2_normed(queries, "unit")
          .withColumn("ivf_list", F.explode(probe_lists("unit")))
          .select("vec_id", "embedding", "ivf_list").alias("q"))
     # inverted lists are disjoint → no candidate dedup needed
@@ -200,29 +211,15 @@ def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
 
     sd = dim // pq_m
 
-    def _normed(df: DataFrame, out: str) -> DataFrame:
-        norm = F.sqrt(F.aggregate(
-            F.expr("transform(embedding, x -> cast(x as double) * cast(x as double))"),
-            F.lit(0.0).cast("double"), lambda a, v: a + v))
-        unit = F.transform("embedding",
-                           lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
-        return (df.withColumn("__n2", norm).filter(F.col("__n2") > 0.0)
-                .drop("__n2").withColumn(out, unit))
+    c_n = _l2_normed(corpus, "unit").cache()
 
-    c_n = _normed(corpus, "unit").cache()
-
-    # coarse quantizer (same recipe as ann_ivf_topk)
+    # coarse quantizer (same recipe as ann_ivf_topk, shared helpers)
     km = KMeans(k=n_centroids, seed=seed, maxIter=20,
                 featuresCol="features", predictionCol="ivf_list")
     model = km.fit(c_n.withColumn("features", array_to_vector("unit"))
                    .select("features"))
     coarse = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    @F.pandas_udf(T.IntegerType())
-    def assign_list(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+    assign_list, probe_lists = _centroid_udfs(coarse, n_probe)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def residual(v: pd.Series, lst: pd.Series) -> pd.Series:
@@ -243,6 +240,9 @@ def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                                      array_to_vector(sub)).select("features"))
         books.append(np.stack([np.asarray(c) for c in bmod.clusterCenters()]))
     books_np = np.stack(books)                        # (m, ks, sd)
+    # training is done: c_r (the residual table the search plan reads)
+    # stays cached; the normalization cache underneath it can go
+    c_n.unpersist()
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def pq_codes(v: pd.Series) -> pd.Series:
@@ -253,13 +253,6 @@ def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
             d2 = ((S[:, None, :] - books_np[m][None, :, :]) ** 2).sum(axis=2)
             codes[:, m] = d2.argmin(axis=1)
         return pd.Series(list(codes))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
 
     @F.pandas_udf(T.DoubleType())
     def adc(q: pd.Series, lst: pd.Series, codes: pd.Series) -> pd.Series:
@@ -275,7 +268,7 @@ def ann_ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     c = (c_r.withColumn("pq", pq_codes("resid"))
          .select("vec_id", F.col("embedding").alias("c_embedding"),
                  "ivf_list", "pq").alias("c"))
-    q = (_normed(queries, "unit")
+    q = (_l2_normed(queries, "unit")
          .withColumn("ivf_list", F.explode(probe_lists("unit")))
          .select("vec_id", "embedding", "unit", "ivf_list").alias("q"))
     scored = (q.join(c, "ivf_list")
