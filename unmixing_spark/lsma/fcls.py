@@ -32,6 +32,20 @@ _MAX_OUTER = 50
 _MAX_INNER = 100
 
 
+def _solve(AtA: np.ndarray, AtB: np.ndarray) -> np.ndarray:
+    """Normal-equations solve with a rank-deficient fallback: duplicate
+    or near-parallel endmembers make the δ-scaled Gram matrix exactly
+    singular to LAPACK even when E itself passes a rank check (the δ
+    augmentation shrinks the data rows to ~1e-3, so nearly-parallel
+    rows collapse). The min-norm lstsq solution keeps the solve
+    deterministic and splits the tied abundance mass evenly — the
+    active-set loop and ASC row then proceed unchanged."""
+    try:
+        return np.linalg.solve(AtA, AtB)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(AtA, AtB, rcond=None)[0]
+
+
 def _cssls(AtA: np.ndarray, AtB: np.ndarray, P: np.ndarray) -> np.ndarray:
     """Combinatorial subspace least squares: solve the unconstrained normal
     equations restricted to each column's passive set, grouping columns
@@ -44,7 +58,7 @@ def _cssls(AtA: np.ndarray, AtB: np.ndarray, P: np.ndarray) -> np.ndarray:
             continue
         cols = np.flatnonzero(codes == code)
         rows = np.flatnonzero(P[:, cols[0]])
-        sub = np.linalg.solve(AtA[np.ix_(rows, rows)], AtB[np.ix_(rows, cols)])
+        sub = _solve(AtA[np.ix_(rows, rows)], AtB[np.ix_(rows, cols)])
         X[np.ix_(rows, cols)] = sub
     return X
 
@@ -55,7 +69,7 @@ def nnls_multiple(AtA: np.ndarray, AtB: np.ndarray) -> np.ndarray:
 
     Returns X of shape (q, n). Fast-combinatorial active-set method."""
     q, n = AtB.shape
-    X = np.linalg.solve(AtA, AtB)
+    X = _solve(AtA, AtB)
     P = X > 0.0
     X[~P] = 0.0
     feasible = P.all(axis=0)
