@@ -205,3 +205,43 @@ def test_pq_codes_match_integer_brute_force(spark):
     assert out["code"].nunique() > PQ_K
     for m in range(PQ_M):
         assert out[f"c{m}"].nunique() >= 2
+
+
+def test_prototypes_match_brute_force(spark):
+    """q_prototypes vs ranks/quotas recomputed from the independent
+    Python Lloyd assignment (keep = hardest ceil(7n/10) per cluster)."""
+    from unmixing_spark.queries.kmeans_q import (
+        PRUNE_KEEP_DEN,
+        PRUNE_KEEP_NUM,
+    )
+
+    out = (registry()["q_prototypes"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assign, sizes, _, _ = _expected()
+    members: dict[int, list[tuple[int, int]]] = {}
+    for vid, (cid, d2) in assign.items():
+        members.setdefault(cid, []).append((d2, vid))
+    expect = {}
+    for cid, mem in members.items():
+        n = len(mem)
+        quota = (PRUNE_KEEP_NUM * n + PRUNE_KEEP_DEN - 1) // PRUNE_KEEP_DEN
+        hard = sorted(mem, key=lambda t: (-t[0], t[1]))
+        proto = sorted(mem)
+        proto_rank = {vid: r + 1 for r, (_, vid) in enumerate(proto)}
+        for r, (d2, vid) in enumerate(hard):
+            expect[vid] = (cid, d2, proto_rank[vid], n,
+                           1 if r + 1 <= quota else 0)
+    got = {int(r["vec_id"]): (int(r["cluster"]), int(r["dist_sq"]),
+                              int(r["proto_rank"]), int(r["cluster_size"]),
+                              int(r["keep"]))
+           for _, r in out.iterrows()}
+    assert got == expect
+    # quota exactness + hardest-kept dominance per cluster
+    for cid, g in out.groupby("cluster"):
+        n = len(g)
+        assert int(g["keep"].sum()) == (
+            PRUNE_KEEP_NUM * n + PRUNE_KEEP_DEN - 1) // PRUNE_KEEP_DEN
+        kept, dropped = g[g["keep"] == 1], g[g["keep"] == 0]
+        if len(dropped):
+            assert kept["dist_sq"].min() >= dropped["dist_sq"].max()
+    assert (out["keep"] == 0).any()   # pruning actually prunes

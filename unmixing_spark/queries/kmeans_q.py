@@ -457,3 +457,65 @@ register("q_pq_codes", QuerySpec(
     doc="product quantization (Jegou et al. 2011): per-subspace exact-"
         "integer Lloyd codebooks, packed PQ code + total distortion per "
         "vector, moved-count convergence audit"))
+
+
+# ---- prototype-based data pruning --------------------------------------------
+
+PRUNE_KEEP_NUM, PRUNE_KEEP_DEN = 7, 10  # keep the hardest 70% per cluster
+
+
+def _prototypes_tail(d: str, asg: str) -> str:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning"):
+    per k-means cluster, rank members by distance to their centroid
+    (prototypicality = closeness; the paper's SSL-prototype metric) and,
+    in the data-abundant regime, KEEP the hardest (farthest) fraction —
+    the easy prototypical examples are the redundant ones. Exact-integer
+    ranks over the fitted Lloyd assignment's d2 with vec_id tie-break;
+    the per-cluster quota is the exact ceiling ceil(7n/10). Both
+    row_number windows and the count share ONE cluster-keyed exchange.
+
+    Scale shape: the assignment table is (vec_id, cid, d2) — the ranking
+    is one cid-keyed window over it, nothing touches the coordinate
+    stream again. At 10^9 vectors per cluster the exact window becomes a
+    per-cluster top-quota selection (the q_stratified_sample escalation
+    note applies verbatim)."""
+    quota = D.idiv_i(f"{PRUNE_KEEP_NUM} * n + {PRUNE_KEEP_DEN - 1}",
+                     str(PRUNE_KEEP_DEN), d)
+    return f"""r AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY d2 DESC, vec_id) AS hard_rank,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY d2 ASC, vec_id) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM {asg})
+    SELECT vec_id,
+           cast(cid as bigint)        AS cluster,
+           cast(d2 as bigint)         AS dist_sq,
+           cast(proto_rank as bigint) AS proto_rank,
+           cast(n as bigint)          AS cluster_size,
+           cast(CASE WHEN hard_rank <= {quota} THEN 1 ELSE 0 END
+                as bigint)            AS keep
+    FROM r"""
+
+
+def _prototypes_oracle() -> str:
+    ctes, last = _lloyd_ctes()
+    ctes.append(f"asg AS MATERIALIZED (SELECT vec_id, cid, d2 FROM {last})")
+    return ("WITH " + ",\n    ".join(ctes) + ",\n    "
+            + _prototypes_tail(D.DUCKDB, "asg"))
+
+
+def _prototypes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline.register_tables(spark, sf_dir, ("embeddings",))
+    _, assign, _ = _lloyd_assign(spark)
+    assign.createOrReplaceTempView("pr_asg")
+    return spark.sql("WITH " + _prototypes_tail(D.SPARK, "pr_asg"))
+
+
+register("q_prototypes", QuerySpec(
+    spark_fn=_prototypes_spark, oracle=_prototypes_oracle(),
+    doc="prototype-distance data pruning (Sorscher et al. 2022): keep "
+        "the hardest ceil(7n/10) per cluster by exact-integer centroid "
+        "distance, deterministic tie-break"))
