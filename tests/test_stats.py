@@ -158,3 +158,148 @@ def test_cdc_boundaries_are_content_local():
     shared = set(base) & set(edited)
     # every chunk after the first boundary survives the edit
     assert shared.issuperset(base[1:])
+
+
+def test_hll_distinct_matches_brute_force(spark):
+    from unmixing_spark.queries.stats_q import HLL_ALPHA, HLL_M, HLL_RMAX
+
+    out = (registry()["q_hll_distinct"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values(["scope", "lang"])
+           .reset_index(drop=True))
+    docs = _docs()
+    items: dict[tuple[str, str], set[str]] = {}
+    streams: dict[tuple[str, str], list[str]] = {}
+    for _, r in docs.iterrows():
+        toks = _toks(r["text"])
+        streams.setdefault(("tokens", r["lang"]), []).extend(toks)
+        streams.setdefault(("bigrams", r["lang"]), []).extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    for key, stream in streams.items():
+        items[key] = set(stream)
+
+    def hll(stream):
+        reg = [0] * HLL_M
+        for it in stream:
+            h = _md5_32(it)
+            idx, rest = h % HLL_M, h // HLL_M
+            rho = HLL_RMAX if rest == 0 else (rest & -rest).bit_length()
+            reg[idx] = max(reg[idx], rho)
+        s = sum(1.0 / (1 << m) for m in reg)
+        v = sum(1 for m in reg if m == 0)
+        raw = HLL_ALPHA * HLL_M * HLL_M / s
+        if raw <= 2.5 * HLL_M and v > 0:
+            return math.log(HLL_M) * HLL_M - math.log(v) * HLL_M, 1
+        return raw, 0
+
+    assert len(out) == len(items)
+    for _, r in out.iterrows():
+        key = (r["scope"], r["lang"])
+        est, lin = hll(streams[key])
+        assert int(r["exact_nd"]) == len(items[key])
+        assert int(r["linear_branch"]) == lin
+        assert abs(float(r["est_nd"])
+                   - math.floor(est * 1e6 + 0.5) / 1e6) < 1e-6
+    # both estimator branches fire, and the raw branch is in the
+    # theoretical error regime (sigma ~ 1.04/sqrt(m) = 26%; allow 3 sigma)
+    assert set(out["linear_branch"]) == {0, 1}
+    raw_rows = out[out["linear_branch"] == 0]
+    rel = ((raw_rows["est_nd"] - raw_rows["exact_nd"]).abs()
+           / raw_rows["exact_nd"])
+    assert (rel < 0.8).all()
+
+
+def test_minhash_est_audit_matches_brute_force(spark):
+    from unmixing_spark.queries.text_q import (
+        _MH_A,
+        _MH_B,
+        _MH_P,
+        BANDS,
+        HOT_BUCKET_CAP,
+        N_HASHES,
+        SHINGLE,
+    )
+
+    out = (registry()["q_minhash_est_audit"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    docs = _docs()
+    shset: dict[int, set[str]] = {}
+    sig: dict[int, list[int]] = {}
+    for _, r in docs.iterrows():
+        text, did = r["text"], int(r["doc_id"])
+        n = max(len(text) - SHINGLE + 1, 1)
+        shingles = [text[i:i + SHINGLE] for i in range(n)]
+        shset[did] = set(shingles)
+        mins = [_MH_P] * N_HASHES
+        for sh in shingles:
+            x = _md5_32(sh) % _MH_P
+            for j in range(N_HASHES):
+                mins[j] = min(mins[j], (_MH_A[j] * x + _MH_B[j]) % _MH_P)
+        sig[did] = mins
+    # LSH bucket membership + hot-bucket cap, replicated exactly
+    member: list[tuple[int, str]] = []
+    per_band = N_HASHES // BANDS
+    for did, mins in sig.items():
+        for b in range(BANDS):
+            cols = "_".join(str(mins[b * per_band + j])
+                            for j in range(per_band))
+            member.append((did, hashlib.md5(cols.encode()).hexdigest()))
+    bsz = Counter(bh for _, bh in member)
+    by_bh: dict[str, list[int]] = {}
+    for did, bh in member:
+        if bsz[bh] <= HOT_BUCKET_CAP:
+            by_bh.setdefault(bh, []).append(did)
+    pairs = {(a, b) for ds in by_bh.values()
+             for a in ds for b in ds if a < b}
+    expect = {}
+    for a, b in pairs:
+        matched = sum(1 for j in range(N_HASHES) if sig[a][j] == sig[b][j])
+        i = len(shset[a] & shset[b])
+        u = len(shset[a]) + len(shset[b]) - i
+        # exact HALF_UP micro-unit rounding of the rationals, matching
+        # the query's integer fixed-point arithmetic
+        expect[(a, b)] = (matched,
+                          matched * (1_000_000 // N_HASHES) / 1e6,
+                          ((2_000_000 * i + u) // (2 * u)) / 1e6)
+    got = {(int(r["doc_a"]), int(r["doc_b"])):
+           (int(r["matched_hashes"]), float(r["est_jaccard"]),
+            float(r["exact_jaccard"]))
+           for _, r in out.iterrows()}
+    assert set(got) == set(expect)
+    for k, (m, e, x) in expect.items():
+        gm, ge, gx = got[k]
+        assert gm == m and abs(ge - e) < 1e-9 and abs(gx - x) < 1e-9
+    # the audit is informative: both near-exact estimates and real
+    # estimator error are present
+    assert (out["abs_err"] < 0.05).any()
+    assert (out["abs_err"] > 0.1).any()
+
+
+def test_time_split_matches_brute_force(spark):
+    from unmixing_spark.queries.hygiene_q import SPAN_K, SPLIT_CUTOFF
+
+    out = (registry()["q_time_split"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    docs = _docs()
+    split_of, grams_of = {}, {}
+    for _, r in docs.iterrows():
+        url = f"https://{r['source']}.example.com/{r['lang']}/{r['doc_id']}"
+        ts = 1735689600 + _md5_32(url) % 31536000
+        split_of[url] = "train" if ts < SPLIT_CUTOFF else "eval"
+        toks = _toks(r["text"])
+        grams_of[url] = {" ".join(toks[i:i + SPAN_K])
+                         for i in range(len(toks) - SPAN_K + 1)}
+    sides: dict[str, set[str]] = {"train": set(), "eval": set()}
+    for url, gs in grams_of.items():
+        sides[split_of[url]] |= gs
+    cross = sides["train"] & sides["eval"]
+    expect = {url: (split_of[url], len(grams_of[url] & cross))
+              for url in split_of}
+    got = {r["url"]: (r["split"], int(r["n_leak_grams"]))
+           for _, r in out.iterrows()}
+    assert got == expect
+    assert ((out["leaked"] == 1) == (out["n_leak_grams"] > 0)).all()
+    # every branch fires: leaks exist on both sides, clean docs exist,
+    # and both splits are populated
+    for s in ("train", "eval"):
+        g = out[out["split"] == s]
+        assert len(g) and g["leaked"].any() and (g["leaked"] == 0).any()

@@ -1011,3 +1011,73 @@ sql_template("q_epoch_shuffle", _epoch_shuffle,
              "reproducible per-epoch shuffle + contiguous worker shards: "
              "the doc ORDER itself is SHA-pinned per (epoch, shard), "
              "dense-position proof in-query")
+
+
+# ---- temporal train/eval split + leakage audit --------------------------------
+
+SPLIT_CUTOFF = 1735689600 + 15768000  # mid-2025 (pagegen.EPOCH_2025 +
+                                      # half a year) — the same boundary
+                                      # q_bloom_crossdedup's incremental
+                                      # pass uses, so the two operators
+                                      # describe the same crawl split
+
+
+def _time_split(d: str) -> str:
+    """Temporal train/eval split with a cross-split contamination audit —
+    the 'train on the past, evaluate on the future' holdout every
+    time-sensitive LLM eval needs. The split is by CAPTURE time
+    (md5-derived warc_ts, so copies of the same text land on independent
+    sides); the leak notion is the decontamination standard (Brown et
+    al. 2020 appendix C, applied across the boundary instead of against
+    a fixed eval set): a page leaks if any of its SPAN_K-token grams
+    also occurs on the other side of the cutoff. Per page: split, the
+    count of its distinct leaking grams, and the flag; the gate a
+    pipeline applies is one GROUP BY over this output.
+
+    Scale shape: one gram-keyed aggregation for the cross-split gram
+    table (map-side combined; count(DISTINCT split) over a 2-value
+    column) joined back gram-keyed onto the per-doc DISTINCT gram
+    stream, then one doc-keyed count — the decontamination shuffle
+    shape, no all-pairs. Pages come from the shared pagegen template."""
+    from unmixing_spark.pagegen import pages_sql, url_expr
+    from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens
+    k = SPAN_K
+    cut = f"cast({SPLIT_CUTOFF} as bigint)"
+    ep = D.ts_to_epoch("p.warc_ts", d)
+    return f"""
+    WITH splits AS {D.mat(d)}(
+      SELECT dd.doc_id, p.url,
+             CASE WHEN {ep} < {cut} THEN 'train' ELSE 'eval' END AS split
+      FROM ({pages_sql(d)}) p
+      JOIN (SELECT doc_id, {url_expr(d)} AS url FROM documents) dd
+        ON dd.url = p.url
+    ),
+    g AS {D.mat(d)}(
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, {_lead_gram(k)} AS gram
+        FROM {_pos_tokens(d)} WINDOW w AS (PARTITION BY doc_id
+                                           ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    xg AS (
+      SELECT g.gram
+      FROM g JOIN splits s ON s.doc_id = g.doc_id
+      GROUP BY g.gram HAVING count(DISTINCT s.split) > 1
+    ),
+    leaks AS (
+      SELECT g.doc_id, cast(count(*) as bigint) AS n_leak_grams
+      FROM g JOIN xg ON xg.gram = g.gram
+      GROUP BY g.doc_id
+    )
+    SELECT s.url, s.split,
+           cast(coalesce(l.n_leak_grams, 0) as bigint) AS n_leak_grams,
+           cast(CASE WHEN l.n_leak_grams > 0 THEN 1 ELSE 0 END as bigint)
+             AS leaked
+    FROM splits s LEFT JOIN leaks l ON l.doc_id = s.doc_id
+    """
+
+
+sql_template("q_time_split", _time_split,
+             "temporal train/eval split by capture time + cross-split "
+             "k-gram contamination audit (Brown et al. 2020 notion "
+             "applied across the boundary)")

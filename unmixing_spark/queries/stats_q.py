@@ -218,3 +218,173 @@ sql_template("q_cdc_chunks", _cdc_chunks,
              "content-defined chunking (LBFS/FastCDC family) at token "
              "granularity: rolling-hash boundaries, chunk-level dedup "
              "accounting per doc")
+
+
+# ---- HyperLogLog distinct-count audit ----------------------------------------
+
+HLL_M = 16          # registers (b=4 index bits); small on purpose so the
+                    # sketch error is visible and the audit non-vacuous
+HLL_ALPHA = 0.673   # the m=16 bias constant (Flajolet et al. 2007, Fig. 3)
+HLL_RMAX = 29       # rho cap: 28 payload bits after the 4 index bits
+
+
+def _hll_scopes(d: str) -> str:
+    """Two cardinality scopes per language — ``tokens`` (vocab ~31, lands
+    in the linear-counting small-range branch) and ``bigrams`` (hundreds,
+    lands in the raw-HLL branch) — so BOTH estimator paths are exercised
+    and auditable."""
+    return f"""items AS {D.mat(d)}(
+      SELECT 'tokens' AS scope, lang, tok AS item
+      FROM (SELECT dd.lang, t.tok
+            FROM {_tokens(d)} t JOIN documents dd ON dd.doc_id = t.doc_id)
+      UNION ALL
+      SELECT 'bigrams' AS scope, lang, gram AS item FROM (
+        SELECT dd.lang, p.tok || ' ' || lead(p.tok) OVER (
+                 PARTITION BY p.doc_id ORDER BY p.pos) AS gram
+        FROM {_pos_tokens(d)} p JOIN documents dd ON dd.doc_id = p.doc_id)
+      WHERE gram IS NOT NULL)"""
+
+
+def _hll_distinct(d: str) -> str:
+    """HyperLogLog distinct-count estimate vs exact count(DISTINCT),
+    entirely in SQL with deterministic arithmetic (Flajolet, Fusy,
+    Gandouet & Meunier 2007). Register index = low 4 bits of the 32-bit
+    md5 slice; rho = trailing zeros of the remaining 28 bits + 1 (the
+    (x & -x) low-bit trick + bit_count, identical in both engines).
+    Float doctrine: each register contributes 2^-M — an exact power of
+    two — and the 16-term sum spans < 36 mantissa bits, so it is EXACT
+    regardless of accumulation order; the estimate is then one division
+    (and the small-range branch is m * (ln(m) - ln(V)), integer ln()
+    arguments). Both branches fire by construction (see _hll_scopes).
+
+    Scale shape: the registers are a (scope, lang, idx)-keyed MAX
+    aggregation — map-side combined to <= 16 rows per group per
+    partition, the textbook mergeable sketch (per-shard registers merge
+    by max; this GROUP BY is exactly that merge). The exact distinct is
+    the audit side only — at 10^12 rows one runs just the sketch."""
+    h = D.hex2int("substr(md5(item), 1, 8)", d)
+    rest = D.idiv_i("h", str(HLL_M), d)
+    regs = ", ".join(f"({i})" for i in range(HLL_M))
+    return f"""
+    WITH {_hll_scopes(d)},
+    hashed AS (
+      SELECT scope, lang, h % {HLL_M} AS idx, {rest} AS rest
+      FROM (SELECT scope, lang, {h} AS h FROM items)
+    ),
+    reg AS (
+      SELECT scope, lang, idx,
+             max(CASE WHEN rest = 0 THEN {HLL_RMAX}
+                      ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS m
+      FROM hashed GROUP BY scope, lang, idx
+    ),
+    grp AS (SELECT DISTINCT scope, lang FROM items),
+    full_reg AS (
+      SELECT g.scope, g.lang, r.i AS idx, coalesce(reg.m, 0) AS m
+      FROM grp g
+      CROSS JOIN ({D.values_rel(regs, "r(i)", d)}) r
+      LEFT JOIN reg ON reg.scope = g.scope AND reg.lang = g.lang
+                   AND reg.idx = r.i
+    ),
+    est AS (
+      SELECT scope, lang,
+             sum({D.dbl(1.0)} / cast(cast(1 as bigint) << m as double))
+               AS s,
+             cast(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) as bigint) AS v
+      FROM full_reg GROUP BY scope, lang
+    ),
+    ex AS (
+      SELECT scope, lang, cast(count(DISTINCT item) as bigint) AS exact_nd
+      FROM items GROUP BY scope, lang
+    )
+    SELECT e.scope, e.lang, x.exact_nd,
+           cast(CASE WHEN raw <= {D.dbl(2.5)} * {HLL_M} AND e.v > 0
+                     THEN 1 ELSE 0 END as bigint) AS linear_branch,
+           round(CASE WHEN raw <= {D.dbl(2.5)} * {HLL_M} AND e.v > 0
+                      THEN {HLL_M} * (ln({HLL_M}) - ln(e.v))
+                      ELSE raw END, 6) AS est_nd
+    FROM (SELECT scope, lang, v, s,
+                 {D.dbl(HLL_ALPHA)} * {HLL_M} * {HLL_M} / s AS raw
+          FROM est) e
+    JOIN ex x ON x.scope = e.scope AND x.lang = e.lang
+    """
+
+
+sql_template("q_hll_distinct", _hll_distinct,
+             "HyperLogLog distinct-count sketch (Flajolet et al. 2007) "
+             "vs exact count(DISTINCT): mergeable max-registers, both "
+             "estimator branches exercised, per (scope, lang)")
+
+
+# ---- MinHash Jaccard-estimate accuracy audit ----------------------------------
+
+def _minhash_est_audit(d: str) -> str:
+    """Per LSH candidate pair: the MinHash Jaccard ESTIMATE (matching
+    signature components / N_HASHES — the unbiased estimator the dedup
+    threshold actually consumes) against the EXACT shingle-set Jaccard,
+    with the absolute error. This is the operator that tells a pipeline
+    owner whether N_HASHES is sized right before a 100 TB dedup run.
+
+    Scale shape: candidate pairs come from the capped LSH bucket join
+    (O(docs*bands)); the exact side joins each pair's two DISTINCT
+    shingle posting lists PAIR-KEYED (pairs join first, then the two
+    doc-keyed probes) — never a bare shingle-keyed self-join, which a
+    31-token vocabulary (or real boilerplate) would send quadratic."""
+    from unmixing_spark.queries.text_q import (
+        N_HASHES,
+        _lsh_buckets_cte,
+        _shingles,
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(N_HASHES))
+    return f"""
+    WITH {_lsh_buckets_cte(d)},
+    pairs AS {D.mat(d)}(
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM capped a JOIN capped b
+        ON b.bh = a.bh AND b.doc_id > a.doc_id
+    ),
+    shs AS {D.mat(d)}(SELECT DISTINCT doc_id, sh FROM {_shingles(d)}),
+    nsh AS {D.mat(d)}(
+      SELECT doc_id, cast(count(*) as bigint) AS n FROM shs
+      GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT p.da, p.db, cast(count(*) as bigint) AS i
+      FROM pairs p
+      JOIN shs x ON x.doc_id = p.da
+      JOIN shs y ON y.doc_id = p.db AND y.sh = x.sh
+      GROUP BY p.da, p.db
+    ),
+    est AS (
+      SELECT p.da, p.db, ({matches}) AS matched
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.da
+      JOIN sig sb ON sb.doc_id = p.db
+    )
+    SELECT doc_a, doc_b, matched_hashes,
+           cast(est_u as double) / {D.dbl(1e6)}            AS est_jaccard,
+           cast(ex_u as double) / {D.dbl(1e6)}             AS exact_jaccard,
+           cast(abs(est_u - ex_u) as double) / {D.dbl(1e6)} AS abs_err
+    FROM (
+      SELECT e.da AS doc_a, e.db AS doc_b,
+             cast(e.matched as bigint) AS matched_hashes,
+             -- micro-unit (1e-6) fixed point, HALF_UP by exact integer
+             -- arithmetic: round(x/y * 1e6) = (2*1e6*x + y) div (2*y).
+             -- Engine round() on doubles disagrees at binary half-way
+             -- ties (Spark decimal-expansion HALF_UP vs DuckDB libm);
+             -- integer rounding cannot.
+             e.matched * {1000000 // N_HASHES} AS est_u,
+             {D.idiv_i('2000000 * coalesce(i.i, 0) '
+                       '+ (na.n + nb.n - coalesce(i.i, 0))',
+                       '2 * (na.n + nb.n - coalesce(i.i, 0))', d)} AS ex_u
+      FROM est e
+      LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+      JOIN nsh na ON na.doc_id = e.da
+      JOIN nsh nb ON nb.doc_id = e.db) z
+    """
+
+
+sql_template("q_minhash_est_audit", _minhash_est_audit,
+             "MinHash accuracy audit per LSH candidate pair: signature "
+             "Jaccard estimate vs exact shingle-set Jaccard + abs error")
