@@ -522,3 +522,38 @@ def test_canonical_cluster_folding(spark):
         assert head == int(tgt == u)
     folded = sum(1 for u, t in canon.items() if t != u)
     assert folded > 0 and folded < len(canon)
+
+
+def test_rendezvous_shards_match_brute_force(spark):
+    import hashlib
+
+    from unmixing_spark.queries.crawl_q import HRW_NEW, HRW_OLD
+
+    out = (registry()["q_rendezvous_shards"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+    def score(s: int, url: str) -> tuple[int, int]:
+        h = int(hashlib.md5(f"{s}#{url}".encode()).hexdigest()[:8], 16)
+        return (h, -s)   # smaller shard wins score ties
+
+    expect = {}
+    for _, r in docs.iterrows():
+        url = f"https://{r['source']}.example.com/{r['lang']}/{r['doc_id']}"
+        old = max(range(HRW_OLD), key=lambda s: score(s, url))
+        new = max(range(HRW_NEW), key=lambda s: score(s, url))
+        expect[url] = (old, new, int(old != new))
+    got = {r["url"]: (int(r["shard_old"]), int(r["shard_new"]),
+                      int(r["moved"]))
+           for _, r in out.iterrows()}
+    assert got == expect
+    assert (out["hrw_invariant_ok"] == 1).all()
+    # minimal movement: the moved fraction is ~1/HRW_NEW, nowhere near
+    # the (HRW_NEW-1)/HRW_NEW a modulo reshard would cost
+    frac = out["moved"].mean()
+    assert 0.04 < frac < 0.25
+    moved = out[out["moved"] == 1]
+    assert (moved["shard_new"] == HRW_NEW - 1).all()
+    # both shardings are reasonably balanced (no empty shard)
+    assert out.groupby("shard_old").size().min() > 0
+    assert out["shard_new"].nunique() == HRW_NEW

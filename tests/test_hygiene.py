@@ -676,3 +676,62 @@ def test_epoch_shuffle_matches_brute_force(spark):
     assert orders[0] != orders[1] != orders[2]
     for e in range(SHUF_EPOCHS):
         assert sorted(orders[e]) == sorted(d for d, _ in urls)
+
+
+def _winnow_fps(toks: list[str]) -> set[tuple[int, int]]:
+    """Independent winnowing: rightmost-min gram-hash per <= WIN_W
+    window (prefix convention at doc start), as (hash, pos) pairs."""
+    import hashlib
+
+    from unmixing_spark.queries.hygiene_q import WIN_K, WIN_W
+
+    grams = [" ".join(toks[i:i + WIN_K])
+             for i in range(len(toks) - WIN_K + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    sel: set[tuple[int, int]] = set()
+    for p in range(len(hs)):          # window ends at p (0-based)
+        lo = max(0, p - WIN_W + 1)
+        best = min(range(lo, p + 1), key=lambda q: (hs[q], -q))
+        sel.add((hs[best], best + 1))
+    return sel
+
+
+def test_winnow_fingerprints_match_brute_force(spark):
+    from unmixing_spark.queries.hygiene_q import WIN_K, WIN_W
+
+    out = (registry()["q_winnow_fingerprints"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    docs = _docs()
+    fps: dict[int, set[tuple[int, int]]] = {}
+    toks_of: dict[int, list[str]] = {}
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"])
+        toks_of[int(r["doc_id"])] = toks
+        fps[int(r["doc_id"])] = _winnow_fps(toks)
+    docs_of_h: dict[int, set[int]] = {}
+    for did, sel in fps.items():
+        for h, _ in sel:
+            docs_of_h.setdefault(h, set()).add(did)
+    for _, r in out.iterrows():
+        did = int(r["doc_id"])
+        assert int(r["n_grams"]) == len(toks_of[did]) - WIN_K + 1
+        assert int(r["n_fp"]) == len(fps[did])
+        assert int(r["n_shared_fp"]) == sum(
+            1 for h, _ in fps[did] if len(docs_of_h[h]) >= 2)
+    # selection density is near the theoretical 2/(w+1)
+    density = (out["n_fp"] / out["n_grams"]).mean()
+    assert abs(density - 2 / (WIN_W + 1)) < 0.1
+    # THE winnowing guarantee (Schleimer et al. 2003 Thm): two docs
+    # sharing a >= WIN_K + WIN_W - 1 token run share a fingerprint hash.
+    # Find such pairs independently via shared (k+w-1)-gram strings.
+    run = WIN_K + WIN_W - 1
+    by_run: dict[str, set[int]] = {}
+    for did, toks in toks_of.items():
+        for i in range(len(toks) - run + 1):
+            by_run.setdefault(" ".join(toks[i:i + run]), set()).add(did)
+    pairs = {(a, b) for ds in by_run.values() if len(ds) >= 2
+             for a in ds for b in ds if a < b}
+    assert pairs, "corpus must exercise the sharing guarantee"
+    hset = {did: {h for h, _ in sel} for did, sel in fps.items()}
+    for a, b in pairs:
+        assert hset[a] & hset[b], (a, b)

@@ -1044,3 +1044,60 @@ sql_template("q_crawl_delta", _crawl_delta,
              "crawl-over-crawl delta: url-keyed FULL JOIN of two "
              "snapshots classified added/removed/changed/unchanged by "
              "content digest")
+
+
+# ---- rendezvous (HRW) resharding ----------------------------------------------
+
+HRW_OLD = 8   # current shard count (mirrors INDEX_SHARDS' order of
+HRW_NEW = 9   # magnitude) and the count after adding one shard
+
+
+def _hrw_combined(s: int, d: str) -> str:
+    """Shard ``s``'s rendezvous score for the current url, packed with a
+    shard tie-break: score * 16 + (15 - s), so one greatest() yields the
+    argmax with smaller-shard-wins ties (md5 score ties are ~2^-32 but
+    the decision must still be deterministic in both engines)."""
+    h = D.md5_slice(f"'{s}#' || url", 1, d)
+    return f"(({h}) * 16 + {15 - s})"
+
+
+def _rendezvous_shards(d: str) -> str:
+    """Rendezvous / highest-random-weight resharding audit (Thaler &
+    Ravishankar 1998 — the consistent-hashing family): each url goes to
+    the shard with the highest hash score, so growing the fleet from
+    HRW_OLD to HRW_NEW moves ONLY keys whose new shard wins the global
+    argmax — expected 1/HRW_NEW of them, each moving TO the new shard.
+    The modulo assignment q_index_shards audits would re-home
+    (HRW_NEW-1)/HRW_NEW of the corpus on the same event; this operator
+    is the minimal-movement upgrade, with the HRW invariant (moved
+    implies destination = the added shard) proven per row in-query.
+
+    Scale shape: pure projection — both argmaxes are one greatest() over
+    inline per-shard scores, NO exchange of any kind (the ideal 100 TB
+    shape: resharding a trillion urls is one map-only scan)."""
+    old = "greatest(" + ", ".join(
+        _hrw_combined(s, d) for s in range(HRW_OLD)) + ")"
+    new = "greatest(" + ", ".join(
+        _hrw_combined(s, d) for s in range(HRW_NEW)) + ")"
+    url = url_expr(d)
+    return f"""
+    SELECT url,
+           cast(shard_old as bigint) AS shard_old,
+           cast(shard_new as bigint) AS shard_new,
+           cast(moved as bigint)     AS moved,
+           cast(CASE WHEN moved = 0 OR shard_new = {HRW_NEW - 1}
+                     THEN 1 ELSE 0 END as bigint) AS hrw_invariant_ok
+    FROM (
+      SELECT url,
+             15 - ({old} % 16) AS shard_old,
+             15 - ({new} % 16) AS shard_new,
+             CASE WHEN 15 - ({old} % 16) <> 15 - ({new} % 16)
+                  THEN 1 ELSE 0 END AS moved
+      FROM (SELECT {url} AS url FROM documents) p) z
+    """
+
+
+sql_template("q_rendezvous_shards", _rendezvous_shards,
+             "rendezvous/HRW resharding (Thaler & Ravishankar 1998): "
+             "map-only argmax assignment at N and N+1 shards, minimal-"
+             "movement invariant proven per row")

@@ -1081,3 +1081,84 @@ sql_template("q_time_split", _time_split,
              "temporal train/eval split by capture time + cross-split "
              "k-gram contamination audit (Brown et al. 2020 notion "
              "applied across the boundary)")
+
+
+# ---- winnowing fingerprints ----------------------------------------------------
+
+WIN_K = 4   # fingerprint gram size (tokens)
+WIN_W = 3   # winnowing window (grams) — guarantee: any shared token run
+            # of >= WIN_K + WIN_W - 1 = 6 tokens (= SPAN_K, so the
+            # corpus' duplicated spans exercise it) shares a fingerprint
+_WIN_PB = 1 << 20   # position field width: winnowing applies to docs of
+_WIN_HB = 1 << 21   # < 2^20 tokens (longer docs chunk first — standard);
+                    # combined = h * 2^21 + (2^20 - pos) stays < 2^53
+
+
+def _winnow_fp(d: str) -> str:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, MOSS): per WIN_W-gram window take the minimum gram hash,
+    rightmost on ties — the local fingerprint selection whose guarantee
+    (every shared substring of length >= k + w - 1 yields a shared
+    fingerprint) makes it the plagiarism/near-dup detector that cannot
+    miss long copies, at ~2/(w+1) the storage of all grams. Differs
+    from q_doc_fingerprint (one order-insensitive hash per doc) and
+    q_duplicated_spans (exact gram join over ALL grams): winnowing is
+    the sub-linear index between them.
+
+    The rightmost-min-on-ties rule rides ONE window min over the
+    combined key h * 2^21 + (2^20 - pos): smaller hash wins, then larger
+    pos — decoded back arithmetically, so both engines agree exactly.
+
+    Scale shape: gram hashing + the window min are doc_id-keyed (the one
+    exchange the token stream pays); fingerprint dedup per doc is the
+    same exchange; the shared-fingerprint table is a fp-hash-keyed
+    aggregation joined back hash-keyed. No all-pairs; the fingerprint
+    index is ~2/(w+1) of the gram volume by construction."""
+    from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens
+    h = D.hex2int("substr(md5(gram), 1, 8)", d)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, pos, ({h}) * {_WIN_HB} + ({_WIN_PB} - pos) AS cmb
+      FROM (SELECT doc_id, pos, {_lead_gram(WIN_K)} AS gram
+            FROM {_pos_tokens(d)} WINDOW w AS (PARTITION BY doc_id
+                                               ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    wm AS (
+      -- every gram position ends a window over the last <= WIN_W grams
+      -- (boundary windows at pos < WIN_W are partial — the prefix
+      -- convention; the >= k+w-1 sharing guarantee is unaffected, the
+      -- selection is a superset of strict-window winnowing)
+      SELECT doc_id,
+             min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WIN_W - 1} PRECEDING
+                            AND CURRENT ROW) AS m
+      FROM g
+    ),
+    sel AS {D.mat(d)}(
+      SELECT DISTINCT doc_id,
+             {D.idiv_i('m', str(_WIN_HB), d)} AS fp_h,
+             {_WIN_PB} - (m % {_WIN_HB}) AS fp_pos
+      FROM wm
+    ),
+    shared AS (
+      SELECT fp_h, cast(count(DISTINCT doc_id) as bigint) AS nd
+      FROM sel GROUP BY fp_h
+    ),
+    ng AS (SELECT doc_id, cast(count(*) as bigint) AS n_grams
+           FROM g GROUP BY doc_id)
+    SELECT s.doc_id,
+           max(n.n_grams)                 AS n_grams,
+           cast(count(*) as bigint)       AS n_fp,
+           cast(sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS n_shared_fp
+    FROM sel s
+    JOIN shared sh ON sh.fp_h = s.fp_h
+    JOIN ng n ON n.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """
+
+
+sql_template("q_winnow_fingerprints", _winnow_fp,
+             "winnowing (Schleimer et al. 2003): rightmost-min-of-window "
+             "gram-hash fingerprints per doc + cross-doc shared counts")
