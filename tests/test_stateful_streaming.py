@@ -90,3 +90,54 @@ def test_rate_limit_delay_in_lockstep_with_batch_frontier(spark):
            .toPandas()[["host", "delay_s"]].drop_duplicates())
     for r in out.itertuples():
         assert int(r.delay_s) == host_delay_s(r.host), r.host
+
+
+def test_streaming_cms_merges_across_microbatches(spark, tmp_path):
+    """The mergeability property: CMS cells accumulated through grouped
+    state over an arbitrary micro-batching of the corpus equal the
+    one-shot batch sketch (q_heavy_hitters' cells CTE) cell-for-cell —
+    and estimates read from the streamed sketch equal the batch
+    operator's published estimates."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL as _SF
+    from unmixing_spark.queries import registry
+    from unmixing_spark.streaming.sketch import streaming_cms_cells
+
+    pipeline.register_tables(spark, _SF)
+    pages = spark.sql(pages_sql(D.SPARK))
+    src = str(tmp_path / "src")
+    pages.repartition(8).write.parquet(src)   # several files → >1 trigger
+
+    stream = stream_pages(spark, src, PAGES_SCHEMA)
+    cells = streaming_cms_cells(stream)
+    out = str(tmp_path / "out")
+    q = (cells.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    # counts are monotone: the final sketch is the max emission per cell
+    final = got.groupby(["i", "b"])["cell"].max()
+    assert got.groupby(["i", "b"]).size().max() > 1, \
+        "state must have been exercised across more than one micro-batch"
+
+    hh = registry()["q_heavy_hitters"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{_SF}/documents.parquet'")
+    # the batch operator's estimate column, re-read through the sketch
+    batch = con.sql(hh.oracle).df()
+    streamed_cells = {(int(i), int(b)): int(c)
+                      for (i, b), c in final.items()}
+    import hashlib
+
+    from unmixing_spark.queries.stats_q import CMS_D, CMS_W
+    for _, r in batch.iterrows():
+        est = min(streamed_cells[
+            (i, int(hashlib.md5(f"{i}#{r['tok']}".encode())
+                    .hexdigest()[:8], 16) % CMS_W)]
+            for i in range(CMS_D))
+        assert est == int(r["cms_est"]), r["tok"]
