@@ -303,3 +303,29 @@ def test_time_split_matches_brute_force(spark):
     for s in ("train", "eval"):
         g = out[out["split"] == s]
         assert len(g) and g["leaked"].any() and (g["leaked"] == 0).any()
+
+
+def test_weighted_sample_matches_brute_force(spark):
+    from unmixing_spark.queries.stats_q import WS_TAKE
+
+    out = (registry()["q_weighted_sample"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("rank").reset_index(drop=True))
+    docs = _docs()
+    keyed = []
+    for _, r in docs.iterrows():
+        h = _md5_32(str(r["doc_id"]))
+        k = (math.log(h + 1) - math.log(4294967296)) / r["n_chars"]
+        keyed.append((k, int(r["doc_id"]), int(r["n_chars"])))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = keyed[:WS_TAKE]
+    assert len(out) == WS_TAKE
+    assert list(out["rank"]) == list(range(1, WS_TAKE + 1))
+    got = list(zip(out["doc_id"].astype(int), out["weight"].astype(int)))
+    assert got == [(d, w) for _, d, w in expect]
+    for g, (k, _, _) in zip(out["log_key"], expect):
+        assert abs(g - k) < 1e-6
+    # the selection boundary is not a float-precision coin toss: the gap
+    # between the last key in and the first key out is far above ulp
+    assert expect[WS_TAKE - 1][0] - keyed[WS_TAKE][0] > 1e-9
+    # PPS semantics: the weight-proportional draw prefers heavier docs
+    assert out["weight"].mean() > docs["n_chars"].mean()

@@ -388,3 +388,53 @@ def _minhash_est_audit(d: str) -> str:
 sql_template("q_minhash_est_audit", _minhash_est_audit,
              "MinHash accuracy audit per LSH candidate pair: signature "
              "Jaccard estimate vs exact shingle-set Jaccard + abs error")
+
+
+# ---- weighted PPS sampling (Efraimidis-Spirakis) -------------------------------
+
+WS_TAKE = 50   # sample size
+
+
+def _weighted_sample(d: str) -> str:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    doc draws u = (h+1)/2^32 from md5 and keeps key = u^(1/w); the
+    global top-{WS_TAKE} keys ARE the PPS sample — the one-pass,
+    merge-friendly construction a 'sample training docs proportional to
+    length/quality' stage runs at corpus scale. Ranking uses the
+    monotone-equivalent log form key = (ln(h+1) - ln(2^32)) / w, whose
+    ln() arguments are exact integers (the repo's integer-ln doctrine:
+    identical doubles in both engines), so order and the rounded output
+    key match bit-for-bit.
+
+    Scale shape: the ORDER BY ... LIMIT pair is Spark's
+    TakeOrderedAndProject — each partition keeps its local top-
+    {WS_TAKE} and only those reach the driver-side merge; no global
+    sort, no full exchange (the same per-shard top-S merge a reservoir
+    variant would do). The rank window runs AFTER the limit, over
+    {WS_TAKE} rows."""
+    h = D.md5_slice(D.to_str("doc_id", d), 1, d)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             cast(n_chars as bigint) AS weight,
+             (ln(({h}) + 1) - ln(cast(4294967296 as double)))
+               / cast(n_chars as double) AS k
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, lang, weight, k
+      FROM keyed ORDER BY k DESC, doc_id LIMIT {WS_TAKE}
+    )
+    SELECT cast(row_number() OVER (ORDER BY k DESC, doc_id) as bigint)
+             AS rank,
+           doc_id, lang, weight,
+           round(k, 6) AS log_key
+    FROM top
+    """
+
+
+sql_template("q_weighted_sample", _weighted_sample,
+             "Efraimidis-Spirakis PPS sampling without replacement: "
+             "top-k of u^(1/w) keys in log form (integer-ln doctrine), "
+             "TakeOrderedAndProject shape")
