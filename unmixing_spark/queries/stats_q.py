@@ -21,7 +21,7 @@ exact-integer arithmetic throughout except declared rounded means.
 from __future__ import annotations
 
 from unmixing_spark import dialect as D
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 from unmixing_spark.queries.text_q import _pos_tokens, _tokens
 
 # ---- count-min-sketch heavy hitters -----------------------------------------
@@ -317,50 +317,37 @@ sql_template("q_hll_distinct", _hll_distinct,
 
 # ---- MinHash Jaccard-estimate accuracy audit ----------------------------------
 
-def _minhash_est_audit(d: str) -> str:
-    """Per LSH candidate pair: the MinHash Jaccard ESTIMATE (matching
-    signature components / N_HASHES — the unbiased estimator the dedup
-    threshold actually consumes) against the EXACT shingle-set Jaccard,
-    with the absolute error. This is the operator that tells a pipeline
-    owner whether N_HASHES is sized right before a 100 TB dedup run.
-
-    Scale shape: candidate pairs come from the capped LSH bucket join
-    (O(docs*bands)); the exact side joins each pair's two DISTINCT
-    shingle posting lists PAIR-KEYED (pairs join first, then the two
-    doc-keyed probes) — never a bare shingle-keyed self-join, which a
-    31-token vocabulary (or real boilerplate) would send quadratic."""
-    from unmixing_spark.queries.text_q import (
-        N_HASHES,
-        _lsh_buckets_cte,
-        _shingles,
-    )
+def _mh_audit_tail(d: str, sig: str, capped: str, shs: str) -> str:
+    """Shared CTE text (pairs -> exact intersections -> estimates ->
+    fixed-point rounding) rendered for both dialects over the given
+    relation names — the kmeans_q pattern, so the Spark side can feed
+    once-computed inputs while the DuckDB oracle unrolls the full
+    chain."""
+    from unmixing_spark.queries.text_q import N_HASHES
     matches = " + ".join(
         f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
         for j in range(N_HASHES))
-    return f"""
-    WITH {_lsh_buckets_cte(d)},
-    pairs AS {D.mat(d)}(
+    return f"""pairs AS {D.mat(d)}(
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM capped a JOIN capped b
+      FROM {capped} a JOIN {capped} b
         ON b.bh = a.bh AND b.doc_id > a.doc_id
     ),
-    shs AS {D.mat(d)}(SELECT DISTINCT doc_id, sh FROM {_shingles(d)}),
     nsh AS {D.mat(d)}(
-      SELECT doc_id, cast(count(*) as bigint) AS n FROM shs
+      SELECT doc_id, cast(count(*) as bigint) AS n FROM {shs}
       GROUP BY doc_id
     ),
     inter AS (
       SELECT p.da, p.db, cast(count(*) as bigint) AS i
       FROM pairs p
-      JOIN shs x ON x.doc_id = p.da
-      JOIN shs y ON y.doc_id = p.db AND y.sh = x.sh
+      JOIN {shs} x ON x.doc_id = p.da
+      JOIN {shs} y ON y.doc_id = p.db AND y.sh = x.sh
       GROUP BY p.da, p.db
     ),
     est AS (
       SELECT p.da, p.db, ({matches}) AS matched
       FROM pairs p
-      JOIN sig sa ON sa.doc_id = p.da
-      JOIN sig sb ON sb.doc_id = p.db
+      JOIN {sig} sa ON sa.doc_id = p.da
+      JOIN {sig} sb ON sb.doc_id = p.db
     )
     SELECT doc_a, doc_b, matched_hashes,
            cast(est_u as double) / {D.dbl(1e6)}            AS est_jaccard,
@@ -385,9 +372,58 @@ def _minhash_est_audit(d: str) -> str:
     """
 
 
-sql_template("q_minhash_est_audit", _minhash_est_audit,
-             "MinHash accuracy audit per LSH candidate pair: signature "
-             "Jaccard estimate vs exact shingle-set Jaccard + abs error")
+def _mh_audit_oracle() -> str:
+    from unmixing_spark.queries.text_q import _lsh_buckets_cte, _shingles
+    dd = D.DUCKDB
+    return (f"WITH {_lsh_buckets_cte(dd)}, "
+            f"shs AS {D.mat(dd)}(SELECT DISTINCT doc_id, sh "
+            f"FROM {_shingles(dd)}),\n    "
+            + _mh_audit_tail(dd, "sig", "capped", "shs"))
+
+
+def _mh_audit_spark(spark, sf_dir):
+    """Per LSH candidate pair: the MinHash Jaccard ESTIMATE (matching
+    signature components / N_HASHES — the unbiased estimator the dedup
+    threshold actually consumes) against the EXACT shingle-set Jaccard,
+    with the absolute error. This is the operator that tells a pipeline
+    owner whether N_HASHES is sized right before a 100 TB dedup run.
+
+    Scale shape: the signature, capped-bucket, and distinct-shingle
+    inputs are each computed ONCE and lineage-truncated (eager
+    localCheckpoint — the pure-SQL form re-expanded each multi-
+    referenced CTE into a 44-parquet-scan plan; at production scale this
+    is a persist()); candidate pairs come from the capped LSH bucket
+    join (O(docs*bands)); the exact side joins each pair's two DISTINCT
+    shingle posting lists PAIR-KEYED (pairs join first, then the two
+    doc-keyed probes) — never a bare shingle-keyed self-join, which a
+    31-token vocabulary (or real boilerplate) would send quadratic."""
+    from unmixing_spark import pipeline
+    from unmixing_spark.queries.text_q import _lsh_buckets_cte, _shingles
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+    chain = spark.sql(
+        f"WITH {_lsh_buckets_cte(d)} "
+        f"SELECT s.*, c.bh FROM sig s JOIN capped c ON c.doc_id = s.doc_id"
+    ).localCheckpoint(eager=True)
+    chain.createOrReplaceTempView("mh_chain")
+    spark.sql("SELECT DISTINCT * EXCEPT (bh) FROM mh_chain") \
+         .createOrReplaceTempView("mh_sig")
+    spark.sql("SELECT doc_id, bh FROM mh_chain") \
+         .createOrReplaceTempView("mh_capped")
+    shs = spark.sql(
+        f"SELECT DISTINCT doc_id, sh FROM {_shingles(d)}"
+    ).localCheckpoint(eager=True)
+    shs.createOrReplaceTempView("mh_shs")
+    return spark.sql(
+        "WITH " + _mh_audit_tail(d, "mh_sig", "mh_capped", "mh_shs"))
+
+
+register("q_minhash_est_audit", QuerySpec(
+    spark_fn=_mh_audit_spark, oracle=_mh_audit_oracle(),
+    doc="MinHash accuracy audit per LSH candidate pair: signature "
+        "Jaccard estimate vs exact shingle-set Jaccard + abs error"))
+
 
 
 # ---- weighted PPS sampling (Efraimidis-Spirakis) -------------------------------
