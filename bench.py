@@ -88,6 +88,19 @@ HEADLINE = [
     # priced by q_neardup_components, same multi-round stage overhead)
     "q_zorder_layout",
     "q_cell_covering",
+    # round-5 eighth-session additions (corpus statistics + sketch
+    # audits). q_minhash_est_audit prices the exact-Jaccard side over
+    # the LSH candidate pairs (the signature chain itself is priced by
+    # q_minhash_lsh_pairs; the audit's inputs are computed once and
+    # checkpointed). The map-only / TakeOrdered shapes
+    # (q_rendezvous_shards, q_weighted_sample, q_length_quantiles,
+    # q_time_split, q_prototypes) stay out: single-projection or
+    # already-priced window/loop shapes.
+    "q_heavy_hitters",
+    "q_hll_distinct",
+    "q_cdc_chunks",
+    "q_winnow_fingerprints",
+    "q_minhash_est_audit",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
