@@ -434,3 +434,40 @@ def test_effective_diameter_matches_python_twin(spark):
     target = 0.9 * total[HB_ROUNDS]
     exact_ed = next(r for r in range(HB_ROUNDS + 1) if total[r] >= target)
     assert abs(est_ed - exact_ed) <= 2
+
+
+def test_triangle_clustering_matches_set_brute_force(spark):
+    """q_triangle_clustering vs an independent Python adjacency-set
+    count (neighbor-set intersections — no orientation trick), so a
+    wedge-join bug present in BOTH SQL renderings cannot hide."""
+    out = (registry()["q_triangle_clustering"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    adj: dict[int, set[int]] = {}
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            dst = h % n
+            if dst != d:
+                adj.setdefault(d, set()).add(dst)
+                adj.setdefault(dst, set()).add(d)
+    tri = {v: sum(len(adj[v] & adj[u]) for u in adj[v]) // 2
+           for v in adj}
+    assert len(out) == len(adj)  # one row per non-isolated node
+    got_deg = dict(zip(out["doc_id"].astype(int), out["degree"].astype(int)))
+    got_tri = dict(zip(out["doc_id"].astype(int),
+                       out["triangles"].astype(int)))
+    assert got_deg == {v: len(adj[v]) for v in adj}
+    assert got_tri == tri
+    total = sum(tri.values()) // 3
+    assert (out["total_triangles"] == total).all()
+    assert total > 0  # the synthetic graph genuinely closes triangles
+    # coefficient column recomputed from the exact integer columns
+    exp = out.apply(
+        lambda r: round(2.0 * r["triangles"]
+                        / (r["degree"] * (r["degree"] - 1)), 6)
+        if r["degree"] >= 2 else 0.0, axis=1)
+    assert (out["clustering"] - exp).abs().max() <= 1e-9
