@@ -471,3 +471,46 @@ def test_triangle_clustering_matches_set_brute_force(spark):
                         / (r["degree"] * (r["degree"] - 1)), 6)
         if r["degree"] >= 2 else 0.0, axis=1)
     assert (out["clustering"] - exp).abs().max() <= 1e-9
+
+
+def test_assortativity_matches_brute_force(spark):
+    """q_degree_assortativity vs numpy Pearson over the explicit
+    edge-end pair list (float path, no moment algebra), so an
+    integer-moment slip shared by both renderings cannot hide."""
+    import numpy as np
+
+    out = (registry()["q_degree_assortativity"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("degree").reset_index(drop=True))
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    adj: dict[int, set[int]] = {}
+    for dd in doc_ids:
+        for k in range(1 + dd % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{dd}#{k}".encode()).hexdigest()[:8], 16)
+            dst = h % n
+            if dst != dd:
+                adj.setdefault(dd, set()).add(dst)
+                adj.setdefault(dst, set()).add(dd)
+    xs, ys = [], []
+    for u in adj:
+        for v in adj[u]:
+            xs.append(len(adj[u]))
+            ys.append(len(adj[v]))
+    r = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(out["assortativity"].iloc[0] - round(r, 6)) <= 2e-6
+    assert (out["assortativity"] == out["assortativity"].iloc[0]).all()
+    knn: dict[int, list[int]] = {}
+    for x, y in zip(xs, ys):
+        knn.setdefault(x, []).append(y)
+    exp = {k: (len(v), round(sum(v) / len(v), 6)) for k, v in knn.items()}
+    got = {int(row["degree"]): (int(row["n_edge_ends"]),
+                                round(float(row["avg_nbr_deg"]), 6))
+           for _, row in out.iterrows()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) <= 2e-6
+    # the synthetic graph is non-trivially correlated in SOME direction
+    assert abs(r) > 1e-4

@@ -981,3 +981,75 @@ sql_template("q_triangle_clustering", _triangle_clustering,
              "via degree-ordered oriented wedges (Suri-Vassilvitskii / "
              "Latapy shape, skew-bounded) over the undirected simple "
              "link graph")
+
+
+def _degree_assortativity(d: str) -> str:
+    """Degree-degree correlation structure of the undirected link graph:
+    the knn(k) average-neighbor-degree curve (Pastor-Satorras et al.
+    2001) per distinct degree, plus Newman's (2002) assortativity
+    coefficient r as a broadcast scalar — the standard pair of statistics
+    that distinguishes hub-attracting (disassortative, the measured web
+    shape) from peer-linking graphs, and another near-clique link-farm
+    signal alongside q_triangle_clustering.
+
+    Exactness: the edge-end pair list carries both orientations of every
+    edge, so sum(x) = sum(y) and sum(x^2) = sum(y^2) exactly, collapsing
+    Newman's formula to r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) over bigint
+    sums — ONE float division at the end, rounded identically in both
+    renderings (DuckDB's int128 sums are cast back to bigint so both
+    engines carry the same width; at 10^12 edges the standing report
+    would promote these five moments to double accumulators).
+
+    Scale shape: two node-keyed joins decorate the edge list with end
+    degrees, one degree-keyed aggregation (map-side combined; distinct
+    degrees ~ O(max_deg) rows), one 1-row global moment aggregate that
+    cross-joins back — nothing exceeds the edge list's own exchanges."""
+    return f"""
+    WITH {_link_ctes(d)},
+    edges AS {D.mat(d)}(
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM links WHERE src <> dst
+    ),
+    deg AS {D.mat(d)}(
+      SELECT node, cast(count(*) as bigint) AS deg
+      FROM (SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges) both_ends
+      GROUP BY node
+    ),
+    j AS {D.mat(d)}(
+      SELECT du.deg AS x, dv.deg AS y
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    pairs AS (SELECT x, y FROM j UNION ALL SELECT y AS x, x AS y FROM j),
+    s AS (
+      SELECT cast(count(*) as bigint)   AS m,
+             cast(sum(x) as bigint)     AS sx,
+             cast(sum(x * y) as bigint) AS sxy,
+             cast(sum(x * x) as bigint) AS sxx
+      FROM pairs
+    ),
+    knn AS (
+      SELECT x AS degree,
+             cast(count(*) as bigint) AS n_edge_ends,
+             cast(sum(y) as bigint)   AS sum_nbr_deg
+      FROM pairs GROUP BY x
+    )
+    SELECT k.degree,
+           k.n_edge_ends,
+           round(cast(k.sum_nbr_deg as double)
+                 / cast(k.n_edge_ends as double), 6) AS avg_nbr_deg,
+           round(CASE WHEN s.m * s.sxx = s.sx * s.sx THEN cast(0 as double)
+                      ELSE cast(s.m * s.sxy - s.sx * s.sx as double)
+                           / cast(s.m * s.sxx - s.sx * s.sx as double)
+                 END, 6)                             AS assortativity
+    FROM knn k CROSS JOIN s
+    """
+
+
+sql_template("q_degree_assortativity", _degree_assortativity,
+             "knn(k) average-neighbor-degree curve + Newman "
+             "assortativity coefficient from exact bigint edge-end "
+             "moments over the undirected link graph")
