@@ -329,3 +329,45 @@ def test_weighted_sample_matches_brute_force(spark):
     assert expect[WS_TAKE - 1][0] - keyed[WS_TAKE][0] > 1e-9
     # PPS semantics: the weight-proportional draw prefers heavier docs
     assert out["weight"].mean() > docs["n_chars"].mean()
+
+
+def test_quantile_sketch_audit_matches_brute_force(spark):
+    """q_quantile_sketch_audit vs a pure-Python DDSketch(gamma=2): the
+    bucket pick, containment, and 2x bound recomputed independently
+    (bit_length binning + cumulative scan, no SQL)."""
+    out = (registry()["q_quantile_sketch_audit"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values(["lang", "pct"]).reset_index(drop=True))
+    docs = _docs()
+    docs["n_toks"] = [len(_toks(t)) for t in docs["text"]]
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        v = sorted(int(x) for x in g["n_toks"])
+        n = len(v)
+        cells = Counter((x.bit_length() - 1) if x > 0 else -1 for x in v)
+        for p in LQ_PCTS:
+            target = -(-p * n // 100)  # ceil rank
+            cum, k = 0, None
+            for kk in sorted(cells):
+                cum += cells[kk]
+                if cum >= target:
+                    k = kk
+                    break
+            lo = 0 if k == -1 else 1 << k
+            hi = 0 if k == -1 else (1 << (k + 1)) - 1
+            exact = v[target - 1]
+            rows.append({"lang": lang, "pct": p, "n_docs": n,
+                         "exact_toks": exact, "sk_lo": lo, "sk_hi": hi,
+                         "est_toks": hi})
+    expect = (pd.DataFrame(rows).sort_values(["lang", "pct"])
+              .reset_index(drop=True))
+    assert len(out) == len(expect)
+    for c in ["lang", "pct", "n_docs", "exact_toks", "sk_lo", "sk_hi",
+              "est_toks"]:
+        assert list(out[c]) == list(expect[c]), c
+    # the sketch's own guarantees hold on every row
+    assert (out["contained"] == 1).all()
+    assert (out["bound_ok"] == 1).all()
+    assert (out["rel_err"] < 1.0).all()
+    assert (out["rel_err"] >= 0.0).all()
+    # non-vacuous: the sketch is genuinely approximate somewhere
+    assert (out["rel_err"] > 0.0).any()

@@ -474,3 +474,97 @@ sql_template("q_weighted_sample", _weighted_sample,
              "Efraimidis-Spirakis PPS sampling without replacement: "
              "top-k of u^(1/w) keys in log form (integer-ln doctrine), "
              "TakeOrderedAndProject shape")
+
+
+# ---- log-bucket quantile sketch audit ---------------------------------------
+
+def _quantile_sketch_audit(d: str) -> str:
+    """Mergeable log-bucketed quantile sketch (the DDSketch construction,
+    Masson et al. 2019, at gamma = 2 so every bucket boundary is an EXACT
+    power of two — bit-length binning, zero float in the sketch) audited
+    in-query against the exact per-language quantiles of
+    q_length_quantiles: for each (lang, pct) the sketch answers with the
+    first bucket whose cumulative count reaches the target rank, and the
+    result row PROVES its own guarantee — ``contained`` (the exact
+    quantile lies inside the answering bucket: DDSketch's rank-
+    correctness invariant) and ``bound_ok`` (upper estimate < 2x exact:
+    the gamma-relative-error guarantee) must both read 1 on every row.
+
+    Scale shape: the sketch IS the 100 TB path — a (lang, bucket)
+    aggregation that map-side-combines to <= 65 cells per language per
+    partition before any exchange, and per-shard sketches merge by
+    cell-wise addition (the mergeability that lets a quantile report run
+    as a standing streaming/sharded job). The cumulative window runs
+    over <= 65 rows per language; the exact rank-window side exists only
+    as the audit at toy scale."""
+    ntok = (f"size({D.ws_split('text', d)})" if d == D.SPARK
+            else f"len({D.ws_split('text', d)})")
+    # bucket k covers [2^k, 2^(k+1)-1] for k in 0..62; k=-1 holds the
+    # exact-zero cell (DDSketch's special zero bucket)
+    bl_rows = ", ".join([f"(-1, 0, 0)"] + [
+        f"({k}, {1 << k}, {(1 << (k + 1)) - 1})" for k in range(63)])
+    pct_rows = ", ".join(f"({p})" for p in LQ_PCTS)
+    rank = D.idiv_i("p.p * c.n + 99", "100", d)
+    xrank = D.idiv_i("p.p * n + 99", "100", d)
+    return f"""
+    WITH base AS {D.mat(d)}(
+      SELECT lang, doc_id, cast({ntok} as bigint) AS n_toks
+      FROM documents
+    ),
+    bl AS ({D.values_rel(bl_rows, "b(k, lo, hi)", d)}),
+    pcts AS ({D.values_rel(pct_rows, "p(p)", d)}),
+    cells AS {D.mat(d)}(
+      SELECT t.lang, b.k, b.lo, b.hi, cast(count(*) as bigint) AS cnt
+      FROM base t JOIN bl b ON t.n_toks BETWEEN b.lo AND b.hi
+      GROUP BY t.lang, b.k, b.lo, b.hi
+    ),
+    cum AS (
+      SELECT lang, k, lo, hi,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY k) AS cum,
+             sum(cnt) OVER (PARTITION BY lang)            AS n
+      FROM cells
+    ),
+    est AS (
+      SELECT c.lang, p.p, min(c.k) AS k
+      FROM cum c JOIN pcts p ON c.cum >= {rank}
+      GROUP BY c.lang, p.p
+    ),
+    ex AS (
+      SELECT lang, p.p,
+             max(CASE WHEN rn = {xrank} THEN n_toks END) AS exact_toks,
+             cast(max(n) as bigint) AS n_docs
+      FROM (
+        SELECT lang, n_toks,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_toks, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM base
+      ) r CROSS JOIN pcts p
+      GROUP BY lang, p.p
+    )
+    SELECT e.lang,
+           cast(e.p as bigint)   AS pct,
+           x.n_docs,
+           x.exact_toks,
+           cast(b.lo as bigint)  AS sk_lo,
+           cast(b.hi as bigint)  AS sk_hi,
+           cast(b.hi as bigint)  AS est_toks,
+           cast(CASE WHEN x.exact_toks BETWEEN b.lo AND b.hi
+                     THEN 1 ELSE 0 END as bigint) AS contained,
+           round(CASE WHEN x.exact_toks > 0
+                      THEN cast(b.hi - x.exact_toks as double)
+                           / cast(x.exact_toks as double)
+                      ELSE cast(0 as double) END, 6) AS rel_err,
+           cast(CASE WHEN b.hi < 2 * greatest(x.exact_toks, 1)
+                     THEN 1 ELSE 0 END as bigint) AS bound_ok
+    FROM est e
+    JOIN bl b ON b.k = e.k
+    JOIN ex x ON x.lang = e.lang AND x.p = e.p
+    """
+
+
+sql_template("q_quantile_sketch_audit", _quantile_sketch_audit,
+             "DDSketch-style gamma=2 log-bucket quantile sketch "
+             "(mergeable <=65-cell per-language state) audited in-query "
+             "against exact percentile_disc: rank containment + the "
+             "2x relative-error guarantee proven per row")
