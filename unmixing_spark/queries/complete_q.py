@@ -342,3 +342,77 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_approx_count_distinct", QuerySpec(
     spark_fn=_approx_distinct, oracle=None,
     doc="HLL approx distinct vs exact (§2.4 MISSING row; error bound pinned in tests)"))
+
+# ---- interval (range) join via bucket blocking --------------------------------
+
+IJ_MOD = 37      # every event_id % 37 == 0 opens an incident window
+IJ_WIN_S = 21600     # window length: 6 h, half-open [start, start + W)
+IJ_BKT_S = 7200      # blocking-bucket width: 2 h -> each window covers
+                     # exactly IJ_WIN_S/IJ_BKT_S + 1 = 4 candidate buckets
+
+
+def _interval_join(d: str) -> str:
+    """Interval (range) join: aggregate every event falling inside each
+    incident window — the ts-BETWEEN theta-join every monitoring /
+    attribution pipeline runs, and the §2.3 companion to q_asof_join.
+    Windows are deterministic (every IJ_MOD-th event opens a 6 h
+    half-open window at its own timestamp; the opener is inside its own
+    window by construction).
+
+    Plan: the naive form is a theta-join (ts BETWEEN lo AND hi) that
+    Catalyst can only execute as BroadcastNestedLoopJoin — O(|E|*|W|)
+    comparisons and a broadcast that dies when the window side outgrows
+    the driver. This operator instead renders the canonical distributed
+    interval-join shape (the same decomposition Spark's own range-join
+    hints and every time-series engine use): each window EXPANDS into
+    its <= IJ_WIN_S/IJ_BKT_S + 1 covering coarse buckets via a tiny
+    constant offsets relation, each event maps to exactly ONE bucket, and
+    the join becomes a hash EQUI-join on bucket id followed by the exact
+    residual predicate. Expansion factor is a compile-time constant, the
+    shuffle is bucket-keyed (time-uniform by construction), and no pair
+    is ever produced twice (one bucket per event), so no dedup pass.
+    All arithmetic is exact epoch-second bigints; the value sum is
+    micro-unit fixed point (order-independent across partitions).
+    """
+    ee = D.ts_to_epoch("ts", d)
+    n_off = IJ_WIN_S // IJ_BKT_S
+    offs = ", ".join(f"({j})" for j in range(n_off + 1))
+    vmicro = "cast(floor(value * 1000000 + 0.5) as bigint)"
+    return f"""
+    WITH ev AS {D.mat(d)}(
+      SELECT event_id, user_id, {ee} AS ep, {vmicro} AS v_micro
+      FROM events
+    ),
+    win AS (
+      SELECT event_id AS window_id, ep AS w_lo, ep + {IJ_WIN_S} AS w_hi
+      FROM ev WHERE event_id % {IJ_MOD} = 0
+    ),
+    offs AS ({D.values_rel(offs, "o(j)", d)}),
+    wbkt AS (
+      SELECT w.window_id, w.w_lo, w.w_hi,
+             {D.idiv_i('w.w_lo', str(IJ_BKT_S), d)} + o.j AS bkt
+      FROM win w JOIN offs o
+        ON {D.idiv_i('w.w_lo', str(IJ_BKT_S), d)} + o.j
+           <= {D.idiv_i('w.w_hi - 1', str(IJ_BKT_S), d)}
+    )
+    SELECT w.window_id,
+           cast(min(w.w_lo) as bigint)              AS start_epoch,
+           cast(count(*) as bigint)                 AS n_events,
+           cast(count(DISTINCT e.user_id) as bigint) AS n_users,
+           cast(sum(e.v_micro) as bigint)           AS sum_value_micro,
+           round(cast(sum(e.v_micro) as double) / 1000000.0, 6)
+                                                    AS sum_value
+    FROM wbkt w
+    JOIN ev e ON {D.idiv_i('e.ep', str(IJ_BKT_S), d)} = w.bkt
+    WHERE e.ep >= w.w_lo AND e.ep < w.w_hi
+    GROUP BY w.window_id
+    """
+
+
+sql_template("q_interval_join", _interval_join,
+             "interval/range join rendered as the distributed "
+             "bucket-blocked equi-join + exact residual (constant "
+             "expansion, one bucket per event, no dedup pass): per-"
+             "window event counts, distinct users, fixed-point value "
+             "sums",
+             tables=("events",))
