@@ -42,3 +42,49 @@ def test_interval_join_matches_naive_theta_join(spark):
     assert out["n_events"].max() > 1
     exp_sum = expect["sum_value_micro"] / 1e6
     assert (out["sum_value"] - exp_sum.round(6)).abs().max() <= 1e-9
+
+
+def test_scd2_compaction_matches_brute_force(spark):
+    """q_scd2_compaction vs a pure-Python changelog walk: no-op collapse,
+    versioning, half-open intervals, and the SCD2 invariants (tiling,
+    exactly one current row per user)."""
+    from unmixing_spark.queries.complete_q import SCD2_OPEN_US
+
+    out = (registry()["q_scd2_compaction"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values(["user_id", "version"])
+           .reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    unit = {"datetime64[us]": 1, "datetime64[ns]": 1000}[str(ev["ts"].dtype)]
+    ev["us"] = ev["ts"].astype("int64") // unit
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        hist = []
+        for _, r in g.iterrows():
+            if not hist or hist[-1][1] != r["event_type"]:
+                hist.append((int(r["us"]), r["event_type"]))
+        for i, (us, typ) in enumerate(hist):
+            to = hist[i + 1][0] if i + 1 < len(hist) else SCD2_OPEN_US
+            rows.append({"user_id": int(uid), "event_type": typ,
+                         "version": i + 1, "valid_from_us": us,
+                         "valid_to_us": to,
+                         "is_current": int(i + 1 == len(hist))})
+    expect = (pd.DataFrame(rows).sort_values(["user_id", "version"])
+              .reset_index(drop=True))
+    assert len(out) == len(expect) > 0
+    for c in expect.columns:
+        if c == "event_type":
+            assert list(out[c]) == list(expect[c]), c
+        else:
+            assert list(out[c].astype(int)) == list(expect[c].astype(int)), c
+    # SCD2 invariants: per-user intervals tile without gap or overlap,
+    # and exactly one open/current row each
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("version")
+        assert (g["valid_to_us"].iloc[:-1].values
+                == g["valid_from_us"].iloc[1:].values).all()
+        assert g["is_current"].sum() == 1
+        assert g["is_current"].iloc[-1] == 1
+        assert g["valid_to_us"].iloc[-1] == SCD2_OPEN_US
+    # no-op collapse is non-vacuous: some user actually changed type
+    assert (out.groupby("user_id")["version"].max() > 1).any()

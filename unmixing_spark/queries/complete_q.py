@@ -416,3 +416,61 @@ sql_template("q_interval_join", _interval_join,
              "window event counts, distinct users, fixed-point value "
              "sums",
              tables=("events",))
+
+
+# ---- SCD2 changelog compaction -------------------------------------------------
+
+SCD2_OPEN_US = 253402300800000000   # 9999-01-01 in epoch-micros: the open
+                                    # upper bound of the current row, so
+                                    # point-in-time lookups are a plain
+                                    # BETWEEN (no NULL arm)
+
+
+def _scd2_compaction(d: str) -> str:
+    """Changelog -> type-2 slowly-changing-dimension compaction: the
+    events stream is each user's attribute changelog, and the output is
+    the versioned dimension row set [valid_from, valid_to) every
+    warehouse keeps for point-in-time joins (Kimball SCD type 2; the
+    shape a MERGE INTO maintains incrementally on Delta/Iceberg).
+    No-op updates (consecutive events carrying the same event_type) are
+    collapsed first — the dimension versions only on actual change.
+
+    Scale shape: two user-keyed windows over the SAME partitioning (lag
+    to detect change, lead/row_number to close intervals — one exchange,
+    Catalyst shares the sort), no join at all. Epochs are exact
+    microsecond bigints; the open interval ends at a declared sentinel
+    so downstream point-in-time predicates are a single BETWEEN."""
+    # the parquet column is TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the cast to TIMESTAMP is shift-free in Spark and
+    # matches DuckDB's naive-as-UTC epoch_us
+    us = ("unix_micros(cast(ts as timestamp))" if d == D.SPARK
+          else "cast(epoch_us(ts) as bigint)")
+    w = "PARTITION BY user_id ORDER BY ep_us, event_id"
+    return f"""
+    WITH ch AS (
+      SELECT user_id, event_type, ep_us, event_id
+      FROM (
+        SELECT user_id, event_type, {us} AS ep_us, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY {us}, event_id) AS prev_type
+        FROM events
+      ) t
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type,
+           cast(row_number() OVER ({w}) as bigint)  AS version,
+           cast(ep_us as bigint)                    AS valid_from_us,
+           cast(coalesce(lead(ep_us) OVER ({w}), {SCD2_OPEN_US})
+                as bigint)                          AS valid_to_us,
+           cast(CASE WHEN lead(ep_us) OVER ({w}) IS NULL
+                     THEN 1 ELSE 0 END as bigint)   AS is_current
+    FROM ch
+    """
+
+
+sql_template("q_scd2_compaction", _scd2_compaction,
+             "changelog -> SCD type-2 dimension compaction: no-op "
+             "collapse + half-open validity intervals from two windows "
+             "over one user-keyed exchange",
+             tables=("events",))
