@@ -514,3 +514,64 @@ def test_assortativity_matches_brute_force(spark):
         assert abs(got[k][1] - exp[k][1]) <= 2e-6
     # the synthetic graph is non-trivially correlated in SOME direction
     assert abs(r) > 1e-4
+
+
+def _kcore_expected():
+    from unmixing_spark.queries.linkgraph_q import KC_K
+
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    adj: dict[int, set[int]] = {}
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16)
+            dst = h % n
+            if dst != d:
+                adj.setdefault(d, set()).add(dst)
+                adj.setdefault(dst, set()).add(d)
+    alive = set(adj)
+    while True:
+        dead = {v for v in alive
+                if sum(1 for u in adj[v] if u in alive) < KC_K}
+        if not dead:
+            break
+        alive -= dead
+    deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+    return alive, deg, doc_ids
+
+
+def test_kcore_matches_set_brute_force(spark):
+    """q_kcore_membership vs a pure-Python peel over adjacency sets."""
+    out = (registry()["q_kcore_membership"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    core, deg, doc_ids = _kcore_expected()
+    assert list(out["doc_id"].astype(int)) == doc_ids
+    assert (out["converged"] == 1).all()
+    got_in = {int(r["doc_id"]) for _, r in out.iterrows()
+              if r["in_core"] == 1}
+    assert got_in == core
+    got_deg = dict(zip(out["doc_id"].astype(int),
+                       out["core_deg"].astype(int)))
+    for d in doc_ids:
+        assert got_deg[d] == deg.get(d, 0)
+    # non-vacuous: a real shell peeled off, and the core is non-empty
+    assert 0 < len(core) < len(doc_ids)
+
+
+def test_kcore_adaptive_loop_beats_any_fixed_unroll(spark):
+    """A planted path graph peels one node per round from each end at
+    k=2 — far past KC_ORACLE_ROUNDS — and the adaptive loop must still
+    reach the proven-empty fixpoint (the scale-correctness property the
+    unrolled oracle alone cannot witness)."""
+    from unmixing_spark.queries.linkgraph_q import (KC_ORACLE_ROUNDS,
+                                                    kcore_alive)
+
+    n = 2 * KC_ORACLE_ROUNDS + 9   # peel depth ceil((n-1)/2) > unroll
+    und = [(i, i + 1) for i in range(n - 1)]
+    rows = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(rows, "u long, v long")
+    deg, rounds = kcore_alive(edges, k=2)
+    assert deg.count() == 0           # a path has no 2-core
+    assert rounds > KC_ORACLE_ROUNDS  # genuinely adaptive depth
