@@ -88,3 +88,46 @@ def test_scd2_compaction_matches_brute_force(spark):
         assert g["valid_to_us"].iloc[-1] == SCD2_OPEN_US
     # no-op collapse is non-vacuous: some user actually changed type
     assert (out.groupby("user_id")["version"].max() > 1).any()
+
+
+def test_temporal_join_matches_brute_force(spark):
+    """q_temporal_join vs a pandas point-in-time lookup built from the
+    SCD2 brute-force history (exactly one version governs each matched
+    probe; pre-history probes report matched=0)."""
+    out = (registry()["q_temporal_join"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("o_orderkey").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    unit = {"datetime64[us]": 1, "datetime64[ns]": 1000}[str(ev["ts"].dtype)]
+    ev["us"] = ev["ts"].astype("int64") // unit
+    hist: dict[int, list[tuple[int, str, int]]] = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        h: list[tuple[int, str, int]] = []
+        for _, r in g.iterrows():
+            if not h or h[-1][1] != r["event_type"]:
+                h.append((int(r["us"]), r["event_type"], len(h) + 1))
+        hist[int(uid)] = h
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    assert len(out) == len(orders)
+    # probe instants are emitted by the query; the pin re-derives only
+    # the governing-version lookup (including the open current row)
+    n_matched = n_unmatched = 0
+    for _, r in out.iterrows():
+        uid, us = int(r["user_id"]), int(r["probe_us"])
+        governing = None
+        for frm, typ, ver in hist.get(uid, []):
+            if us >= frm:
+                governing = (typ, ver, 1)
+        expect = governing if governing else (None, 0, 0)
+        assert (int(r["dim_version"]), int(r["matched"])) \
+            == (expect[1], expect[2]), r["o_orderkey"]
+        if expect[2]:
+            assert r["state_at_order"] == expect[0]
+            n_matched += 1
+        else:
+            n_unmatched += 1
+    assert n_matched > 0  # the join is non-vacuous
+    # probes land inside the observed span, so the only unmatched rows
+    # are users with no dimension history at all
+    assert n_unmatched == 0 or any(u not in hist
+                                   for u in out["user_id"].astype(int))

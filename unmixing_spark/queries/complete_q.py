@@ -474,3 +474,60 @@ sql_template("q_scd2_compaction", _scd2_compaction,
              "collapse + half-open validity intervals from two windows "
              "over one user-keyed exchange",
              tables=("events",))
+
+
+def _temporal_join(d: str) -> str:
+    """Point-in-time (temporal) join: each order looks up the version of
+    its user's dimension row that was valid AT the order timestamp — the
+    query SCD2 exists to serve, and the warehouse-standard companion to
+    q_asof_join (asof picks the latest event; this picks the governing
+    validity interval, exactly one per probe by the tiling invariant).
+
+    Plan: the dimension (the compacted SCD2 output, versions ≪ events)
+    is the small side — at any scale it broadcasts or buckets by
+    user_id, and the probe is a user_id equi-join with the BETWEEN as a
+    residual predicate, NOT a theta-join: Catalyst keeps the hash join
+    because the equality key is present. Orders before a user's first
+    version LEFT-join to NULLs and report matched = 0 (declared rather
+    than dropped, so coverage is auditable).
+
+    Probe timestamps: TPC-H order dates (1992-98) predate the events
+    epoch entirely, so each order probes at a DECLARED deterministic
+    instant inside the observed dimension span — a Knuth-hash offset of
+    the order key from the events' min timestamp (the corpus carries no
+    co-temporal fact table; the join semantics under test are
+    unchanged). The 1-row span aggregate broadcasts."""
+    return f"""
+    WITH dim AS {D.mat(d)}({_scd2_compaction(d)}),
+    span AS (
+      SELECT min(valid_from_us) AS lo,
+             max(CASE WHEN valid_to_us < {SCD2_OPEN_US}
+                      THEN valid_to_us ELSE valid_from_us END) AS hi
+      FROM dim
+    ),
+    probes AS (
+      SELECT o.o_orderkey,
+             cast(o.o_custkey % 50 as bigint) AS user_id,
+             s.lo + (o.o_orderkey * 2654435761) % (s.hi - s.lo + 1)
+               AS probe_us
+      FROM orders o CROSS JOIN span s
+    )
+    SELECT p.o_orderkey,
+           p.user_id,
+           cast(p.probe_us as bigint)            AS probe_us,
+           dim.event_type                        AS state_at_order,
+           cast(coalesce(dim.version, 0) as bigint) AS dim_version,
+           cast(CASE WHEN dim.version IS NOT NULL
+                     THEN 1 ELSE 0 END as bigint) AS matched
+    FROM probes p
+    LEFT JOIN dim ON dim.user_id = p.user_id
+                 AND p.probe_us >= dim.valid_from_us
+                 AND p.probe_us < dim.valid_to_us
+    """
+
+
+sql_template("q_temporal_join", _temporal_join,
+             "point-in-time join against the SCD2 dimension: user_id "
+             "hash join + validity-interval residual (exactly one "
+             "version per matched probe by the tiling invariant)",
+             tables=("orders", "events"))
