@@ -127,7 +127,8 @@ def test_temporal_join_matches_brute_force(spark):
         else:
             n_unmatched += 1
     assert n_matched > 0  # the join is non-vacuous
-    # probes land inside the observed span, so the only unmatched rows
-    # are users with no dimension history at all
-    assert n_unmatched == 0 or any(u not in hist
-                                   for u in out["user_id"].astype(int))
+    # every unmatched probe is explained: its user has no history at all,
+    # or the probe precedes the user's first version
+    for _, r in out[out["matched"] == 0].iterrows():
+        uid, us = int(r["user_id"]), int(r["probe_us"])
+        assert uid not in hist or us < hist[uid][0][0]
