@@ -27,14 +27,17 @@ def test_fcls_properties(E, X):
     assert (A >= -1e-10).all()
     # ASC is SOFT under the Heinz-Chang δ-augmentation: the sum-to-one
     # row trades off against δ-scaled data rows, so the deviation grows
-    # with how far a pixel sits outside the endmember hull — O(δ² · |X|
-    # · |E| · size), with δ = 1/(1000·max|E|). Hypothesis found the
-    # boundary (X ≈ 300x outside the hull → error 1.0e-3); bound the
-    # property by the governing quantity instead of a fixed constant.
-    # Absolute accuracy is pinned by the golden fixtures, which use
-    # in-hull scenes.
+    # with the size of the unconstrained residual X − E·a — bounded by
+    # |X| + |E| (NOT |X| alone: hypothesis found X = 0 against a
+    # nontrivial E, where the residual is ≈ |E·a| ~ |E| yet max|X| = 0),
+    # giving O(δ² · (|X|+|E|) · |E| · size) with δ = 1/(1000·max|E|).
+    # An earlier round it also found the other boundary (X ≈ 300x
+    # outside the hull → error 1.0e-3); bound the property by the
+    # governing quantity instead of a fixed constant. Absolute accuracy
+    # is pinned by the golden fixtures, which use in-hull scenes.
     delta = 1.0 / (1000.0 * np.abs(E).max())
-    tol = max(1e-6, 5.0 * delta ** 2 * np.abs(X).max() * np.abs(E).max() * E.size)
+    resid_scale = np.abs(X).max() + np.abs(E).max()
+    tol = max(1e-6, 5.0 * delta ** 2 * resid_scale * np.abs(E).max() * E.size)
     assert np.abs(A.sum(axis=1) - 1).max() < tol
 
 
