@@ -101,6 +101,15 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_winnow_fingerprints",
     "q_minhash_est_audit",
+    # round-5 ninth-session additions: the three NEW plan shapes —
+    # degree-ordered wedge multi-join, adaptive k-core peel loop,
+    # bucket-blocked interval equi-join. The session's other operators
+    # stay out as already-priced shapes: q_degree_assortativity /
+    # q_scd2_compaction / q_quantile_sketch_audit are one- or two-window
+    # aggregations, q_temporal_join is the q_asof_join hash-join shape.
+    "q_triangle_clustering",
+    "q_kcore_membership",
+    "q_interval_join",
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
