@@ -129,3 +129,46 @@ def test_session_windows_equal_batch_sessionization(spark, tmp_path):
     covered = closed.join(emitted, ["user_id", "session_start"], "semi").count()
     assert covered == n_closed, \
         f"all long-closed sessions must be emitted ({covered}/{n_closed})"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """streaming/joins.streaming_interval_join drained with availableNow
+    must reproduce the batch q_interval_join aggregates exactly — the
+    same bucket decomposition, now as a watermarked stream-stream inner
+    join (multiple micro-batches, so cross-batch state is exercised)."""
+    from unmixing_spark.queries import registry
+    from unmixing_spark.streaming.joins import (EVENTS_SCHEMA,
+                                                streaming_interval_join)
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.repartition(6).write.parquet(src)  # several micro-batches
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    # the repartitioned source files are NOT time-ordered, so event-time
+    # disorder across micro-batches spans the whole 30-day corpus — the
+    # watermark must cover it or the join's expired state silently drops
+    # matches (exactly the production rule: watermark >= source disorder)
+    joined = streaming_interval_join(stream, watermark="40 days")
+    assert joined.isStreaming
+    out = str(tmp_path / "ij_out")
+    q = (joined.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.read.parquet(out)
+           .groupBy("window_id")
+           .agg(F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("v_micro").alias("sum_value_micro"),
+                F.min("w_lo").alias("start_epoch"))
+           .toPandas().sort_values("window_id").reset_index(drop=True))
+    expect = (registry()["q_interval_join"].spark_fn(spark, SF_SMALL)
+              .toPandas().sort_values("window_id").reset_index(drop=True))
+    assert len(got) == len(expect) > 0
+    for c in ["window_id", "start_epoch", "n_events", "n_users",
+              "sum_value_micro"]:
+        assert list(got[c].astype(int)) == list(expect[c].astype(int)), c
