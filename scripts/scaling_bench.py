@@ -243,8 +243,59 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 spark.stop()
 '''
 
+
+WORKER_JOINS = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from unmixing_spark.session import get_spark
+from unmixing_spark.queries.linkgraph_q import _triangle_clustering
+from unmixing_spark import dialect as D
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = get_spark(app_name="scaling-bench-joins", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("%(sf)s/documents.parquet")
+repl = %(repl)d
+# re-keying keeps doc_ids contiguous 0..N*repl-1 (the link CTE's
+# precondition), so the synthetic md5 graph REGENERATES at full size
+replicated = (docs.repartition(cores * 3)
+              .crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "rep")))
+              .withColumn("doc_id", F.col("doc_id") * repl + F.col("rep"))
+              .drop("rep"))
+replicated.createOrReplaceTempView("documents")
+
+def run_pipeline():
+    # q_triangle_clustering's exact SQL: the pure-relational family's
+    # representative (5 hash joins + 3 aggregations, degree-ordered
+    # wedges, no Python anywhere). All checksummed columns are bigint,
+    # so the cross-parallelism checksum is BIT-identical.
+    out = spark.sql(_triangle_clustering(D.SPARK))
+    agg = out.agg(F.count("*").alias("nodes"),
+                  F.sum("triangles").alias("tri_sum"),
+                  F.sum("degree").alias("deg_sum"),
+                  F.max("total_triangles").alias("total")).collect()[0]
+    return {"nodes": int(agg["nodes"]), "tri_sum": int(agg["tri_sum"]),
+            "deg_sum": int(agg["deg_sum"]), "total": int(agg["total"])}
+
+docs.limit(200).createOrReplaceTempView("documents")
+run_pipeline()                      # warmup: JIT + join/agg codegen
+replicated.createOrReplaceTempView("documents")
+
+t0 = time.time()
+r = run_pipeline()
+wall = time.time() - t0
+print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
+                  "tiles": r["nodes"], "pixels": 3 * r["total"],
+                  "tiles_per_sec": round(r["nodes"] / wall, 2),
+                  "rmse_sum": float(r["tri_sum"] * 7 + r["deg_sum"])}))
+spark.stop()
+"""
+
 WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA, "dedup": WORKER_DEDUP,
-           "graph": WORKER_GRAPH}
+           "graph": WORKER_GRAPH, "joins": WORKER_JOINS}
 
 
 def run_level(sf: str, repl: int, cores: int, job: str = "fcls") -> dict:
