@@ -240,6 +240,110 @@ def resize_images(frames: DataFrame, out_h: int, out_w: int,
     return frames.mapInPandas(_resize, schema)
 
 
+def _block_mean(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean downsample of a 2-D array to (out_h, out_w): each output
+    cell averages its contiguous source block (boundaries k*n//out, the
+    same integer grid the nearest-neighbor resizer uses), so the result
+    is deterministic for any input size. Inputs smaller than the target
+    on an axis are nearest-neighbor upsampled first."""
+    for axis, out_n in ((0, out_h), (1, out_w)):
+        n = a.shape[axis]
+        if n < out_n:
+            a = np.take(a, np.arange(out_n) * n // out_n, axis=axis)
+            n = out_n
+        starts = np.arange(out_n) * n // out_n
+        counts = np.diff(np.append(starts, n)).astype(np.float64)
+        sums = np.add.reduceat(a, starts, axis=axis)
+        a = sums / (counts[:, None] if axis == 0 else counts[None, :])
+    return a
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (Krawetz 2013, the LAION-style perceptual
+    dedup key): ITU-R BT.601 luma -> 8x9 area-mean downsample -> 64
+    left-vs-right brightness comparisons packed row-major MSB-first.
+    Returned as a SIGNED 64-bit int so it lands in a Spark `bigint`
+    column unchanged. Robust to re-encoding (PNG<->BMP bit-identical,
+    JPEG within a few bits) because it keys on coarse luma structure,
+    not pixel values."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        else:
+            a = a[..., 0]
+    m = _block_mean(a, 8, 9)
+    v = 0
+    for bit in (m[:, 1:] > m[:, :-1]).reshape(-1):
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(frames: DataFrame, payload_col: str = "image",
+                id_col: str = "id") -> DataFrame:
+    """Decode + perceptual-hash as a vectorized mapInPandas operator:
+    one Arrow batch in, one (id, dhash bigint) batch out. This is the
+    map side of image near-dup dedup — the join side (dhash_pairs) is
+    pure DataFrame ops, so only the unavoidable decode runs in Python."""
+    schema = f"{id_col} long, dhash long"
+
+    def _hash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf[id_col]]
+            hs = [dhash64(decode_image(bytes(p))) for p in pdf[payload_col]]
+            yield pd.DataFrame({id_col: ids, "dhash": hs})
+
+    return frames.mapInPandas(_hash, schema)
+
+
+def dhash_pairs(hashes: DataFrame, id_col: str = "id",
+                hash_col: str = "dhash", max_hamming: int = 7,
+                n_bands: int = 8) -> DataFrame:
+    """Image near-dup pairs at Hamming distance <= max_hamming over the
+    64-bit dHash, blocked on n_bands equal bit-slices (the Manku et al.
+    2007 construction q_simhash_pairs uses): a pair differing in fewer
+    bits than there are bands collides on an intact band by pigeonhole,
+    so for max_hamming < n_bands the blocking is EXACT — the pytest pin
+    asserts equality with the brute-force all-pairs answer. Candidate
+    generation is a (band, value)-keyed self-join: O(images x n_bands)
+    bucket rows, never all-pairs, which is the 100 TB shape (hot
+    buckets are exact-duplicate clusters — run exact byte/hash dedup
+    first, as with text)."""
+    if not 64 % n_bands == 0:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    # arithmetic shift sign-extends negative hashes; the & mask keeps
+    # exactly the band's bits, so band values are identical either way
+    banded = (h.select(
+        "id", "h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.shiftright(F.col("h"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("bval"))
+            for b in range(n_bands)])).alias("bb"))
+        .select("id", "h", F.col("bb.blk").alias("blk"),
+                F.col("bb.bval").alias("bval")))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.blk") == F.col("b.blk"))
+                  & (F.col("a.bval") == F.col("b.bval"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.expr("bit_count(ha ^ hb)").cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 10,
                         payload_col: str = "video") -> DataFrame:
     """Frame sampling over a fake video payload (concatenated fake-image
