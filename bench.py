@@ -46,8 +46,8 @@ HEADLINE = [
     "q_gopher_repetition",
     "q_boilerplate_ngrams",
     "q_neardup_components",
-    # round-5 corpus-hygiene additions (no floors yet — first driver
-    # artifact to include them seeds BENCH/expected.json)
+    # round-5 corpus-hygiene additions (floors seeded at round close from
+    # the committed BENCH/bench_r5_*.json round-close artifacts)
     "q_duplicated_spans",
     "q_corpus_keep",
     "q_link_pagerank",
@@ -55,8 +55,8 @@ HEADLINE = [
     "q_kmeans_quantizer",
     "q_line_dedup",
     "q_hits_scores",
-    # round-5 third-session additions (floors seed from the first
-    # driver artifact that includes them)
+    # round-5 third-session additions (floors seeded at round close from
+    # the committed BENCH/bench_r5_*.json round-close artifacts)
     "q_semdedup",
     "q_html_extract",
     # round-5 fourth-session additions (crawl-cycle + scrub operators)
