@@ -114,6 +114,11 @@ HEADLINE = [
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
     "q_fcls3_closed_form",
+    # round-5 tenth-session addition: image near-dup dedup end-to-end
+    # (synthetic render + pure-Python PNG/JPEG encode + decode+dHash
+    # mapInPandas + banded hamming self-join). Bounded at N_DOCS=96 so
+    # it prices the pipeline shape, not codec throughput.
+    "q_image_dhash_pairs",
 ]
 
 

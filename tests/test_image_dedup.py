@@ -130,3 +130,15 @@ def test_image_dhash_distributed_matches_local(spark):
     got = {r.id: r.dhash for r in image_dhash(df).collect()}
     for i, payload in rows:
         assert got[i] == dhash64(decode_image(bytes(payload)))
+
+
+def test_registered_query_recovers_all_planted_pairs(spark):
+    from unmixing_spark.queries import registry
+    spec = registry()["q_image_dhash_pairs"]
+    assert spec.oracle is None  # declared rows-only
+    rows = spec.spark_fn(spark, "/root/testdata/sf0.001").collect()
+    planted = [(r.id_a, r.id_b) for r in rows if r.planted == 1]
+    from unmixing_spark.queries.media_q import N_DOCS
+    assert len(planted) == N_DOCS
+    assert all(b == a + 1 and a % 2 == 0 for a, b in planted)
+    assert all(r.hamming <= 7 for r in rows)

@@ -67,4 +67,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.content_q  # noqa: F401
     import unmixing_spark.queries.layout_q  # noqa: F401
     import unmixing_spark.queries.stats_q  # noqa: F401
+    import unmixing_spark.queries.media_q  # noqa: F401
     return dict(_REGISTRY)

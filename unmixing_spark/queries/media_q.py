@@ -1,0 +1,100 @@
+"""Multimodal (image) dedup queries — the driver-visible face of the
+perceptual-hash machinery in unmixing_spark/text/multimodal.py.
+
+q_image_dhash_pairs runs the full image near-dup pipeline end-to-end:
+deterministic synthetic images are rendered per doc_id (low-frequency
+sinusoid mixes whose coarse luma structure survives JPEG quantization),
+each doc contributes a lossless PNG original AND a lossy JPEG-q90
+re-encode (a planted near-duplicate), every payload is decoded and
+64-bit dHashed in one vectorized mapInPandas stage, and candidate pairs
+come from the Manku-style banded (band,value)-keyed self-join — exact
+for hamming < n_bands by pigeonhole, so the planted PNG/JPEG twins MUST
+all surface. Registered rows-only (PNG/JPEG decode is not expressible
+in the DuckDB oracle dialect); the numeric pins live in
+tests/test_image_dedup.py (kernel vs an independent naive dHash, banded
+join vs brute-force all-pairs, cross-codec hash stability).
+
+Like the reference's visual outputs (utils.py as_array/as_raster handle
+imagery as arrays, not SQL rows), this family is array-kernel work: the
+Spark contribution is the decode/hash stage shape (Arrow-batched, one
+pass) and the all-pairs-free candidate join — the 100 TB path, since
+bucket rows are O(images x n_bands) and hot buckets are exact-duplicate
+clusters that byte-level dedup removes first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unmixing_spark.pipeline import register_tables
+from unmixing_spark.queries import QuerySpec, register
+
+# Docs that contribute an image pair: bounded so the query prices the
+# pipeline shape, not pure-Python codec throughput, at every sf.
+N_DOCS = 96
+
+
+def render_page_image(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Deterministic smooth RGB image for a doc: three low-frequency
+    sinusoid planes (frequency/phase drawn from a doc-keyed RNG). Smooth
+    content is the realistic case for perceptual dedup — JPEG
+    quantization moves pixel values but not the 8x9 luma structure."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    chans = []
+    for _ in range(3):
+        fy, fx = rng.uniform(0.5, 2.5, 2)
+        py, px = rng.uniform(0, 2 * np.pi, 2)
+        plane = (np.sin(2 * np.pi * fy * yy / h + py)
+                 + np.cos(2 * np.pi * fx * xx / w + px))
+        chans.append((plane - plane.min()) / (plane.max() - plane.min()))
+    return (np.stack(chans, axis=-1) * 255).astype(np.uint8)
+
+
+def _gen_images(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # imports inside the worker function: keeps the module importable on
+    # executors without forcing codec imports at registry time
+    from unmixing_spark.text.jpeg import encode_jpeg
+    from unmixing_spark.text.multimodal import encode_png
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            img = render_page_image(int(doc_id))
+            ids.append(2 * int(doc_id))
+            payloads.append(bytearray(encode_png(img)))
+            ids.append(2 * int(doc_id) + 1)
+            payloads.append(bytearray(encode_jpeg(img, quality=90)))
+        yield pd.DataFrame({"id": ids, "image": payloads})
+
+
+def _image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.multimodal import dhash_pairs, image_dhash
+
+    register_tables(spark, sf_dir, ("documents",))
+    base = (spark.table("documents")
+            .select("doc_id").orderBy("doc_id").limit(N_DOCS)
+            .repartition(8, "doc_id"))
+    frames = base.mapInPandas(_gen_images, "id long, image binary")
+    pairs = dhash_pairs(image_dhash(frames), max_hamming=7, n_bands=8)
+    return (pairs
+            .withColumn(
+                "planted",
+                ((F.col("id_a") % 2 == 0)
+                 & (F.col("id_b") == F.col("id_a") + 1)).cast("int"))
+            .orderBy("id_a", "id_b"))
+
+
+register("q_image_dhash_pairs", QuerySpec(
+    spark_fn=_image_dhash_pairs,
+    oracle=None,
+    doc="image near-dup pairs: decode+dHash mapInPandas stage, banded "
+        "hamming self-join (exact for hamming<n_bands); rows-only — "
+        "pinned in tests/test_image_dedup.py"))
