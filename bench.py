@@ -119,6 +119,7 @@ HEADLINE = [
     # mapInPandas + banded hamming self-join). Bounded at N_DOCS=96 so
     # it prices the pipeline shape, not codec throughput.
     "q_image_dhash_pairs",
+    "q_audio_fp_pairs",
 ]
 
 

@@ -1,5 +1,6 @@
-"""Multimodal (image) dedup queries — the driver-visible face of the
-perceptual-hash machinery in unmixing_spark/text/multimodal.py.
+"""Multimodal (image + audio) dedup queries — the driver-visible face of
+the perceptual-hash machinery in unmixing_spark/text/multimodal.py and
+the spectral-fingerprint machinery in unmixing_spark/text/audio.py.
 
 q_image_dhash_pairs runs the full image near-dup pipeline end-to-end:
 deterministic synthetic images are rendered per doc_id (low-frequency
@@ -20,6 +21,13 @@ Spark contribution is the decode/hash stage shape (Arrow-batched, one
 pass) and the all-pairs-free candidate join — the 100 TB path, since
 bucket rows are O(images x n_bands) and hot buckets are exact-duplicate
 clusters that byte-level dedup removes first.
+
+q_audio_fp_pairs is the same pipeline over audio: per-doc deterministic
+noisy clips, each with a planted gain-scaled + decimate-by-2 WAV
+re-encode twin, fingerprinted by audio.audio_fingerprint64 (Haitsma &
+Kalker 2002 band/median bits — gain-exact, rate-robust) and paired by
+the SAME generic banded join. Rows-only; pins in
+tests/test_audio_dedup.py.
 """
 
 from __future__ import annotations
@@ -98,3 +106,73 @@ register("q_image_dhash_pairs", QuerySpec(
     doc="image near-dup pairs: decode+dHash mapInPandas stage, banded "
         "hamming self-join (exact for hamming<n_bands); rows-only — "
         "pinned in tests/test_image_dedup.py"))
+
+
+def render_page_audio(seed: int, rate: int = 8000,
+                      dur: float = 1.0) -> np.ndarray:
+    """Deterministic noisy audio clip for a doc: five enveloped tones
+    inside the fingerprint analysis band over an enveloped broadband
+    floor — every band carries genuine energy, so the fingerprint's
+    comparisons key on signal, not quantization noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * dur)) / rate
+    x = rng.normal(0, 0.15, t.shape)
+    x *= 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t)
+    for _ in range(5):
+        f = rng.uniform(250, 1800)
+        amp = rng.uniform(0.3, 1.0)
+        ph = rng.uniform(0, 2 * np.pi)
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t)
+        x = x + amp * np.sin(2 * np.pi * f * t + ph) * env
+    x = x / np.max(np.abs(x))
+    return np.rint(x * 20000).astype(np.int16)
+
+
+def _gen_clips(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from unmixing_spark.text.audio import encode_wav
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            x = render_page_audio(int(doc_id))
+            ids.append(2 * int(doc_id))
+            payloads.append(bytearray(encode_wav(x, 8000)))
+            # planted near-dup: gain x0.6 then boxcar decimate-by-2
+            # re-encode at half rate (the resample_audio kernel)
+            y = np.rint(x * 0.6).astype(np.int16)
+            n = (len(y) // 2) * 2
+            dec = np.clip(np.rint(y[:n].astype(np.float64)
+                                  .reshape(-1, 2).mean(axis=1)),
+                          -32768, 32767).astype(np.int16)
+            ids.append(2 * int(doc_id) + 1)
+            payloads.append(bytearray(encode_wav(dec, 4000)))
+        yield pd.DataFrame({"id": ids, "audio": payloads})
+
+
+def _audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.audio import audio_fingerprints
+    from unmixing_spark.text.multimodal import dhash_pairs
+
+    register_tables(spark, sf_dir, ("documents",))
+    base = (spark.table("documents")
+            .select("doc_id").orderBy("doc_id").limit(N_DOCS)
+            .repartition(8, "doc_id"))
+    clips = base.mapInPandas(_gen_clips, "id long, audio binary")
+    pairs = dhash_pairs(audio_fingerprints(clips), hash_col="fp",
+                        max_hamming=7, n_bands=8)
+    return (pairs
+            .withColumn(
+                "planted",
+                ((F.col("id_a") % 2 == 0)
+                 & (F.col("id_b") == F.col("id_a") + 1)).cast("int"))
+            .orderBy("id_a", "id_b"))
+
+
+register("q_audio_fp_pairs", QuerySpec(
+    spark_fn=_audio_fp_pairs,
+    oracle=None,
+    doc="audio near-dup pairs: decode+spectral-fingerprint mapInPandas "
+        "stage, banded hamming self-join (exact for hamming<n_bands); "
+        "rows-only — pinned in tests/test_audio_dedup.py"))

@@ -132,3 +132,71 @@ def resample_audio(clips: DataFrame, factor: int,
             yield pd.DataFrame({"id": ids, "audio": payloads})
 
     return clips.mapInPandas(_resample, schema)
+
+
+def audio_fingerprint64(arr: np.ndarray, rate: int, n_t: int = 8,
+                        n_b: int = 8, f_lo: float = 200.0,
+                        f_hi: float = 2000.0) -> int:
+    """64-bit spectral fingerprint (the Haitsma & Kalker 2002 binary
+    band-energy construction, folded to one word the way dhash64 folds
+    an image): mono mix → n_t equal time slices → Hann-windowed DFT
+    power summed into n_b log-spaced bands between f_lo and f_hi Hz →
+    bit[t,b] = E[t,b] > per-band median over slices, packed band-major
+    MSB-first.
+
+    Invariances by construction: gain (comparisons survive positive
+    scaling exactly), sample rate (band edges are ABSOLUTE Hz — never
+    rescaled to Nyquist, or a decimated re-encode would compare
+    different frequency ranges entirely — and time slices are duration
+    fractions), and approximately any time-invariant filter (a filter
+    scales a band's whole time series by ~one factor, which the
+    above-median test ignores). Measured on noisy sinusoid-mix clips:
+    gain x0.5 = 0 flipped bits, boxcar decimate-by-2 re-encode ≤ 4,
+    unrelated clips ≥ 16 — so max_hamming=7 with the 8-band blocked
+    join separates them with margin. Analysis band needs rate ≥ 2*f_hi.
+    Returned SIGNED 64-bit for a Spark ``bigint`` column, pairable with
+    multimodal.dhash_pairs(hash_col='fp')."""
+    x = np.asarray(arr, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = x.shape[0]
+    if n < 2 * n_t:
+        raise ValueError(f"clip too short to fingerprint ({n} samples)")
+    edges = np.geomspace(f_lo, f_hi, n_b + 1)
+    bounds = np.arange(n_t + 1) * n // n_t
+    energy = np.zeros((n_t, n_b))
+    for t in range(n_t):
+        seg = x[bounds[t]:bounds[t + 1]]
+        win = np.hanning(seg.shape[0])
+        power = np.abs(np.fft.rfft(seg * win)) ** 2
+        freqs = np.fft.rfftfreq(seg.shape[0], 1.0 / rate)
+        idx = np.searchsorted(edges, freqs, side="right") - 1
+        for b in range(n_b):
+            energy[t, b] = power[idx == b].sum()
+    med = np.median(energy, axis=0)
+    v = 0
+    for bit in (energy > med[None, :]).T.reshape(-1):
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprints(clips: DataFrame,
+                       payload_col: str = "audio") -> DataFrame:
+    """Decode + fingerprint as one vectorized mapInPandas stage:
+    (id, fp bigint) out — the map side of audio near-dup dedup; the
+    join side is multimodal.dhash_pairs(hash_col='fp'), pure DataFrame
+    ops over bit-slice buckets, exactly as with images."""
+    schema = "id long, fp long"
+
+    def _fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for i, payload in zip(pdf["id"], pdf[payload_col]):
+                arr, rate = decode_wav(bytes(payload))
+                ids.append(int(i))
+                fps.append(audio_fingerprint64(arr, rate))
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    return clips.mapInPandas(_fp, schema)
