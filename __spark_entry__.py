@@ -6,12 +6,12 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 193 queries, 175 with full DuckDB oracles (91%); the 18
+Current registry: 194 queries, 175 with full DuckDB oracles (90%); the 19
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
 SASMA-MESMA + distributed endmember interpolation, LSH/IVF/IVF-PQ ANN,
 forward-model/eigen, BPE token counting + BPE-budget packing, the
-pyspark.ml quality classifier, image decode+dHash and audio
-decode+spectral-fingerprint near-dup pairs) whose
+pyspark.ml quality classifier, and the image/audio/video near-dup
+pair queries over decoded media payloads) whose
 numerics are verified in tests/ instead (golden fixtures + property
 tests + pinned SHA-256 + single-node parity + pure-Python BPE parity).
 Coverage map: docs/COVERAGE.md.

@@ -120,6 +120,7 @@ HEADLINE = [
     # it prices the pipeline shape, not codec throughput.
     "q_image_dhash_pairs",
     "q_audio_fp_pairs",
+    "q_video_sig_pairs",
 ]
 
 

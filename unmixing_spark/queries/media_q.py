@@ -28,6 +28,15 @@ re-encode twin, fingerprinted by audio.audio_fingerprint64 (Haitsma &
 Kalker 2002 band/median bits — gain-exact, rate-robust) and paired by
 the SAME generic banded join. Rows-only; pins in
 tests/test_audio_dedup.py.
+
+q_video_sig_pairs completes the modality triple: per-doc synthetic
+videos (slowly drifting scenes), each with a planted twin that DROPS
+every 7th frame and adds per-pixel noise; frames are sampled and
+dHashed per frame (multimodal.frame_dhash), the 64-bit video signature
+is the PER-BIT MAJORITY across sampled frames — computed in pure Spark
+SQL aggregation, order-free so temporal misalignment is harmless — and
+pairing again reuses the banded join. Rows-only; pins in
+tests/test_video_dedup.py.
 """
 
 from __future__ import annotations
@@ -176,3 +185,98 @@ register("q_audio_fp_pairs", QuerySpec(
     doc="audio near-dup pairs: decode+spectral-fingerprint mapInPandas "
         "stage, banded hamming self-join (exact for hamming<n_bands); "
         "rows-only — pinned in tests/test_audio_dedup.py"))
+
+
+N_VIDEO_FRAMES = 20
+
+
+def _box_blur(a: np.ndarray, r: int) -> np.ndarray:
+    """Separable 2-D box filter via cumulative sums (unnormalized —
+    callers rescale). Smooth-noise fields give dHash bits that are
+    independent across seeds; sinusoid mixes do NOT (their majority
+    signatures collided outright for 16 of 96 seeds)."""
+    for ax in (0, 1):
+        c = np.cumsum(a, axis=ax)
+        n = a.shape[ax]
+        lo = np.arange(n) - r - 1
+        hi = np.clip(np.arange(n) + r, 0, n - 1)
+        shape = (slice(None), None) if ax == 0 else (None, slice(None))
+        a = (np.take(c, hi, axis=ax)
+             - np.where((lo < 0)[shape], 0,
+                        np.take(c, np.clip(lo, 0, n - 1), axis=ax)))
+    return a
+
+
+def render_video_frame(seed: int, t: int, h: int = 32,
+                       w: int = 40) -> np.ndarray:
+    """Frame t of a doc's deterministic synthetic video: a seed-keyed
+    blurred-noise field viewed through a window that pans one pixel
+    every 4 frames (a camera pan, so consecutive frames are highly
+    correlated while unrelated videos are independent — measured cross
+    signature distance >= 16 bits over 96 seeds, planted twins <= 4)."""
+    margin = 24
+    rng = np.random.default_rng(seed)
+    field = _box_blur(rng.normal(0.0, 1.0, (h + margin, w + margin)), 4)
+    s = t // 4
+    win = field[s:s + h, s:s + w]
+    win = (win - win.min()) / (win.max() - win.min())
+    img = np.stack([win, win * 0.9 + 0.05, win * 0.8 + 0.1], axis=-1)
+    return (img * 255).astype(np.uint8)
+
+
+def render_page_video(seed: int, perturb: bool = False) -> bytes:
+    """Concatenated fake-image frames; the perturbed twin drops every
+    7th frame (temporal misalignment) and adds +-10 per-pixel noise (a
+    lossy re-encode) — the distortions the majority vote must absorb."""
+    from unmixing_spark.text.multimodal import encode_fake_image
+
+    frames = []
+    for t in range(N_VIDEO_FRAMES):
+        if perturb and t % 7 == 3:
+            continue
+        img = render_video_frame(seed, t).astype(np.int16)
+        if perturb:
+            rng = np.random.default_rng(seed * 1000 + t)
+            img = np.clip(img + rng.integers(-10, 11, img.shape), 0, 255)
+        frames.append(encode_fake_image(img.astype(np.uint8)))
+    return b"".join(frames)
+
+
+def _gen_videos(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            ids.append(2 * int(doc_id))
+            payloads.append(bytearray(render_page_video(int(doc_id))))
+            ids.append(2 * int(doc_id) + 1)
+            payloads.append(bytearray(render_page_video(int(doc_id),
+                                                        perturb=True)))
+        yield pd.DataFrame({"id": ids, "video": payloads})
+
+
+def _video_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unmixing_spark.text.multimodal import dhash_pairs, video_signatures
+
+    register_tables(spark, sf_dir, ("documents",))
+    base = (spark.table("documents")
+            .select("doc_id").orderBy("doc_id").limit(N_DOCS)
+            .repartition(8, "doc_id"))
+    videos = base.mapInPandas(_gen_videos, "id long, video binary")
+    sigs = video_signatures(videos, every_n=2)
+    pairs = dhash_pairs(sigs, hash_col="vhash", max_hamming=7, n_bands=8)
+    return (pairs
+            .withColumn(
+                "planted",
+                ((F.col("id_a") % 2 == 0)
+                 & (F.col("id_b") == F.col("id_a") + 1)).cast("int"))
+            .orderBy("id_a", "id_b"))
+
+
+register("q_video_sig_pairs", QuerySpec(
+    spark_fn=_video_sig_pairs,
+    oracle=None,
+    doc="video near-dup pairs: frame-sample + per-frame dHash, per-bit "
+        "majority signature in pure SQL aggregation, banded hamming "
+        "self-join; rows-only — pinned in tests/test_video_dedup.py"))

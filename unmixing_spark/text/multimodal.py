@@ -371,3 +371,53 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
             yield pd.DataFrame({"id": ids, "frame_no": fnos, "image": frames_out})
 
     return videos.mapInPandas(_sample, schema)
+
+
+def frame_dhash(frames: DataFrame, payload_col: str = "image",
+                id_col: str = "id",
+                frame_col: str = "frame_no") -> DataFrame:
+    """Per-frame decode + dHash keeping the (id, frame_no) key — the map
+    side of video near-dup signatures."""
+    schema = f"{id_col} long, {frame_col} int, dhash long"
+
+    def _hash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                id_col: [int(i) for i in pdf[id_col]],
+                frame_col: [int(f) for f in pdf[frame_col]],
+                "dhash": [dhash64(decode_image(bytes(p)))
+                          for p in pdf[payload_col]]})
+
+    return frames.mapInPandas(_hash, schema)
+
+
+def video_signatures(videos: DataFrame, every_n: int = 5,
+                     payload_col: str = "video") -> DataFrame:
+    """64-bit video near-dup signature: sample frames, dHash each, then
+    take the PER-BIT MAJORITY across sampled frames (the temporal
+    pooling used for video copy detection over frame hashes — order-
+    free, so it survives frame drops, insertions and re-sampling
+    offsets; per-frame noise is voted away).
+
+    Python touches only the unavoidable decode+hash; the majority vote
+    is pure Spark SQL — one groupBy with 64 conditional-sum aggregates
+    (JVM-side, whole-stage codegen, one exchange keyed by video id),
+    rebuilt into a signed bigint so the result pairs with dhash_pairs.
+    Returns (id, vhash, n_frames)."""
+    hashes = frame_dhash(sample_video_frames(videos, every_n=every_n,
+                                             payload_col=payload_col))
+    aggs = [F.sum(F.shiftright(F.col("dhash"), k)
+                  .bitwiseAND(F.lit(1))).alias(f"s{k}")
+            for k in range(64)] + [F.count(F.lit(1)).alias("c")]
+    per_bit = hashes.groupBy("id").agg(*aggs)
+    # strict majority per bit; bit 63 re-enters as the sign term so the
+    # packed value is the same signed 64-bit word dhash64 would emit
+    low = sum((F.when(2 * F.col(f"s{k}") > F.col("c"), 1).otherwise(0)
+               .cast("long") * F.lit(1 << k)) for k in range(63))
+    sign = F.when(2 * F.col("s63") > F.col("c"),
+                  F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
+    return per_bit.select(
+        "id", (low + sign).alias("vhash"),
+        F.col("c").cast("int").alias("n_frames"))
