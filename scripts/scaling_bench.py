@@ -294,8 +294,64 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 spark.stop()
 """
 
+WORKER_MEDIA = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from unmixing_spark.session import get_spark
+from unmixing_spark.queries.media_q import _gen_videos
+from unmixing_spark.text.multimodal import dhash_pairs, video_signatures
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = get_spark(app_name="scaling-bench-media", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("%(sf)s/documents.parquet")
+repl = %(repl)d
+# q_video_sig_pairs' exact job at repl x its N_DOCS=96: contiguous doc
+# ids seed DISTINCT deterministic videos (not copies), each with its
+# planted drop+noise re-encode twin — the Python-decode-heavy media
+# family (render + fake-codec decode + per-frame dHash in mapInPandas,
+# majority vote + banded hamming join in pure SQL). Embarrassingly
+# parallel map side; the join side's bucket rows stay O(videos x 8).
+base = (docs.select((F.col("doc_id") %% 96).alias("k")).distinct()
+        .crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "rep")))
+        .select((F.col("k") * repl + F.col("rep")).alias("doc_id"))
+        .repartition(cores * 3, "doc_id"))
+
+def run_pipeline():
+    videos = base.mapInPandas(_gen_videos, "id long, video binary")
+    sigs = video_signatures(videos, every_n=2)
+    pairs = dhash_pairs(sigs, hash_col="vhash", max_hamming=7, n_bands=8)
+    agg = pairs.agg(
+        F.count("*").alias("pairs"),
+        F.sum("hamming").alias("ham_sum"),
+        F.sum(((F.col("id_a") %% 2 == 0)
+               & (F.col("id_b") == F.col("id_a") + 1)).cast("long"))
+        .alias("planted")).collect()[0]
+    return {"pairs": int(agg["pairs"] or 0), "ham": int(agg["ham_sum"] or 0),
+            "planted": int(agg["planted"] or 0)}
+
+docs.limit(8).select("doc_id").createOrReplaceTempView("_warm")
+warm = spark.table("_warm").mapInPandas(_gen_videos, "id long, video binary")
+video_signatures(warm, every_n=2).count()   # warmup: JIT + Arrow + codecs
+
+t0 = time.time()
+r = run_pipeline()
+wall = time.time() - t0
+n_videos = 2 * 96 * repl
+assert r["planted"] == 96 * repl, r
+print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
+                  "tiles": n_videos, "pixels": r["pairs"],
+                  "tiles_per_sec": round(n_videos / wall, 2),
+                  "rmse_sum": float(r["ham"] * 13 + r["pairs"])}))
+spark.stop()
+"""
+
 WORKERS = {"fcls": WORKER, "sasma": WORKER_SASMA, "dedup": WORKER_DEDUP,
-           "graph": WORKER_GRAPH, "joins": WORKER_JOINS}
+           "graph": WORKER_GRAPH, "joins": WORKER_JOINS,
+           "media": WORKER_MEDIA}
 
 
 def run_level(sf: str, repl: int, cores: int, job: str = "fcls") -> dict:
