@@ -51,8 +51,10 @@ from pyspark.sql import functions as F
 from unmixing_spark.pipeline import register_tables
 from unmixing_spark.queries import QuerySpec, register
 
-# Docs that contribute an image pair: bounded so the query prices the
-# pipeline shape, not pure-Python codec throughput, at every sf.
+# Docs that contribute a media pair (one original + one planted twin
+# per modality): bounded so each registry query prices the pipeline
+# shape, not pure-Python codec throughput, at every sf. The scaling
+# worker (scripts/scaling_bench.py media job) is where volume grows.
 N_DOCS = 96
 
 
