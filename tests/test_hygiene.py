@@ -367,6 +367,73 @@ def test_source_mix_matches_brute_force(spark):
     assert abs(int(out["target_toks"].sum()) - st) <= len(out)
 
 
+def test_mix_rebalance_matches_brute_force(spark):
+    import hashlib
+    import math
+
+    from unmixing_spark.queries.hygiene_q import MIX_TIER_DEFAULT, MIX_TIERS
+
+    out = (registry()["q_mix_rebalance"].spark_fn(spark, SF_SMALL)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = _docs()
+
+    def tier_wt(source: str) -> float:
+        idx = int(source[3:])
+        for hi, w in MIX_TIERS:
+            if idx < hi:
+                return w
+        return MIX_TIER_DEFAULT
+
+    toks = {int(r["doc_id"]): len(re.split(r"\s+", r["text"]))
+            for _, r in docs.iterrows()}
+    src_of = {int(r["doc_id"]): r["source"] for _, r in docs.iterrows()}
+    src_toks: dict[str, int] = {}
+    for did, s in src_of.items():
+        src_toks[s] = src_toks.get(s, 0) + toks[did]
+    sw = sum(tier_wt(s) for s in src_toks)
+    st = sum(src_toks.values())
+    rate = {s: _rnd((tier_wt(s) / sw) * st / src_toks[s], 6)
+            for s in src_toks}
+    repeats: dict[int, int] = {}
+    for did, s in src_of.items():
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) / 2**32
+        r = rate[s]
+        repeats[did] = int(math.floor(r)) + (1 if u < r - math.floor(r)
+                                             else 0)
+    out_toks = {s: 0 for s in src_toks}
+    for did, s in src_of.items():
+        out_toks[s] += toks[did] * repeats[did]
+    ot = sum(out_toks.values())
+
+    assert set(out.index) == set(toks)
+    for did in toks:
+        got = out.loc[did]
+        s = src_of[did]
+        assert got["source"] == s
+        assert int(got["n_toks"]) == toks[did]
+        assert abs(got["target_share"] - _rnd(tier_wt(s) / sw, 6)) < 1e-9
+        assert abs(got["natural_share"] - _rnd(src_toks[s] / st, 6)) < 1e-9
+        assert abs(got["rate"] - rate[s]) < 1e-9
+        assert int(got["repeats"]) == repeats[did]
+        assert abs(got["achieved_share"] - _rnd(out_toks[s] / ot, 6)) < 1e-9
+    # recipe semantics: tier-4 sources are upsampled past their natural
+    # share, tier-1 web sources downsampled below it; the realized mix
+    # lands within 3 sigma of the target per source (stochastic rounding
+    # flips are independent Bernoullis, var <= sum tok_i^2 / 4)
+    per_src = out.groupby("source").first()
+    hi = per_src[[s.startswith("src") and int(s[3:]) < 5
+                  for s in per_src.index]]
+    lo = per_src[[int(s[3:]) >= 10 for s in per_src.index]]
+    assert (hi["target_share"] > hi["natural_share"]).all()
+    assert (lo["target_share"] < lo["natural_share"]).all()
+    assert (hi["rate"] > 1.0).all() and (lo["rate"] < 1.0).all()
+    for s in src_toks:
+        drift = abs(out_toks[s] - (tier_wt(s) / sw) * st)
+        sigma = 0.5 * math.sqrt(sum(toks[d] ** 2 for d in toks
+                                    if src_of[d] == s))
+        assert drift <= 3 * sigma, (s, drift, sigma)
+
+
 class _PyExtractor:
     """Independent third-way HTML extractor: a real event-driven parse
     (html.parser with convert_charrefs) instead of the query's regex

@@ -749,6 +749,101 @@ sql_template("q_source_mix", _source_mix,
              "over-epoch-cap flags")
 
 
+# ---- explicit-recipe mixture rebalance (materialized) -------------------------
+
+# Hand-set recipe weights by source tier — the Pile/LLaMA-style table where
+# a human assigns each source a quality multiplier (Gao et al. 2020 Table 1
+# publishes per-source epochs; Touvron et al. 2023 Table 1 the sampling
+# proportions). Tiers are declared on the source id: src0-4 "curated" 4x,
+# src5-9 "books-grade" 2x, the rest "web" 1x.
+MIX_TIERS = ((5, 4.0), (10, 2.0))   # (exclusive upper src index, weight)
+MIX_TIER_DEFAULT = 1.0
+
+
+def _mix_rebalance(d: str) -> str:
+    """Materialized mixture rebalance — the EXECUTION step downstream of
+    the q_source_mix plan: given explicit per-source recipe weights
+    (MIX_TIERS), emit per-document repeat counts that realize the target
+    token shares at constant total-token budget. A target share above a
+    source's natural share upsamples it (repeats >= 1 grows past 1
+    epoch); below, downsamples (some docs drop to repeats = 0).
+
+    Fractional rates materialize by DETERMINISTIC stochastic rounding:
+    repeats = floor(rate) + [u < frac(rate)] with u = md5(doc_id)/2^32 —
+    reproducible across runs, shards, and engines (no RNG state; the
+    same doctrine as q_sample_10pct/q_weighted_sample), and unbiased in
+    expectation per source. The per-source achieved_share audit column
+    is computed IN the query so the oracle value-hash gates both the
+    assignment and its realized mixture.
+
+    Bit-parity: rate rounds to 6 BEFORE floor/frac/compare so both
+    engines branch on identical doubles; u is an exact dyadic rational
+    (32-bit int / 2^32); achieved shares divide exact bigint token sums.
+
+    Scale shape: one source-keyed 20-row aggregate (map-side combined),
+    a 1-row total, and two broadcast joins back onto the doc stream —
+    the corpus is touched by map-only passes plus tiny re-joins; no
+    wide shuffle, and deliberately NO global window — achieved shares
+    come from a second column-pruned corpus pass into a 20-row
+    aggregate, because sum(...) OVER () would funnel every row through
+    one partition. At 10^12 docs the rate table is still #sources
+    rows. DuckDB materializes doc/rep (D.mat) against its
+    inline-everything CTE default."""
+    toks = (f"size({D.ws_split('text', d)})" if d == D.SPARK
+            else f"len({D.ws_split('text', d)})")
+    tiers = " ".join(
+        f"WHEN cast(substr(source, 4) as int) < {hi} THEN {D.dbl(w)}"
+        for hi, w in MIX_TIERS)
+    wt = f"CASE {tiers} ELSE {D.dbl(MIX_TIER_DEFAULT)} END"
+    u = f"cast({D.md5_slice(D.to_str('doc_id', d), 1, d)} as double) / cast(4294967296 as double)"
+    return f"""
+    WITH doc AS {D.mat(d)}(
+      SELECT doc_id, source, cast({toks} as bigint) AS n_toks
+      FROM documents
+    ),
+    src AS (
+      SELECT source, cast(sum(n_toks) as bigint) AS src_toks,
+             max({wt}) AS wt
+      FROM doc GROUP BY source
+    ),
+    tot AS (SELECT sum(wt) AS sw, cast(sum(src_toks) as bigint) AS st FROM src),
+    rate AS (
+      SELECT s.source,
+             round(s.wt / t.sw, 6)                          AS target_share,
+             round(cast(s.src_toks as double) / t.st, 6)    AS natural_share,
+             round((s.wt / t.sw) * t.st / s.src_toks, 6)    AS rate
+      FROM src s CROSS JOIN tot t
+    ),
+    rep AS {D.mat(d)}(
+      SELECT d.doc_id, d.source, d.n_toks, r.target_share, r.natural_share,
+             r.rate,
+             cast(floor(r.rate) as bigint)
+               + (CASE WHEN ({u}) < r.rate - floor(r.rate)
+                       THEN 1 ELSE 0 END)                   AS repeats
+      FROM doc d JOIN rate r ON d.source = r.source
+    ),
+    achieved AS (
+      SELECT source,
+             cast(sum(n_toks * repeats) as bigint) AS out_toks
+      FROM rep GROUP BY source
+    ),
+    out_tot AS (SELECT cast(sum(out_toks) as bigint) AS ot FROM achieved)
+    SELECT p.doc_id, p.source, p.n_toks, p.target_share, p.natural_share,
+           p.rate, p.repeats,
+           round(cast(a.out_toks as double) / o.ot, 6) AS achieved_share
+    FROM rep p
+    JOIN achieved a ON a.source = p.source
+    CROSS JOIN out_tot o
+    """
+
+
+sql_template("q_mix_rebalance", _mix_rebalance,
+             "explicit-recipe mixture rebalance: per-doc deterministic "
+             "repeat counts (stochastic rounding by doc hash) realizing "
+             "Pile/LLaMA-style target token shares, with in-query "
+             "achieved-share audit")
+
+
 # ---- HTML boilerplate stripping / text extraction -----------------------------
 
 # The html column (BASELINE input_hint: pages(... html binary ...)) is
