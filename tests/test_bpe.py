@@ -110,3 +110,55 @@ def test_sequence_packing_bpe_matches_pure_python(spark):
         assert int(got["seq_offset"]) == prefix % PACK_BUDGET
         assert int(got["boundary_crossings"]) == (
             (prefix + n) // PACK_BUDGET - prefix // PACK_BUDGET)
+
+
+def test_bpe_train_distributed_matches_pure_python(spark):
+    from unmixing_spark.queries.text_q import BPE_TRAIN_MERGES
+
+    out = (registry()["q_bpe_train"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("rank").reset_index(drop=True))
+    docs = _docs().sort_values("doc_id")
+    texts = list(docs["text"])
+
+    # independent brute force WITH counts: replay Sennrich Algorithm 1
+    # capturing the argmax count each round (train_bpe returns pairs only)
+    freq: dict[tuple[str, ...], int] = {}
+    for text in texts:
+        for w in pretokenize(text):
+            t = tuple(w)
+            freq[t] = freq.get(t, 0) + 1
+    expect: list[tuple[int, str, str, str, int]] = []
+    for rank in range(BPE_TRAIN_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in freq.items():
+            for p in zip(word, word[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), cnt = best
+        expect.append((rank, l, r, l + r, cnt))
+        new_freq: dict[tuple[str, ...], int] = {}
+        for word, n in freq.items():
+            out_syms, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == l and word[i + 1] == r:
+                    out_syms.append(l + r)
+                    i += 2
+                else:
+                    out_syms.append(word[i])
+                    i += 1
+            t = tuple(out_syms)
+            new_freq[t] = new_freq.get(t, 0) + n
+        freq = new_freq
+
+    got = [(int(r["rank"]), r["left"], r["right"], r["merged"],
+            int(r["pair_count"])) for _, r in out.iterrows()]
+    assert got == expect
+    # the same corpus trained the packaged table: prefixes must agree
+    # (train_bpe itself is the third way; both must say the same merges)
+    assert [(g[1], g[2]) for g in got] == [
+        tuple(p) for p in load_merges()[:len(got)]]
+    assert [(g[1], g[2]) for g in got] == train_bpe(texts, len(got))

@@ -817,6 +817,111 @@ register("q_sequence_packing_bpe", QuerySpec(
         "q_sequence_packing, counts pinned by the BPE goldens"))
 
 
+BPE_TRAIN_MERGES = 12   # trainer rounds in the registry shape; the
+                        # production vocab is the same loop run longer
+
+
+def _bpe_train(spark, sf_dir):
+    """Distributed BPE merge LEARNING (Sennrich et al. 2016 Algorithm 1)
+    — the tokenizer-training stage itself, upstream of the pinned
+    encoder q_bpe_token_count applies: learn the first BPE_TRAIN_MERGES
+    merges from the corpus, emitting (rank, left, right, merged,
+    pair_count).
+
+    Spark shape: the corpus is touched ONCE — a pre-tokenize (the same
+    GPT-2-style regex as text/bpe.py, run JVM-side via
+    regexp_extract_all) + word-count shuffle (map-side combined) builds
+    the DISTINCT-word frequency table; by Heaps' law that vocab table is
+    ≪ corpus (millions of rows against trillions of tokens), and every
+    training round runs over it alone. Per round: adjacent-pair counts
+    explode from the symbol arrays (map-side combined into ~|alphabet|²
+    keys), the argmax lands via orderBy+LIMIT 1 — Spark's
+    TakeOrderedAndProject, per-partition top-1 then a driver merge, no
+    global sort — and the winning pair is applied with a JVM-side
+    higher-order aggregate() that rewrites symbol arrays left-to-right
+    non-overlapping (no Python in the loop). localCheckpoint truncates
+    lineage each round (the q_neardup_components loop doctrine). The
+    K-round sequential driver loop is inherent to BPE's greedy argmax;
+    production trainers amortize it by applying batches of
+    non-interacting merges per round — same loop body, fewer rounds.
+
+    Tie-break parity with the pure-Python trainer: max count, then
+    lexicographically smallest (left, right) — ASCII corpus, so Python
+    code-point order == Spark binary collation. Rows-only by design
+    (iterative argmax is not one SQL statement); pinned in
+    tests/test_bpe.py against train_bpe AND the packaged
+    bpe_merges.json prefix."""
+    from pyspark.sql import functions as F
+
+    from unmixing_spark.pipeline import register_tables
+    from unmixing_spark.text.bpe import PRETOKEN_RE
+
+    register_tables(spark, sf_dir, ("documents",))
+    vocab = (spark.table("documents")
+             .select(F.explode(F.regexp_extract_all(
+                 "text", F.lit(PRETOKEN_RE.pattern), F.lit(0))).alias("word"))
+             .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+             .select(F.expr("transform(sequence(1, length(word)), "
+                            "i -> substring(word, i, 1))").alias("syms"),
+                     "freq")
+             .localCheckpoint())
+
+    pairs_expr = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] AS l, syms[i + 1] AS r))")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(BPE_TRAIN_MERGES):
+        best = (vocab.where(F.size("syms") >= 2)
+                .select(F.explode(pairs_expr).alias("p"), "freq")
+                .groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r").limit(1).collect())
+        if not best or int(best[0]["cnt"]) < 2:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        pair = spark.createDataFrame([(left, right)],
+                                     "l_best string, r_best string")
+        vocab = (vocab.crossJoin(F.broadcast(pair))
+                 .select(F.expr("""
+            CASE WHEN size(syms) < 2
+                      OR NOT exists(transform(sequence(0, size(syms) - 2),
+                                              i -> syms[i] = l_best
+                                                   AND syms[i + 1] = r_best),
+                                    h -> h)
+                 THEN syms
+                 ELSE aggregate(
+                   syms,
+                   named_struct('out', cast(array() as array<string>),
+                                'pend', cast(null as string)),
+                   (acc, x) -> CASE
+                     WHEN acc.pend IS NULL
+                       THEN named_struct('out', acc.out, 'pend', x)
+                     WHEN acc.pend = l_best AND x = r_best
+                       THEN named_struct(
+                         'out', concat(acc.out, array(l_best || r_best)),
+                         'pend', cast(null as string))
+                     ELSE named_struct(
+                       'out', concat(acc.out, array(acc.pend)), 'pend', x)
+                   END,
+                   acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                               ELSE concat(acc.out, array(acc.pend)) END)
+            END""").alias("syms"), "freq")
+                 .localCheckpoint())
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint")
+
+
+register("q_bpe_train", QuerySpec(
+    spark_fn=_bpe_train, oracle=None,
+    doc="distributed BPE merge learning (Sennrich 2016): one corpus "
+        "pass into the distinct-word table, then vocab-sized rounds of "
+        "pair-count argmax + JVM-side merge application; rows-only "
+        "(iterative), pinned against the pure-Python trainer and the "
+        "packaged merge table in tests/test_bpe.py"))
+
+
 # ---- vocabulary statistics ---------------------------------------------------
 
 ZIPF_TOP = 20   # emitted rows: the top-ZIPF_TOP tokens by frequency
