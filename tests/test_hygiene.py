@@ -434,6 +434,51 @@ def test_mix_rebalance_matches_brute_force(spark):
         assert drift <= 3 * sigma, (s, drift, sigma)
 
 
+def test_kanon_release_matches_brute_force(spark):
+    from unmixing_spark.queries.hygiene_q import K_ANON
+
+    out = (registry()["q_kanon_release"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    docs = _docs()
+    cells: dict[tuple[str, str], list[int]] = {}
+    for _, r in docs.iterrows():
+        cells.setdefault((r["lang"], r["source"]), []).append(
+            int(r["n_chars"]))
+    expect: set[tuple[str, str, int, int, int]] = set()
+    pool1: dict[str, tuple[int, int]] = {}
+    for (lang, src), chars in cells.items():
+        if len(chars) >= K_ANON:
+            expect.add((lang, src, len(chars), sum(chars), 0))
+        else:
+            n, c = pool1.get(lang, (0, 0))
+            pool1[lang] = (n + len(chars), c + sum(chars))
+    pool2 = (0, 0)
+    for lang, (n, c) in pool1.items():
+        if n >= K_ANON:
+            expect.add((lang, "*", n, c, 1))
+        else:
+            pool2 = (pool2[0] + n, pool2[1] + c)
+    if pool2[0] >= K_ANON:
+        expect.add(("*", "*", pool2[0], pool2[1], 2))
+
+    got = {(r["lang"], r["source"], int(r["n_docs"]),
+            int(r["n_chars_sum"]), int(r["anonymity_level"]))
+           for _, r in out.iterrows()}
+    assert got == expect
+    # the in-query proof must hold and agree with an external check
+    assert (out["kanon_ok"] == 1).all()
+    assert int(out["n_docs"].min()) >= K_ANON
+    # fixture shape: all three behaviours exercised — exact cells,
+    # generalized rows, and a nonzero suppressed remainder accounted for
+    levels = set(out["anonymity_level"])
+    assert 0 in levels and len(levels) >= 2, levels
+    published = int(out["n_docs"].sum())
+    suppressed = len(docs) - published
+    assert 0 <= suppressed < K_ANON
+    if suppressed:
+        assert 2 not in levels  # suppression only ever hits the residual
+
+
 class _PyExtractor:
     """Independent third-way HTML extractor: a real event-driven parse
     (html.parser with convert_charrefs) instead of the query's regex

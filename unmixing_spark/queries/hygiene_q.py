@@ -844,6 +844,72 @@ sql_template("q_mix_rebalance", _mix_rebalance,
              "achieved-share audit")
 
 
+# ---- k-anonymous release (privacy-preserving corpus statistics) ---------------
+
+K_ANON = 4   # minimum published group size (Sweeney 2002 k-anonymity)
+
+
+def _kanon_release(d: str) -> str:
+    """k-anonymous corpus-statistics release (Sweeney 2002): publish
+    per-(lang, source) doc counts and char sums only for groups of at
+    least K_ANON documents; smaller groups GENERALIZE up the hierarchy
+    (source → '*', then lang → '*') and pool, and a pooled cell still
+    under K_ANON is suppressed outright rather than published — the
+    release-side counterpart to q_pii_redact's record-side scrub (what
+    a corpus dashboard / datasheet pipeline runs before numbers leave
+    the enclave). anonymity_level records how far each published row
+    generalized (0 = exact cell, 1 = lang only, 2 = global residual);
+    kanon_ok is the in-query proof that EVERY published row meets the
+    floor, so the oracle value-hash gates the guarantee itself, not
+    just the arithmetic.
+
+    Scale shape: one (lang, source)-keyed map-side-combined aggregate
+    (≤ |lang|·|source| rows ≪ corpus), then all pooling, flags, and
+    the min() OVER () audit run on that tiny release table — the
+    global window never sees the corpus stream."""
+    k = K_ANON
+    return f"""
+    WITH g AS (
+      SELECT lang, source,
+             cast(count(*) as bigint)     AS n_docs,
+             cast(sum(n_chars) as bigint) AS n_chars_sum
+      FROM documents GROUP BY lang, source
+    ),
+    lvl1 AS (
+      SELECT lang, cast(sum(n_docs) as bigint) AS n_docs,
+             cast(sum(n_chars_sum) as bigint)  AS n_chars_sum
+      FROM g WHERE n_docs < {k} GROUP BY lang
+    ),
+    lvl2 AS (
+      SELECT cast(sum(n_docs) as bigint)      AS n_docs,
+             cast(sum(n_chars_sum) as bigint) AS n_chars_sum
+      FROM lvl1 WHERE n_docs < {k}
+      HAVING sum(n_docs) IS NOT NULL
+    ),
+    pub AS (
+      SELECT lang, source, n_docs, n_chars_sum, cast(0 as int) AS anonymity_level
+      FROM g WHERE n_docs >= {k}
+      UNION ALL
+      SELECT lang, '*' AS source, n_docs, n_chars_sum, cast(1 as int)
+      FROM lvl1 WHERE n_docs >= {k}
+      UNION ALL
+      SELECT '*' AS lang, '*' AS source, n_docs, n_chars_sum, cast(2 as int)
+      FROM lvl2 WHERE n_docs >= {k}
+    )
+    SELECT lang, source, n_docs, n_chars_sum, anonymity_level,
+           cast(CASE WHEN min(n_docs) OVER () >= {k} THEN 1 ELSE 0 END as int)
+             AS kanon_ok
+    FROM pub
+    """
+
+
+sql_template("q_kanon_release", _kanon_release,
+             "k-anonymous statistics release: per-(lang, source) counts "
+             "published only at group size >= K_ANON, smaller cells "
+             "generalized up the hierarchy and pooled, residuals under "
+             "the floor suppressed; in-query kanon_ok proof")
+
+
 # ---- HTML boilerplate stripping / text extraction -----------------------------
 
 # The html column (BASELINE input_hint: pages(... html binary ...)) is
