@@ -575,3 +575,66 @@ def test_kcore_adaptive_loop_beats_any_fixed_unroll(spark):
     deg, rounds = kcore_alive(edges, k=2)
     assert deg.count() == 0           # a path has no 2-core
     assert rounds > KC_ORACLE_ROUNDS  # genuinely adaptive depth
+
+
+def _lpa_expected():
+    doc_ids = sorted(
+        pd.read_parquet(f"{SF_SMALL}/documents.parquet")["doc_id"]
+        .astype(int).tolist())
+    n = len(doc_ids)
+    edges = set()
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16) % n
+            if h != d:
+                edges.add((min(d, h), max(d, h)))
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {d: d for d in doc_ids}
+    rounds = 0
+    while True:
+        rounds += 1
+        assert rounds < 60
+        new, changed = {}, 0
+        for d in doc_ids:
+            cnt = {lbl[d]: 1}
+            for m in adj.get(d, []):
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[d] = best
+            changed += best != lbl[d]
+        lbl = new
+        if changed == 0:
+            return lbl, rounds, doc_ids
+
+
+def test_label_prop_matches_python_fixpoint(spark):
+    """q_label_prop vs an independent synchronous self-vote LPA replay
+    run to ITS OWN fixpoint (no shared round constant — if the Spark
+    loop exited early or the update rule drifted, the labelings would
+    disagree)."""
+    from unmixing_spark.queries.linkgraph_q import LP_ORACLE_ROUNDS
+
+    out = (registry()["q_label_prop"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    lbl, rounds, doc_ids = _lpa_expected()
+    # headroom contract for the unrolled oracle
+    assert rounds <= LP_ORACLE_ROUNDS, (rounds, LP_ORACLE_ROUNDS)
+    assert list(out["doc_id"].astype(int)) == doc_ids
+    assert (out["converged"] == 1).all()
+    got = dict(zip(out["doc_id"].astype(int), out["community"].astype(int)))
+    assert got == lbl
+    import collections
+    sizes = collections.Counter(lbl.values())
+    got_sizes = dict(zip(out["community"].astype(int),
+                         out["comm_size"].astype(int)))
+    for c, s in sizes.items():
+        assert got_sizes[c] == s
+    ex = {int(r["doc_id"]) for _, r in out.iterrows()
+          if r["is_exemplar"] == 1}
+    assert ex == {d for d in doc_ids if lbl[d] == d}
+    # non-degenerate: a real multi-community partition with structure
+    assert 10 < len(sizes) < len(doc_ids)
+    assert max(sizes.values()) > 2
