@@ -1373,3 +1373,81 @@ register("q_label_prop", QuerySpec(
         "deterministic synchronous self-vote variant): adaptive "
         "driver-checked loop to a proven fixpoint vs an unrolled DuckDB "
         "oracle, with in-query convergence proof and community sizes"))
+
+
+# ---- modularity audit of the source partition ----------------------------------
+
+
+def _modularity(d: str) -> str:
+    """Newman modularity (Newman & Girvan 2004, eq. 5) of the SOURCE
+    partition over the undirected link graph: per community c,
+    Q_c = L_c/m - (D_c/2m)^2 where L_c = intra-community edges, D_c = sum
+    of member degrees, m = total edges; Q = sum_c Q_c. The standard audit
+    of whether a node attribute explains the link structure — run it on
+    crawl `source` (as here) or on q_label_prop's communities to decide
+    whether source-level weighting and community-level weighting differ.
+    On the md5-synthetic graph sources are unrelated to link targets, so
+    Q ~ 0 (the null-model reading) — the honest expected value, asserted
+    in tests/test_linkgraph.py against an independent Python replay.
+
+    Bit-parity: every float derives from exact bigint aggregates (edge
+    counts, degree sums, sum of squared degree sums) through ONE
+    identically-written IEEE expression per column, then round(9) — no
+    cross-engine float summation anywhere. Scale shape (10^12 pages):
+    und/deg/intra are single keyed exchanges over the edge list; the
+    community tables are host-cardinality (orders below pages); the
+    final join is community-keyed. degree_sum^2 is summed as bigint —
+    exact until a single community's degree sum passes 3e9, the honest
+    overflow edge a 10^12-page run would pre-aggregate in double."""
+    return f"""
+    WITH {_link_ctes(d)},
+    und AS {D.mat(d)}(
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM links WHERE src <> dst
+    ),
+    mm AS (SELECT cast(count(*) as double) AS m FROM und),
+    com AS (SELECT doc_id, source AS community FROM documents),
+    deg AS (
+      SELECT id, cast(count(*) as bigint) AS deg FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) e
+      GROUP BY id
+    ),
+    intra AS (
+      SELECT cu.community, cast(count(*) as bigint) AS intra_edges
+      FROM und
+      JOIN com cu ON cu.doc_id = und.u
+      JOIN com cv ON cv.doc_id = und.v
+      WHERE cu.community = cv.community
+      GROUP BY cu.community
+    ),
+    dsum AS (
+      SELECT c.community, cast(count(*) as bigint) AS n_nodes,
+             cast(sum(coalesce(dg.deg, 0)) as bigint) AS degree_sum
+      FROM com c LEFT JOIN deg dg ON dg.id = c.doc_id
+      GROUP BY c.community
+    ),
+    tot AS (
+      SELECT cast(sum(coalesce(i.intra_edges, 0)) as double) AS si,
+             cast(sum(ds.degree_sum * ds.degree_sum) as double) AS sq
+      FROM dsum ds LEFT JOIN intra i ON i.community = ds.community
+    )
+    SELECT ds.community,
+           ds.n_nodes,
+           cast(coalesce(i.intra_edges, 0) as bigint) AS intra_edges,
+           ds.degree_sum,
+           round(cast(coalesce(i.intra_edges, 0) as double) / mm.m
+                 - cast(ds.degree_sum * ds.degree_sum as double)
+                   / ({D.dbl(4.0)} * mm.m * mm.m), 9) AS q_contrib,
+           round(t.si / mm.m - t.sq / ({D.dbl(4.0)} * mm.m * mm.m), 9)
+             AS q_total
+    FROM dsum ds
+    LEFT JOIN intra i ON i.community = ds.community
+    CROSS JOIN mm
+    CROSS JOIN tot t
+    """
+
+
+sql_template("q_modularity", _modularity,
+             "Newman modularity audit of the source partition over the "
+             "link graph: per-community L_c/m - (D_c/2m)^2 from exact "
+             "integer aggregates, plus the global Q")
