@@ -110,11 +110,14 @@ HEADLINE = [
     "q_triangle_clustering",
     "q_kcore_membership",
     "q_interval_join",
-    # q_label_prop stays OUT of the headline suite by choice: its
-    # adaptive neighbor-vote loop is the q_neardup_components /
-    # q_kcore_membership multi-round label-loop shape the suite already
-    # prices twice (per-round join + keyed agg + checkpoint truncation);
-    # it remains fully oracled + pinned in tests/test_linkgraph.py.
+    # q_label_prop and q_bowtie stay OUT of the headline suite by
+    # choice: the adaptive neighbor-vote loop and the three frontier-BFS
+    # closures are the q_neardup_components / q_kcore_membership
+    # multi-round loop shape the suite already prices twice — at toy
+    # scale their cost is the same per-round stage overhead (bowtie's
+    # per-round traffic is frontier-sized, strictly below the label
+    # loops, so the suite's pricing is conservative for it); both remain
+    # fully oracled + pinned in tests/test_linkgraph.py.
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",

@@ -685,3 +685,71 @@ def test_modularity_matches_python_bruteforce(spark):
     # Q must sit at the null-model reading, distinguishable from a
     # genuinely assortative graph (|Q| would be >= 0.1 there)
     assert abs(exp_total) < 0.05
+
+
+def test_bowtie_matches_python_bruteforce(spark):
+    """q_bowtie vs an independent Python BFS replay: same pivot rule
+    (max total degree, ties min id), three reachability closures run to
+    their own fixpoints, same set algebra."""
+    from unmixing_spark.queries.linkgraph_q import BT_ORACLE_ROUNDS
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    doc_ids = sorted(docs["doc_id"].astype(int))
+    n = len(doc_ids)
+    links = []
+    for d in doc_ids:
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16) % n
+            links.append((d, h))
+    deg: dict[int, int] = {}
+    for u, v in links:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    pivot = min(deg, key=lambda i: (-deg[i], i))
+
+    def closure(edges):
+        adj: dict[int, list[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        seen, frontier, depth = {pivot}, [pivot], 0
+        while frontier:
+            depth += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        return seen, depth
+
+    fw, dfw = closure(links)
+    bw, dbw = closure([(v, u) for u, v in links])
+    wc, dwc = closure(links + [(v, u) for u, v in links])
+    assert max(dfw, dbw, dwc) <= BT_ORACLE_ROUNDS  # oracle headroom
+    exp = {}
+    for d in doc_ids:
+        if d in fw and d in bw:
+            exp[d] = "SCC"
+        elif d in bw:
+            exp[d] = "IN"
+        elif d in fw:
+            exp[d] = "OUT"
+        elif d in wc:
+            exp[d] = "TENDRIL"
+        else:
+            exp[d] = "DISCONNECTED"
+
+    out = (registry()["q_bowtie"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["pivot_id"] == pivot).all()
+    assert (out["converged"] == 1).all()
+    got = dict(zip(out["doc_id"].astype(int), out["region"]))
+    assert got == exp
+    import collections
+    sizes = collections.Counter(exp.values())
+    got_sizes = dict(zip(out["region"], out["region_size"].astype(int)))
+    assert got_sizes == dict(sizes)
+    # non-degenerate: the graph has a real bowtie (giant SCC + periphery)
+    assert sizes["SCC"] > n // 4
+    assert len(sizes) >= 3

@@ -1451,3 +1451,186 @@ sql_template("q_modularity", _modularity,
              "Newman modularity audit of the source partition over the "
              "link graph: per-community L_c/m - (D_c/2m)^2 from exact "
              "integer aggregates, plus the global Q")
+
+
+# ---- Broder bowtie decomposition ------------------------------------------------
+
+BT_ORACLE_ROUNDS = 18  # fixed unroll depth for the DuckDB oracle ONLY:
+                       # BFS depth on the md5-synthetic graph is ~9-12
+                       # across 500-20,000 nodes (random-graph diameter
+                       # ~ ln n / ln avg_deg); reachability sets are
+                       # monotone, so rounds past the fixpoint are exact
+                       # no-ops and 18 is pure headroom — the oracle
+                       # re-checks convergence in-query
+BT_MAX_ROUNDS = 64     # hard cap for the adaptive Spark frontier loops
+
+
+def _bt_reach_ctes(tag: str, edges: str) -> list[str]:
+    """Unrolled monotone reachability from ``pivot`` over ``edges``
+    (src, dst) as DuckDB CTEs ``{tag}0..{tag}N``: each round unions the
+    out-neighbors of the current set. Monotone and bounded, so any
+    depth >= the true BFS eccentricity lands on the exact closure."""
+    ctes = [f"{tag}0 AS MATERIALIZED (SELECT id FROM pv)"]
+    for r in range(BT_ORACLE_ROUNDS):
+        ctes.append(f"""{tag}{r + 1} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM {tag}{r}
+        UNION ALL
+        SELECT e.dst AS id FROM {edges} e
+        JOIN {tag}{r} p ON p.id = e.src) u)""")
+    return ctes
+
+
+def _bowtie_oracle() -> str:
+    """Bowtie regions as the set algebra over three exact reachability
+    closures from the max-degree pivot: SCC = fwd ∩ bwd, IN = bwd \\ SCC,
+    OUT = fwd \\ SCC, TENDRIL = (weakly connected) \\ (SCC ∪ IN ∪ OUT)
+    — Broder's tendrils+tubes lumped, as in the paper's Table 1 —
+    DISCONNECTED = outside the pivot's weak component. Convergence is
+    re-checked in-query: monotone set sizes equal across the last two
+    rounds prove all three closures are fixpoints."""
+    dd = D.DUCKDB
+    ctes = [_link_ctes(dd), """degs AS (
+      SELECT id, cast(count(*) as bigint) AS dg FROM (
+        SELECT src AS id FROM links
+        UNION ALL
+        SELECT dst AS id FROM links) x
+      GROUP BY id)""", """pv AS MATERIALIZED (
+      SELECT id FROM degs ORDER BY dg DESC, id LIMIT 1)""", """rev AS (
+      SELECT dst AS src, src AS dst FROM links)""", """sym AS (
+      SELECT src, dst FROM links
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM links)"""]
+    ctes += _bt_reach_ctes("fw", "links")
+    ctes += _bt_reach_ctes("bw", "rev")
+    ctes += _bt_reach_ctes("wc", "sym")
+    R, P = BT_ORACLE_ROUNDS, BT_ORACLE_ROUNDS - 1
+    ctes.append(f"""conv AS (
+      SELECT cast(CASE WHEN (SELECT count(*) FROM fw{R})
+                          = (SELECT count(*) FROM fw{P})
+                   AND (SELECT count(*) FROM bw{R})
+                          = (SELECT count(*) FROM bw{P})
+                   AND (SELECT count(*) FROM wc{R})
+                          = (SELECT count(*) FROM wc{P})
+                  THEN 1 ELSE 0 END as int) AS converged)""")
+    ctes.append(f"""tagged AS MATERIALIZED (
+      SELECT d.doc_id,
+             CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'SCC'
+                  WHEN b.id IS NOT NULL THEN 'IN'
+                  WHEN f.id IS NOT NULL THEN 'OUT'
+                  WHEN w.id IS NOT NULL THEN 'TENDRIL'
+                  ELSE 'DISCONNECTED' END AS region
+      FROM documents d
+      LEFT JOIN fw{R} f ON f.id = d.doc_id
+      LEFT JOIN bw{R} b ON b.id = d.doc_id
+      LEFT JOIN wc{R} w ON w.id = d.doc_id)""")
+    ctes.append("""sized AS (
+      SELECT region, cast(count(*) as bigint) AS region_size
+      FROM tagged GROUP BY region)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT t.doc_id,
+           t.region,
+           s.region_size,
+           cast((SELECT id FROM pv) as bigint) AS pivot_id,
+           c.converged
+    FROM tagged t
+    JOIN sized s ON s.region = t.region
+    CROSS JOIN conv c
+    """
+
+
+def _bt_reach_spark(edges: DataFrame, pivot_df: DataFrame) -> DataFrame:
+    """Adaptive frontier BFS to the exact reachability closure: per
+    round one src-keyed join (frontier is tiny and broadcastable most
+    rounds — AQE decides) + one anti-join against the closure so far;
+    the Observation on the eagerly-checkpointed new-frontier counts
+    discovered nodes with zero extra jobs. Exits at the PROVEN empty
+    frontier; raises past BT_MAX_ROUNDS rather than returning a
+    truncated closure. Scale shape (10^12 pages): per-round traffic is
+    frontier-sized, the closure table only ever receives appends, and
+    on a cluster the edge side is bucketed by src so rounds reuse one
+    partitioning."""
+    reached = pivot_df.localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(BT_MAX_ROUNDS):
+        new = (edges.join(frontier.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id")).distinct()
+               .join(reached, "id", "left_anti"))
+        obs = Observation()
+        new = new.observe(obs, F.count(F.lit(1)).alias("n"))
+        new = new.localCheckpoint(eager=True)
+        if not obs.get["n"]:
+            return reached
+        reached = reached.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    raise RuntimeError(
+        f"bowtie: reachability not closed after {BT_MAX_ROUNDS} rounds — "
+        "refusing to return a truncated closure")
+
+
+def _bowtie_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowtie decomposition of the web graph (Broder et al. 2000,
+    "Graph structure in the Web"): classify every page relative to the
+    strongly connected component of a deterministic pivot (max total
+    degree, ties to the smallest id — the paper anchors on the giant
+    SCC; the max-degree page sits inside it on any graph where the
+    giant SCC exists) into SCC / IN / OUT / TENDRIL (tendrils+tubes
+    lumped, per the paper's Table 1) / DISCONNECTED. The crawl-policy
+    instrument: recrawl budgets concentrate on SCC+IN, OUT-heavy hosts
+    are sinks, DISCONNECTED mass measures frontier leakage.
+
+    Three adaptive frontier-BFS closures (forward, reverse, undirected)
+    over the checkpointed edge list, then one classification join —
+    exact, not the HyperBall estimate (q_effective_diameter /
+    q_harmonic_hyperball remain the approximate O(n log n) scale path
+    for distance DISTRIBUTIONS; the bowtie needs only set membership,
+    which is exactly computable at web scale this way — Broder ran it
+    on 200M pages in 2000)."""
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+    ).localCheckpoint(eager=True)
+    degs = (links.select(F.col("src").alias("id"))
+            .unionAll(links.select(F.col("dst").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("dg")))
+    piv = degs.agg(F.max(F.struct(F.col("dg"), (-F.col("id")).alias("ni")))
+                   .alias("m")).select((-F.col("m.ni")).alias("id"))
+    pivot_id = int(piv.collect()[0]["id"])  # 1-row sanctioned aggregate
+    pivot_df = spark.createDataFrame([(pivot_id,)], "id bigint")
+    rev = links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = links.unionAll(rev).localCheckpoint(eager=True)
+    fw = _bt_reach_spark(links, pivot_df)
+    bw = _bt_reach_spark(rev.localCheckpoint(eager=True), pivot_df)
+    wc = _bt_reach_spark(sym, pivot_df)
+    docs = spark.table("documents").select("doc_id")
+    tagged = (docs
+              .join(fw.withColumnRenamed("id", "doc_id")
+                    .withColumn("f", F.lit(1)), "doc_id", "left")
+              .join(bw.withColumnRenamed("id", "doc_id")
+                    .withColumn("b", F.lit(1)), "doc_id", "left")
+              .join(wc.withColumnRenamed("id", "doc_id")
+                    .withColumn("w", F.lit(1)), "doc_id", "left")
+              .select("doc_id",
+                      F.when(F.col("f").isNotNull()
+                             & F.col("b").isNotNull(), "SCC")
+                      .when(F.col("b").isNotNull(), "IN")
+                      .when(F.col("f").isNotNull(), "OUT")
+                      .when(F.col("w").isNotNull(), "TENDRIL")
+                      .otherwise("DISCONNECTED").alias("region"))
+              .localCheckpoint(eager=True))
+    sized = tagged.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("region_size"))
+    return (tagged.join(F.broadcast(sized), "region")
+            .select("doc_id", "region", "region_size",
+                    F.lit(pivot_id).cast("bigint").alias("pivot_id"),
+                    F.lit(1).cast("int").alias("converged")))
+
+
+register("q_bowtie", QuerySpec(
+    spark_fn=_bowtie_spark, oracle=_bowtie_oracle(),
+    doc="Broder bowtie decomposition (SCC/IN/OUT/TENDRIL/DISCONNECTED "
+        "relative to the max-degree pivot's SCC): three adaptive "
+        "frontier-BFS closures to proven fixpoint vs an unrolled DuckDB "
+        "oracle with in-query convergence re-check"))
