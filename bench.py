@@ -116,8 +116,12 @@ HEADLINE = [
     # multi-round loop shape the suite already prices twice — at toy
     # scale their cost is the same per-round stage overhead (bowtie's
     # per-round traffic is frontier-sized, strictly below the label
-    # loops, so the suite's pricing is conservative for it); both remain
-    # fully oracled + pinned in tests/test_linkgraph.py.
+    # loops, so the suite's pricing is conservative for it).
+    # q_modularity stays out for a different reason: it is loop-free,
+    # and its edge-list keyed aggregations + small-side joins are a
+    # strictly lighter instance of the wedge-join shape
+    # q_triangle_clustering already prices over the same edge list.
+    # All three remain fully oracled + pinned in tests/test_linkgraph.py.
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",

@@ -1412,7 +1412,7 @@ def _modularity(d: str) -> str:
         SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) e
       GROUP BY id
     ),
-    intra AS (
+    intra AS {D.mat(d)}(
       SELECT cu.community, cast(count(*) as bigint) AS intra_edges
       FROM und
       JOIN com cu ON cu.doc_id = und.u
@@ -1420,7 +1420,7 @@ def _modularity(d: str) -> str:
       WHERE cu.community = cv.community
       GROUP BY cu.community
     ),
-    dsum AS (
+    dsum AS {D.mat(d)}(
       SELECT c.community, cast(count(*) as bigint) AS n_nodes,
              cast(sum(coalesce(dg.deg, 0)) as bigint) AS degree_sum
       FROM com c LEFT JOIN deg dg ON dg.id = c.doc_id
@@ -1496,8 +1496,8 @@ def _bowtie_oracle() -> str:
         UNION ALL
         SELECT dst AS id FROM links) x
       GROUP BY id)""", """pv AS MATERIALIZED (
-      SELECT id FROM degs ORDER BY dg DESC, id LIMIT 1)""", """rev AS (
-      SELECT dst AS src, src AS dst FROM links)""", """sym AS (
+      SELECT id FROM degs ORDER BY dg DESC, id LIMIT 1)""", """rev AS MATERIALIZED (
+      SELECT dst AS src, src AS dst FROM links)""", """sym AS MATERIALIZED (
       SELECT src, dst FROM links
       UNION ALL
       SELECT dst AS src, src AS dst FROM links)"""]
@@ -1548,12 +1548,16 @@ def _bt_reach_spark(edges: DataFrame, pivot_df: DataFrame) -> DataFrame:
     the Observation on the eagerly-checkpointed new-frontier counts
     discovered nodes with zero extra jobs. Exits at the PROVEN empty
     frontier; raises past BT_MAX_ROUNDS rather than returning a
-    truncated closure. Scale shape (10^12 pages): per-round traffic is
-    frontier-sized, the closure table only ever receives appends, and
-    on a cluster the edge side is bucketed by src so rounds reuse one
+    truncated closure. The closure is APPEND-ONLY in deed as well as
+    word: only each round's new frontier is ever materialized; the
+    closure the anti-join (and the caller) sees is the lazy union of
+    the already-checkpointed per-round frontiers, so per-round
+    checkpoint I/O is frontier-sized, never O(|closure|). Scale shape
+    (10^12 pages): per-round traffic is frontier-sized, and on a
+    cluster the edge side is bucketed by src so rounds reuse one
     partitioning."""
-    reached = pivot_df.localCheckpoint(eager=True)
-    frontier = reached
+    frontier = pivot_df.localCheckpoint(eager=True)
+    reached = frontier
     for _ in range(BT_MAX_ROUNDS):
         new = (edges.join(frontier.withColumnRenamed("id", "src"), "src")
                .select(F.col("dst").alias("id")).distinct()
@@ -1563,7 +1567,7 @@ def _bt_reach_spark(edges: DataFrame, pivot_df: DataFrame) -> DataFrame:
         new = new.localCheckpoint(eager=True)
         if not obs.get["n"]:
             return reached
-        reached = reached.unionAll(new).localCheckpoint(eager=True)
+        reached = reached.unionAll(new)  # union of checkpointed parts
         frontier = new
     raise RuntimeError(
         f"bowtie: reachability not closed after {BT_MAX_ROUNDS} rounds — "
