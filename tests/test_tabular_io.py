@@ -117,3 +117,61 @@ def test_csv_real_corpus_slice(spark):  # noqa: F811
         a = {r["doc_id"]: (r["text"], r["lang"]) for r in src.collect()}
         b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     assert a == b
+
+
+def test_csv_roundtrip_seeded_fuzz(spark):  # noqa: F811
+    """300 seeded random strings over a hostile alphabet (quotes, commas,
+    both newline kinds, tabs, C0/C1 controls, U+2028, NBSP, non-BMP) are
+    byte-identical through the CSV boundary. NUL (\\x00) is excluded: the
+    parser trims it at quoted-field edges — pinned separately below so
+    the boundary is declared, not silent."""
+    import random
+    rng = random.Random(20260819)
+    alpha = list('abc ,"\'\\\n\r\t') + [
+        "\x01", "\x1f", "\x7f", " ", "\xa0", "é", "中", "🚀"]
+    rows = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 40))))
+            for i in range(300)]
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("t", StringType(), True),
+    ])
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "fuzz")
+        tabular.write_csv(df, path)
+        back = {r["id"]: r["t"]
+                for r in tabular.read_csv(spark, path, schema).collect()}
+    exp = dict(rows)
+    # '' writes as quoted "" and reads back as '' (not NULL)
+    assert back == exp
+
+
+def test_csv_nul_boundary_is_declared(spark):  # noqa: F811
+    """The one known non-round-trippable case: univocity uses NUL as its
+    internal padding character, and its escaped-quote parsing path trims
+    edge NULs from a quoted field that ALSO contains a quote character
+    (plain unquoted fields, quoted-interior NULs, and even quoted-edge
+    NULs without an embedded quote all survive — pinned below). The lossy
+    case is pinned too, so any silent change (e.g. a Spark upgrade that
+    starts preserving or erroring there) is caught and the docstring
+    contract in io/tabular.py updated."""
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("t", StringType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(1, "a\x00b"),          # no quote-triggering char: stays unquoted
+         (2, "a,\x00b"),         # comma forces quoting; NUL is interior
+         (3, "\x00,q\x00"),      # quoted, edge NULs, no embedded quote
+         (4, '\x00"q\x00')],     # quoted, edge NULs AND embedded quote
+        schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nul")
+        tabular.write_csv(df, path, single_file=True)
+        back = {r["id"]: r["t"]
+                for r in tabular.read_csv(spark, path, schema).collect()}
+    assert back[1] == "a\x00b"      # unquoted: NUL survives
+    assert back[2] == "a,\x00b"     # quoted interior: NUL survives
+    assert back[3] == "\x00,q\x00"  # quoted edges, no quote char: survives
+    assert back[4] == '"q'          # escaped-quote path: edge NULs trimmed

@@ -12,7 +12,12 @@ text mutates, no error). These helpers pin ONE opinionated dialect
 never inference, which downgrades types on dirty rows) so that
 write → read is byte-identical per row, the same invariant the driver's
 q_text_invariant enforces end-to-end (BASELINE input_hint: "byte-identical
-extracted text per url").
+extracted text per url"). One declared boundary, pinned in
+tests/test_tabular_io.py: univocity uses NUL (\\x00) as its internal
+padding character, and its escaped-quote parsing path trims edge NULs
+from a quoted field that also contains a quote character (every other
+NUL placement survives) — text that must carry NULs next to quotes
+belongs in parquet/ORC, not CSV.
 
 Scale doctrine: CSV lives ONLY at the ingest boundary — it is
 row-oriented, splittable only when multiLine=False (and multiLine=True is
