@@ -73,3 +73,22 @@ def sessionized_user_activity(events: DataFrame, gap: str = "30 minutes",
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "user_id", "events", "total_value"))
+
+
+def stream_csv(spark: SparkSession, csv_dir: str, schema,
+               max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source readStream over an RFC 4180 CSV landing directory,
+    using the SAME pinned dialect as the batch boundary
+    (io/tabular.py) — the byte-identity guarantee (and its declared
+    NUL-next-to-quote limitation) carries over verbatim, because the
+    options are shared, not copied. multiLine=True makes each file
+    non-splittable, so streaming parallelism comes from the file count
+    per trigger — exactly the shape a crawl landing zone produces (many
+    small shards)."""
+    from unmixing_spark.io.tabular import _CSV_READ_OPTS
+    r = spark.readStream.schema(schema)
+    for k, v in _CSV_READ_OPTS.items():
+        r = r.option(k, v)
+    return (r.option("multiLine", "true")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .csv(csv_dir))
