@@ -568,3 +568,115 @@ sql_template("q_quantile_sketch_audit", _quantile_sketch_audit,
              "(mergeable <=65-cell per-language state) audited in-query "
              "against exact percentile_disc: rank containment + the "
              "2x relative-error guarantee proven per row")
+
+
+# ---- data-quality constraint report -------------------------------------------
+
+DQ_NCHARS_MAX = 100000       # validity ceiling for documents.n_chars
+DQ_SPAN_MAX_S = 366 * 86400  # freshness ceiling: events span <= one year
+
+
+def _data_quality(d: str) -> str:
+    """Deequ-style data-quality constraint report (Schelter et al. 2018,
+    "Automating Large-Scale Data Quality Verification"): the standing
+    nightly check a production pipeline runs before anything downstream
+    trusts a table. One row per constraint — completeness, uniqueness,
+    cross-column consistency, regex validity, numeric range, referential
+    integrity across tables, and timestamp freshness — each with the
+    observed metric, its threshold, and a passed flag, so a scheduler
+    can gate on min(passed) while a human reads the metrics.
+
+    Bit-parity: every metric is a ratio (or difference) of exact bigint
+    aggregates through one identically-written IEEE expression, then
+    round(6); thresholds are D.dbl literals. Scale shape: one
+    conditional-aggregation pass per table (documents, events), one
+    doc_id-keyed anti-join for the embeddings referential check (the
+    only exchange whose build side isn't a 1-row aggregate) — at 10^12
+    rows this is the cheapest standing report a pipeline owns, which is
+    why production systems run it on every load."""
+    lang_rx = D.rx_lit("^[a-z]{2}$", d)
+    etype_rx = D.rx_lit("^[a-z_]+$", d)
+    span = (f"{D.ts_to_epoch('max(ts)', d)} - "
+            f"{D.ts_to_epoch('min(ts)', d)}")
+    return f"""
+    WITH doc_agg AS (
+      SELECT cast(count(*) as bigint)                          AS n,
+             cast(count(text) as bigint)                       AS text_nonnull,
+             cast(sum(CASE WHEN text IS NOT NULL AND text <> ''
+                      THEN 1 ELSE 0 END) as bigint)            AS text_filled,
+             cast(count(DISTINCT doc_id) as bigint)            AS id_distinct,
+             cast(sum(CASE WHEN {D.regexp_count('lang', lang_rx, d)} >= 1
+                      THEN 1 ELSE 0 END) as bigint)            AS lang_valid,
+             cast(sum(CASE WHEN n_chars BETWEEN 1 AND {DQ_NCHARS_MAX}
+                      THEN 1 ELSE 0 END) as bigint)            AS chars_in_range,
+             cast(sum(CASE WHEN n_chars = length(text)
+                      THEN 1 ELSE 0 END) as bigint)            AS chars_consistent
+      FROM documents
+    ),
+    ev_agg AS (
+      SELECT cast(count(*) as bigint)                          AS n,
+             cast(count(ts) as bigint)                         AS ts_nonnull,
+             cast(sum(CASE WHEN {D.regexp_count('event_type', etype_rx, d)} >= 1
+                      THEN 1 ELSE 0 END) as bigint)            AS type_valid,
+             cast({span} as bigint)                            AS span_s
+      FROM events
+    ),
+    ref_agg AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(CASE WHEN dx.doc_id IS NULL THEN 1 ELSE 0 END)
+                  as bigint)          AS orphans
+      FROM embeddings e
+      LEFT JOIN documents dx ON dx.doc_id = e.vec_id
+    )
+    SELECT check_name, round(metric, 6) AS metric, threshold,
+           cast(CASE WHEN metric >= threshold THEN 1 ELSE 0 END as int)
+             AS passed
+    FROM (
+      SELECT 'documents.text completeness' AS check_name,
+             cast(text_filled as double) / cast(n as double) AS metric,
+             {D.dbl(1.0)} AS threshold
+      FROM doc_agg
+      UNION ALL
+      SELECT 'documents.doc_id uniqueness',
+             cast(id_distinct as double) / cast(n as double), {D.dbl(1.0)}
+      FROM doc_agg
+      UNION ALL
+      SELECT 'documents.lang validity ^[a-z]{{2}}$',
+             cast(lang_valid as double) / cast(n as double), {D.dbl(1.0)}
+      FROM doc_agg
+      UNION ALL
+      SELECT 'documents.n_chars range [1,{DQ_NCHARS_MAX}]',
+             cast(chars_in_range as double) / cast(n as double), {D.dbl(1.0)}
+      FROM doc_agg
+      UNION ALL
+      SELECT 'documents.n_chars = length(text) consistency',
+             cast(chars_consistent as double) / cast(n as double),
+             {D.dbl(1.0)}
+      FROM doc_agg
+      UNION ALL
+      SELECT 'events.ts completeness',
+             cast(ts_nonnull as double) / cast(n as double), {D.dbl(1.0)}
+      FROM ev_agg
+      UNION ALL
+      SELECT 'events.event_type validity ^[a-z_]+$',
+             cast(type_valid as double) / cast(n as double), {D.dbl(1.0)}
+      FROM ev_agg
+      UNION ALL
+      SELECT 'events.ts freshness (span <= 1y)',
+             cast({DQ_SPAN_MAX_S} - span_s as double), {D.dbl(0.0)}
+      FROM ev_agg
+      UNION ALL
+      SELECT 'embeddings.vec_id -> documents.doc_id referential',
+             cast(n - orphans as double) / cast(n as double), {D.dbl(1.0)}
+      FROM ref_agg
+    ) checks
+    """
+
+
+sql_template("q_data_quality", _data_quality,
+             "Deequ-style data-quality constraint report: completeness, "
+             "uniqueness, consistency, regex validity, numeric range, "
+             "cross-table referential integrity, and freshness — one "
+             "passed-flagged row per constraint from exact bigint "
+             "aggregates",
+             tables=("documents", "events", "embeddings"))
