@@ -104,3 +104,75 @@ def test_data_quality_clean_corpus_passes(spark):  # noqa: F811
            .spark_fn(spark, "/root/testdata/sf0.001").toPandas())
     assert len(out) == 9
     assert (out["passed"] == 1).all()
+
+
+def test_volume_anomaly_planted_spike_and_gap(spark):  # noqa: F811
+    """q_volume_anomaly on a synthetic feed with a planted 20x spike and
+    a 3-day outage: the spike day is the ONLY anomaly and the day after
+    the outage reports exactly the missing-day gap. Expected modified
+    z-scores recomputed by hand."""
+    import numpy as np
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    counts = {}
+    for d in range(14):
+        if d in (6, 7, 8):
+            continue                       # the outage
+        n = 100 + (d % 3)                  # quiet variation: 100..102
+        if d == 10:
+            n = 2000                       # the spike
+        counts[d] = n
+        day = base + datetime.timedelta(days=d)
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(seconds=i),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    events = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, "events", events, pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string())]))
+        out = (registry()["q_volume_anomaly"].spark_fn(spark, tmp)
+               .toPandas().sort_values("day").reset_index(drop=True))
+
+    vols = np.array([counts[d] for d in sorted(counts)], dtype=float)
+    med = float(np.median(vols))
+    mad = float(np.median(np.abs(vols - med)))
+    assert len(out) == len(counts)
+    assert list(out["n_events"]) == [counts[d] for d in sorted(counts)]
+    for i, d in enumerate(sorted(counts)):
+        z = 0.6745 * (counts[d] - med) / mad
+        assert abs(float(out.loc[i, "modified_z"]) - round(z, 6)) < 1e-9
+    flagged = set(out.loc[out["is_anomaly"] == 1, "day"].astype(str))
+    assert flagged == {str((base + datetime.timedelta(days=10)).date())}
+    gaps = dict(zip(out["day"].astype(str),
+                    out["gap_days_before"].astype(int)))
+    # day 9 follows the 3-day outage (days 6-8 missing)
+    assert gaps[str((base + datetime.timedelta(days=9)).date())] == 3
+    assert gaps[str(base.date())] == 0          # first day: no gap
+    assert sum(gaps.values()) == 3              # and nothing else missing
+
+
+def test_volume_anomaly_constant_feed_declared(spark):  # noqa: F811
+    """MAD = 0 (perfectly constant feed): z is NULL by declaration and
+    no day flags — the degenerate arm both renderings share."""
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(d * 5 + i, base + datetime.timedelta(days=d, seconds=i),
+             1, "click", 1.0, "{}")
+            for d in range(6) for i in range(5)]
+    events = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(tmp, "events", events, pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string())]))
+        out = (registry()["q_volume_anomaly"].spark_fn(spark, tmp)
+               .toPandas())
+    assert (out["n_events"] == 5).all()
+    assert out["modified_z"].isna().all()
+    assert (out["is_anomaly"] == 0).all()

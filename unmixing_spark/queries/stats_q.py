@@ -680,3 +680,69 @@ sql_template("q_data_quality", _data_quality,
              "passed-flagged row per constraint from exact bigint "
              "aggregates",
              tables=("documents", "events", "embeddings"))
+
+
+# ---- volume anomaly detection ---------------------------------------------------
+
+VA_K = 3.5      # Iglewicz-Hoaglin modified z-score cutoff
+VA_C = 0.6745   # the 0.75-quantile of the standard normal (their scale
+                # constant: 0.6745 * (x - med) / MAD ~ z under normality)
+
+
+def _volume_anomaly(d: str) -> str:
+    """Ingest-volume anomaly report (the Deequ/monitoring companion to
+    q_data_quality): daily event counts flagged by the Iglewicz-Hoaglin
+    modified z-score — MEDIAN and MAD, not mean/stddev, because the
+    statistic screening for outliers must itself resist them — plus
+    gap-awareness (days missing before each observed day), the two
+    standing questions a pipeline owner asks of any feed: "did volume
+    spike or crater?" and "did a day simply not arrive?".
+
+    Bit-parity: daily counts are exact bigints; med/MAD use the shared
+    interpolated-median helper (verified identical across engines);
+    the z expression is one identically-written IEEE chain, round(6).
+    MAD = 0 (a constant feed) is declared: z goes NULL and any day
+    deviating from the median flags. Scale shape: one day-keyed
+    aggregation (map-side combined), two 1-row medians broadcast back,
+    one lag window over the day-cardinality relation — the report's
+    cost is one pass over the feed regardless of horizon."""
+    if d == D.SPARK:
+        gap = "datediff(day, prev_day) - 1"
+    else:
+        gap = "date_diff('day', prev_day, day) - 1"
+    z = (f"{D.dbl(VA_C)} * (cast(n_events as double) - med) / mad")
+    return f"""
+    WITH daily AS (
+      SELECT cast(date_trunc('day', ts) as date) AS day,
+             cast(count(*) as bigint) AS n_events
+      FROM events GROUP BY cast(date_trunc('day', ts) as date)
+    ),
+    med AS (SELECT {D.median_('n_events', d)} AS med FROM daily),
+    mad AS (
+      SELECT {D.median_('abs(cast(n_events as double) - med)', d)} AS mad
+      FROM daily CROSS JOIN med
+    ),
+    laged AS (
+      SELECT day, n_events,
+             lag(day) OVER (ORDER BY day) AS prev_day
+      FROM daily
+    )
+    SELECT l.day, l.n_events,
+           round(CASE WHEN m2.mad = {D.dbl(0.0)} THEN NULL
+                      ELSE {z} END, 6) AS modified_z,
+           cast(CASE WHEN m2.mad = {D.dbl(0.0)}
+                     THEN CASE WHEN cast(l.n_events as double) <> m.med
+                               THEN 1 ELSE 0 END
+                     WHEN abs({z}) > {D.dbl(VA_K)} THEN 1 ELSE 0 END
+                as int) AS is_anomaly,
+           cast(CASE WHEN l.prev_day IS NULL THEN 0
+                     ELSE {gap} END as int) AS gap_days_before
+    FROM laged l CROSS JOIN med m CROSS JOIN mad m2
+    """
+
+
+sql_template("q_volume_anomaly", _volume_anomaly,
+             "ingest-volume anomaly report: per-day event counts with "
+             "Iglewicz-Hoaglin modified z-scores (median/MAD, outlier-"
+             "resistant) and missing-day gap detection",
+             tables=("events",))
