@@ -176,3 +176,88 @@ def test_volume_anomaly_constant_feed_declared(spark):  # noqa: F811
     assert (out["n_events"] == 5).all()
     assert out["modified_z"].isna().all()
     assert (out["is_anomaly"] == 0).all()
+
+
+def _ev(rows):
+    return pd.DataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, (u, ts, t) in enumerate(rows)],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+
+
+def _write_events(tmp, events):
+    _write(tmp, "events", events, pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())]))
+
+
+def test_funnel_strict_ordering_semantics(spark):  # noqa: F811
+    """The strict-order funnel's defining cases: purchase BEFORE click
+    does not count; click with no prior view leaves the user at step 0;
+    an out-of-order early step is ignored in favor of the earliest
+    valid one."""
+    base = datetime.datetime(2024, 5, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase FIRST, then view -> click (no purchase after)
+        (2, t(0), "purchase"), (2, t(1), "view"), (2, t(2), "click"),
+        # user 3: click only — never viewed, stays at 0
+        (3, t(0), "click"), (3, t(1), "click"),
+        # user 4: view only
+        (4, t(0), "view"),
+        # user 5: view -> purchase (skipped click) — stays at 1
+        (5, t(0), "view"), (5, t(1), "purchase"),
+        # user 6: click -> view -> click -> purchase: first click is
+        # pre-view and ignored; the SECOND click anchors the purchase
+        (6, t(0), "click"), (6, t(1), "view"), (6, t(2), "click"),
+        (6, t(3), "purchase"),
+        # user 7: only errors — in the user universe, step 0
+        (7, t(0), "error"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(tmp, _ev(rows))
+        out = (registry()["q_funnel_steps"].spark_fn(spark, tmp)
+               .toPandas().set_index("user_id"))
+    assert dict(out["reached"]) == {1: 3, 2: 2, 3: 0, 4: 1, 5: 1, 6: 3, 7: 0}
+    # user 6's click anchor is the post-view one
+    assert out.loc[6, "ts_click"] == t(2)
+    assert out.loc[2, "ts_purchase"] is None or pd.isna(
+        out.loc[2, "ts_purchase"])
+
+
+def test_retention_cohort_grid(spark):  # noqa: F811
+    """Hand-built cohorts: day-0 cohort of two users (one returns at d1
+    and d7, one never), day-3 cohort of one user returning at d14 only."""
+    base = datetime.datetime(2024, 5, 1, 12, 0)
+
+    def day(k, u):
+        return base + datetime.timedelta(days=k, minutes=u)
+
+    rows = [
+        (1, day(0, 1), "view"), (1, day(1, 1), "click"),
+        (1, day(7, 1), "view"),
+        (2, day(0, 2), "view"),
+        (3, day(3, 3), "view"), (3, day(17, 3), "purchase"),  # 3 + 14
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(tmp, _ev(rows))
+        out = (registry()["q_retention_cohorts"].spark_fn(spark, tmp)
+               .toPandas())
+        out["cohort_day"] = out["cohort_day"].astype(str)
+        out = out.set_index("cohort_day")
+    d0, d3 = "2024-05-01", "2024-05-04"
+    assert int(out.loc[d0, "cohort_size"]) == 2
+    assert int(out.loc[d0, "retained_d1"]) == 1
+    assert int(out.loc[d0, "retained_d7"]) == 1
+    assert int(out.loc[d0, "retained_d14"]) == 0
+    assert abs(float(out.loc[d0, "rate_d1"]) - 0.5) < 1e-9
+    assert int(out.loc[d3, "cohort_size"]) == 1
+    assert int(out.loc[d3, "retained_d1"]) == 0
+    assert int(out.loc[d3, "retained_d14"]) == 1
+    assert abs(float(out.loc[d3, "rate_d14"]) - 1.0) < 1e-9

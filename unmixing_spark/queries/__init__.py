@@ -69,4 +69,5 @@ def registry() -> dict[str, QuerySpec]:
     import unmixing_spark.queries.stats_q  # noqa: F401
     import unmixing_spark.queries.media_q  # noqa: F401
     import unmixing_spark.queries.mining_q  # noqa: F401
+    import unmixing_spark.queries.analytics_q  # noqa: F401
     return dict(_REGISTRY)
