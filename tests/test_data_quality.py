@@ -261,3 +261,35 @@ def test_retention_cohort_grid(spark):  # noqa: F811
     assert int(out.loc[d3, "retained_d1"]) == 0
     assert int(out.loc[d3, "retained_d14"]) == 1
     assert abs(float(out.loc[d3, "rate_d14"]) - 1.0) < 1e-9
+
+
+def test_event_transitions_session_gap_excluded(spark):  # noqa: F811
+    """Hand-built flows: within-session consecutive pairs count, the
+    pair straddling a >30-min gap does not, and P(to|from) rows
+    normalize per from_type."""
+    base = datetime.datetime(2024, 6, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1, one session: view -> click -> purchase
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(10), "purchase"),
+        # user 1, NEW session 2h later: view -> click
+        (1, t(130), "view"), (1, t(135), "click"),
+        # user 2: view -> view -> click
+        (2, t(0), "view"), (2, t(1), "view"), (2, t(2), "click"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(tmp, _ev(rows))
+        out = (registry()["q_event_transitions"].spark_fn(spark, tmp)
+               .toPandas())
+    got = {(r["from_type"], r["to_type"]): (int(r["n"]), float(r["p"]))
+           for _, r in out.iterrows()}
+    # purchase -> view (the 120-min gap) must NOT appear
+    exp = {
+        ("view", "click"): (3, 0.75),      # u1 s1, u1 s2, u2
+        ("view", "view"): (1, 0.25),       # u2
+        ("click", "purchase"): (1, 1.0),   # u1 s1
+    }
+    assert got == exp

@@ -131,3 +131,56 @@ sql_template("q_retention_cohorts", _retention_cohorts,
              "signup-cohort day-k retention grid (k = 1, 7, 14) over one "
              "user-day activity rollup — exact counts + rounded rates",
              tables=("events",))
+
+
+SESSION_GAP_S = 1800  # same 30-minute inactivity gap as q_sessionize_events
+
+
+def _event_transitions(d: str) -> str:
+    """Next-event Markov transition matrix within sessions — the
+    user-flow ("sankey") report product and crawl dashboards draw:
+    for every ordered pair (from_type, to_type) of CONSECUTIVE events
+    inside one session, the count and the row-normalized transition
+    probability P(to | from). Session boundaries use the same 30-minute
+    inactivity gap as q_sessionize_events (a cross-session pair is not
+    a user flow); ordering ties break on event_id, so the lag is
+    deterministic.
+
+    Scale shape: one user-keyed window exchange computes prev-type,
+    prev-gap, and the pair stream in a single pass (the two windows
+    share the PARTITION BY user_id ORDER BY ts, event_id sort); the
+    transition aggregation map-side combines to |types|^2 cells. At
+    10^12 events this is the q_sessionize_events plan plus one
+    constant-size aggregate."""
+    ep = D.ts_to_epoch("ts", d)
+    win = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+    WITH pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type
+      FROM (
+        SELECT user_id, event_type,
+               lag(event_type) {win} AS prev_type,
+               {ep} - lag({ep}) {win} AS gap_s
+        FROM events
+      ) seq
+      WHERE prev_type IS NOT NULL AND gap_s <= {SESSION_GAP_S}
+    ),
+    cnt AS (
+      SELECT from_type, to_type, cast(count(*) as bigint) AS n
+      FROM pairs GROUP BY from_type, to_type
+    ),
+    rowsum AS (
+      SELECT from_type, cast(sum(n) as bigint) AS total
+      FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(cast(c.n as double) / cast(r.total as double), 6) AS p
+    FROM cnt c JOIN rowsum r ON r.from_type = c.from_type
+    """
+
+
+sql_template("q_event_transitions", _event_transitions,
+             "within-session next-event Markov transition matrix "
+             "(counts + row-normalized P(to|from)) sharing the "
+             "sessionization gap rule — the user-flow report",
+             tables=("events",))
