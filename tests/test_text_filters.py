@@ -382,3 +382,37 @@ def test_token_entropy_matches_brute_force(spark):
     # invariants: 0 <= H <= ln(n_distinct) => 0 <= norm <= 1
     assert (out["entropy"] >= -1e-9).all()
     assert (out["norm_entropy"] <= 1 + 1e-9).all()
+
+
+def test_ngram_novelty_matches_brute_force(spark):
+    """q_ngram_novelty vs a pure-Python replay: distinct trigrams per doc,
+    first-occurrence attribution by min doc_id, per-doc novel fraction."""
+    docs = _docs().sort_values("doc_id")
+    per_doc: dict[int, set[str]] = {}
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", r["text"])
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        per_doc[int(r["doc_id"])] = grams
+    first: dict[str, int] = {}
+    for d in sorted(per_doc):
+        for g in per_doc[d]:
+            if g not in first:
+                first[g] = d
+    out = (registry()["q_ngram_novelty"].spark_fn(spark, SF_SMALL)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # only docs with >= 3 tokens appear
+    exp_ids = sorted(d for d in per_doc if per_doc[d])
+    assert list(out["doc_id"].astype(int)) == exp_ids
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        novel = sum(1 for g in per_doc[d] if first[g] == d)
+        assert int(r["n_distinct_grams"]) == len(per_doc[d])
+        assert int(r["novel_grams"]) == novel
+        assert abs(float(r["novelty_frac"])
+                   - round(novel / len(per_doc[d]), 6)) < 1e-9
+    # doc 0 introduces everything it contains; later docs decay — the
+    # curve must actually fall on a 31-token-vocab synthetic corpus
+    first_frac = float(out.loc[0, "novelty_frac"])
+    tail_mean = float(out["novelty_frac"].iloc[-100:].mean())
+    assert first_frac == 1.0
+    assert tail_mean < 0.5 * first_frac

@@ -1052,3 +1052,53 @@ def _chunk_overlap(d: str) -> str:
 sql_template("q_chunk_overlap", _chunk_overlap,
              "sliding-window context chunking with overlap: per-doc "
              "chunk spans + SHA-256 of the exact chunk bytes")
+
+
+# ---- per-document n-gram novelty ----------------------------------------------
+
+NOVELTY_N = 3  # trigram novelty (distinct n from BOILER_N=5 on purpose:
+               # boilerplate wants long exact spans, novelty wants the
+               # phrase-level vocabulary growth curve)
+
+
+def _ngram_novelty(d: str) -> str:
+    """Per-document n-gram novelty in corpus order (the vocabulary-growth
+    / diversity curve dataset-curation ablations read; cf. the "novel
+    n-grams" analyses in Lee et al. 2021 and the Pile/Dolma dataset
+    reports): a doc's novelty is the fraction of its DISTINCT trigrams
+    whose FIRST occurrence in doc_id order is that doc. Duplicated and
+    templated documents score near 0; the curve's tail mean is the
+    honest "is new data still new" signal a crawl-growth decision uses.
+
+    Scale shape: one gram-keyed exchange attributes each distinct gram
+    to its min doc_id (map-side combinable), one broadcast-scale join
+    back onto the per-doc distinct-gram stream, one doc-keyed
+    aggregation. The gram->min(doc_id) table is vocabulary-sized, not
+    corpus-sized. Exact bigint counts; one rounded ratio."""
+    return f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    ng AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, {_lead_gram(NOVELTY_N)} AS gram
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE gram IS NOT NULL
+    ),
+    fs AS (
+      SELECT gram, min(doc_id) AS first_doc FROM ng GROUP BY gram
+    )
+    SELECT g.doc_id,
+           cast(count(*) as bigint) AS n_distinct_grams,
+           cast(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                as bigint) AS novel_grams,
+           round(cast(sum(CASE WHEN f.first_doc = g.doc_id
+                          THEN 1 ELSE 0 END) as double)
+                 / cast(count(*) as double), 6) AS novelty_frac
+    FROM ng g JOIN fs f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """
+
+
+sql_template("q_ngram_novelty", _ngram_novelty,
+             "per-document trigram novelty in corpus order (fraction of "
+             "distinct grams first introduced by the doc) — the "
+             "vocabulary-growth curve a crawl-growth decision reads")
