@@ -147,11 +147,14 @@ def _event_transitions(d: str) -> str:
     deterministic.
 
     Scale shape: one user-keyed window exchange computes prev-type,
-    prev-gap, and the pair stream in a single pass (the two windows
-    share the PARTITION BY user_id ORDER BY ts, event_id sort); the
-    transition aggregation map-side combines to |types|^2 cells. At
-    10^12 events this is the q_sessionize_events plan plus one
-    constant-size aggregate."""
+    prev-gap, and the pair stream in a single pass (the two lag
+    functions share one Window operator — identical specs); the
+    transition aggregation map-side combines to |types|^2 cells, and
+    the row normalization is a window over THAT tiny relation rather
+    than a re-joined aggregate (a rowsum CTE re-joined onto cnt made
+    Catalyst inline and re-execute the whole window pass twice —
+    caught on the executed plan and rewritten). At 10^12 events this
+    is the q_sessionize_events plan plus one constant-size aggregate."""
     ep = D.ts_to_epoch("ts", d)
     win = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     return f"""
@@ -168,14 +171,12 @@ def _event_transitions(d: str) -> str:
     cnt AS (
       SELECT from_type, to_type, cast(count(*) as bigint) AS n
       FROM pairs GROUP BY from_type, to_type
-    ),
-    rowsum AS (
-      SELECT from_type, cast(sum(n) as bigint) AS total
-      FROM cnt GROUP BY from_type
     )
-    SELECT c.from_type, c.to_type, c.n,
-           round(cast(c.n as double) / cast(r.total as double), 6) AS p
-    FROM cnt c JOIN rowsum r ON r.from_type = c.from_type
+    SELECT from_type, to_type, n,
+           round(cast(n as double)
+                 / cast(sum(n) OVER (PARTITION BY from_type) as double), 6)
+             AS p
+    FROM cnt
     """
 
 
