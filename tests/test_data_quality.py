@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.conftest import spark  # noqa: F401 (fixture re-export)
+from tests.conftest import SF_SMALL, spark  # noqa: F401 (fixture re-export)
 from unmixing_spark.queries import registry
 
 
@@ -47,9 +47,11 @@ def test_data_quality_planted_violations(spark):  # noqa: F811
         "props": ["{}", "{}", "{}"],
     })
     emb = pd.DataFrame({
-        "vec_id": [0, 1, 99],                         # 99 is an orphan
-        "embedding": [[0.1, 0.2]] * 3,
-        "label": [0, 1, 2],
+        # 99 is an orphan; vec_id=2 matches the DUPLICATED doc_id and
+        # must still count exactly once (no join fan-out)
+        "vec_id": [0, 1, 2, 99],
+        "embedding": [[0.1, 0.2]] * 4,
+        "label": [0, 1, 2, 3],
     })
     with tempfile.TemporaryDirectory() as tmp:
         _write(tmp, "documents", docs, pa.schema([
@@ -89,9 +91,10 @@ def test_data_quality_planted_violations(spark):  # noqa: F811
         "events.event_type validity ^[a-z_]+$": (round(2 / 3, 6), 0),
         # span is 400 days > 366: metric = 366*86400 - 400*86400
         "events.ts freshness (span <= 1y)": (float((366 - 400) * 86400), 0),
-        # one of three vec_ids has no matching doc
+        # one of FOUR vec_ids has no matching doc; vec_id=2 hits the
+        # duplicated doc_id but counts once (DISTINCT build side)
         "embeddings.vec_id -> documents.doc_id referential":
-            (round(2 / 3, 6), 0),
+            (round(3 / 4, 6), 0),
     }
     assert got == exp
     # and every check FAILED on the planted fixture — the gate a
@@ -101,7 +104,7 @@ def test_data_quality_planted_violations(spark):  # noqa: F811
 
 def test_data_quality_clean_corpus_passes(spark):  # noqa: F811
     out = (registry()["q_data_quality"]
-           .spark_fn(spark, "/root/testdata/sf0.001").toPandas())
+           .spark_fn(spark, SF_SMALL).toPandas())
     assert len(out) == 9
     assert (out["passed"] == 1).all()
 
@@ -129,6 +132,7 @@ def test_volume_anomaly_planted_spike_and_gap(spark):  # noqa: F811
             rows.append((eid, day + datetime.timedelta(seconds=i),
                          1, "click", 1.0, "{}"))
             eid += 1
+    rows.append((eid, None, 1, "click", 1.0, "{}"))  # NULL ts: excluded
     events = pd.DataFrame(rows, columns=[
         "event_id", "ts", "user_id", "event_type", "value", "props"])
     with tempfile.TemporaryDirectory() as tmp:

@@ -87,6 +87,17 @@ def write_csv(df: DataFrame, path: str, *, single_file: bool = False,
     w.csv(path)
 
 
+def apply_csv_read_opts(reader):
+    """Apply the FULL pinned read dialect (including multiLine) to a
+    DataFrameReader or DataStreamReader — the one place the read-side
+    options live. Both `read_csv` and the streaming boundary
+    (streaming/ingest.stream_csv) call this, so the byte-identity
+    guarantee cannot silently diverge between batch and streaming."""
+    for k, v in _CSV_READ_OPTS.items():
+        reader = reader.option(k, v)
+    return reader.option("multiLine", "true")
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Read CSV written by `write_csv` (or any RFC 4180 producer) with an
     EXPLICIT schema — inference is refused by signature: it needs an
@@ -94,10 +105,7 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     multiLine=True makes embedded-newline text rows parse as one record;
     parallelism then comes from the file count, so keep ingest sharded.
     """
-    r = spark.read.schema(schema)
-    for k, v in _CSV_READ_OPTS.items():
-        r = r.option(k, v)
-    return r.option("multiLine", "true").csv(path)
+    return apply_csv_read_opts(spark.read.schema(schema)).csv(path)
 
 
 def write_orc(df: DataFrame, path: str, *,

@@ -18,13 +18,13 @@ reference has no event surface):
   seen" / "host active").
 
 Scale shape: both are user-keyed (resp. user-day-keyed) aggregations
-with map-side combine — the events table is scanned once per query,
-every join is keyed on user_id whose cardinality is orders below the
-event count, and no window runs over the raw event stream (funnel
-minima fold into min(CASE ...) aggregates after one user-keyed
-exchange; the retention grid joins day-level distinct activity, again
-user-keyed). At 10^12 events the user-activity rollup is the only
-exchange either query pays.
+with map-side combine, and every join is keyed on user_id whose
+cardinality is orders below the event count. The funnel pays one
+event-type-FILTERED scan per step (four scans of events total, each
+pruned to one type at the source — see docs/PLANS.md; at 10^12 events
+a type-partitioned layout turns each into a partition-pruned read);
+the retention grid scans raw events exactly once for its user-day
+rollup and joins only day-level distinct activity thereafter.
 
 Bit-parity: timestamps compare exactly (no float time math); rates are
 ratios of exact bigints through one identically-written IEEE
@@ -133,7 +133,14 @@ sql_template("q_retention_cohorts", _retention_cohorts,
              tables=("events",))
 
 
-SESSION_GAP_S = 1800  # same 30-minute inactivity gap as q_sessionize_events
+# ONE source for the 30-minute inactivity gap (scale_q defines it for
+# the streaming sessionizer). Boundary conventions are deliberately
+# those of q_sessionize_events (core.py): a gap of EXACTLY 1800 s stays
+# in-session here and there (`> 1800` starts a new session), while the
+# streaming session_window path (scale_q.py:143, `>= 1800`) closes at
+# exactly 1800 — a declared divergence pinned to the shared constant so
+# the three sites cannot silently drift further apart.
+from unmixing_spark.queries.scale_q import SESSION_GAP_S  # noqa: E402
 
 
 def _event_transitions(d: str) -> str:

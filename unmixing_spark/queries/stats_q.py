@@ -601,7 +601,6 @@ def _data_quality(d: str) -> str:
     return f"""
     WITH doc_agg AS (
       SELECT cast(count(*) as bigint)                          AS n,
-             cast(count(text) as bigint)                       AS text_nonnull,
              cast(sum(CASE WHEN text IS NOT NULL AND text <> ''
                       THEN 1 ELSE 0 END) as bigint)            AS text_filled,
              cast(count(DISTINCT doc_id) as bigint)            AS id_distinct,
@@ -622,11 +621,15 @@ def _data_quality(d: str) -> str:
       FROM events
     ),
     ref_agg AS (
+      -- build side is DISTINCT doc_id: a duplicate doc_id (exactly the
+      -- dirty-data condition the uniqueness check above catches) must
+      -- not fan out embeddings and corrupt this metric's denominator
       SELECT cast(count(*) as bigint) AS n,
              cast(sum(CASE WHEN dx.doc_id IS NULL THEN 1 ELSE 0 END)
                   as bigint)          AS orphans
       FROM embeddings e
-      LEFT JOIN documents dx ON dx.doc_id = e.vec_id
+      LEFT JOIN (SELECT DISTINCT doc_id FROM documents) dx
+        ON dx.doc_id = e.vec_id
     )
     SELECT check_name, round(metric, 6) AS metric, threshold,
            cast(CASE WHEN metric >= threshold THEN 1 ELSE 0 END as int)
@@ -713,9 +716,14 @@ def _volume_anomaly(d: str) -> str:
     z = (f"{D.dbl(VA_C)} * (cast(n_events as double) - med) / mad")
     return f"""
     WITH daily AS (
+      -- NULL ts rows are excluded EXPLICITLY: they belong to
+      -- q_data_quality's completeness check, and a NULL day group would
+      -- break cross-engine parity in the lag window below (Spark orders
+      -- window NULLS FIRST, DuckDB NULLS LAST)
       SELECT cast(date_trunc('day', ts) as date) AS day,
              cast(count(*) as bigint) AS n_events
-      FROM events GROUP BY cast(date_trunc('day', ts) as date)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY cast(date_trunc('day', ts) as date)
     ),
     med AS (SELECT {D.median_('n_events', d)} AS med FROM daily),
     mad AS (

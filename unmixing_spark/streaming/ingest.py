@@ -81,14 +81,11 @@ def stream_csv(spark: SparkSession, csv_dir: str, schema,
     using the SAME pinned dialect as the batch boundary
     (io/tabular.py) — the byte-identity guarantee (and its declared
     NUL-next-to-quote limitation) carries over verbatim, because the
-    options are shared, not copied. multiLine=True makes each file
-    non-splittable, so streaming parallelism comes from the file count
-    per trigger — exactly the shape a crawl landing zone produces (many
-    small shards)."""
-    from unmixing_spark.io.tabular import _CSV_READ_OPTS
-    r = spark.readStream.schema(schema)
-    for k, v in _CSV_READ_OPTS.items():
-        r = r.option(k, v)
-    return (r.option("multiLine", "true")
+    options are applied by the SAME helper, not copied. multiLine=True
+    makes each file non-splittable, so streaming parallelism comes from
+    the file count per trigger — exactly the shape a crawl landing zone
+    produces (many small shards)."""
+    from unmixing_spark.io.tabular import apply_csv_read_opts
+    return (apply_csv_read_opts(spark.readStream.schema(schema))
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .csv(csv_dir))
