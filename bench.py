@@ -122,6 +122,12 @@ HEADLINE = [
     # strictly lighter instance of the wedge-join shape
     # q_triangle_clustering already prices over the same edge list.
     # All three remain fully oracled + pinned in tests/test_linkgraph.py.
+    # The round-5-close platform/analytics batch (q_data_quality,
+    # q_volume_anomaly, q_funnel_steps, q_retention_cohorts,
+    # q_event_transitions, q_ngram_novelty) also stays out: every one is
+    # a single-pass keyed-aggregate / small-join / one-window shape the
+    # suite already prices many times over (see docs/PLANS.md round-5
+    # close section); all are fully oracled + pinned.
     # end-to-end multi-stage pipelines — what a real user runs
     "q_lsma_classic_pipeline",
     "q_sasma_interpolation",
