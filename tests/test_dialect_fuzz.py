@@ -163,3 +163,43 @@ def test_numeric_and_ts_helpers_parity_fuzz(spark):  # noqa: F811
     for col in ("hv", "x", "q", "qf", "t14", "ep_rt"):
         _assert_col_equal(a, b, col, col)
     assert [int(v) for v in a["ep_rt"]] == list(pdf["ep"])  # round-trip
+
+
+def test_group_agg_helpers_parity_fuzz(spark):  # noqa: F811
+    """median_ (interpolated, odd AND even group sizes, negative and
+    repeated values) and ordered_string_agg (adversarial strings, unique
+    integer order keys, non-empty groups per the helper's contract) —
+    exact agreement across 40 groups."""
+    rng = random.Random(4242)
+    strs = _rand_strings(400, 31337)
+    rows = []
+    rid = 0
+    for g in range(40):
+        size = rng.randrange(1, 12)         # odd and even sizes
+        for k in range(size):
+            rows.append((rid, g, k,
+                         rng.randrange(-10**6, 10**6),
+                         strs[rid % len(strs)].replace("\x1e", "")))
+            rid += 1
+    pdf = pd.DataFrame(rows, columns=["id", "g", "k", "v", "s"])
+
+    def battery(d: str) -> str:
+        return f"""
+        SELECT g AS id,
+               round({D.median_('v', d)}, 9) AS med,
+               {D.ordered_string_agg('s', 'k', 'chr(30)', d)} AS agg
+        FROM fz GROUP BY g
+        """
+
+    with tempfile.TemporaryDirectory() as tmp:
+        a, b = _both(spark, tmp, pdf, battery(D.SPARK), battery(D.DUCKDB))
+    _assert_col_equal(a, b, "med", "median")
+    _assert_col_equal(a, b, "agg", "ordered_string_agg")
+    # and both equal the numpy/python ground truth
+    import numpy as np
+    gt_med = pdf.groupby("g")["v"].apply(
+        lambda v: round(float(np.median(v)), 9))
+    gt_agg = (pdf.sort_values(["g", "k"]).groupby("g")["s"]
+              .apply(lambda s: "\x1e".join(s)))
+    assert dict(zip(a["id"], a["med"])) == dict(gt_med)
+    assert dict(zip(a["id"], a["agg"])) == dict(gt_agg)
