@@ -279,3 +279,35 @@ def test_query_spellfix_vs_brute_force(spark):
            for r in out.itertuples()}
     assert got == expect
     assert any(v[3] == 1 for v in got.values())
+
+
+def test_autocomplete_vs_brute_force(spark):
+    """q_autocomplete vs a Python replay: token frequencies over \\s+
+    tokens, every 1..6-char prefix, top-5 by (freq DESC, token ASC)."""
+    from unmixing_spark.queries.search_q import AC_MAX_PFX, AC_TOP_K
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    tf = Counter()
+    for text in docs["text"]:
+        for tok in re.split(r"\s+", text):
+            if tok:
+                tf[tok] += 1
+    pfx: dict[str, list] = {}
+    for tok, freq in tf.items():
+        for k in range(1, min(len(tok), AC_MAX_PFX) + 1):
+            pfx.setdefault(tok[:k], []).append((tok, freq))
+    exp = {}
+    for p, cands in pfx.items():
+        cands.sort(key=lambda tfq: (-tfq[1], tfq[0]))
+        for r, (tok, freq) in enumerate(cands[:AC_TOP_K], 1):
+            exp[(p, r)] = (tok, freq)
+
+    out = (registry()["q_autocomplete"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    got = {(r["prefix"], int(r["rnk"])): (r["completion"], int(r["freq"]))
+           for _, r in out.iterrows()}
+    assert got == exp
+    # structure sanity: rank-1 of a full token's own prefix includes it
+    # somewhere in the candidate list and every prefix serves <= K rows
+    per_prefix = out.groupby("prefix").size()
+    assert (per_prefix <= AC_TOP_K).all()

@@ -449,3 +449,57 @@ sql_template("q_shingle_containment", _shingle_containment,
              "directed shingle containment (Broder 1997) via rare-gram "
              "blocking: |S(A) n S(B)| / |S(A)| >= 0.5 pairs — catches "
              "quote/wrapped-copy relations Jaccard resemblance misses")
+
+
+# ---- prefix autocomplete index --------------------------------------------------
+
+AC_MAX_PFX = 6  # index prefixes of length 1..6 (serving systems cap the
+                # indexed depth: longer prefixes resolve via the posting
+                # list / linear scan of the tiny completion set)
+AC_TOP_K = 5    # completions kept per prefix
+
+
+def _autocomplete(d: str) -> str:
+    """Prefix-autocomplete index (the search-serving companion to
+    q_query_spellfix): for every token prefix of length 1..AC_MAX_PFX,
+    the top-AC_TOP_K completions by corpus frequency, ties to the
+    lexicographically smaller token — what a suggest-as-you-type box
+    serves from one sorted lookup. Excludes the degenerate
+    prefix == token rows only when the token IS its own sole completion
+    information (kept: a full-length token is still a valid completion
+    of its own prefix — standard behavior).
+
+    Scale shape: ONE corpus pass builds the token->freq table
+    (map-side combinable, vocabulary-sized); the prefix explosion is a
+    constant-fan (<= AC_MAX_PFX) VALUES join over THAT table, never the
+    corpus; the per-prefix top-k is a rank window over prefix groups of
+    vocabulary-bounded size. At 10^12 pages nothing after the first
+    aggregation touches corpus-scale data."""
+    len_rows = ", ".join(f"({k})" for k in range(1, AC_MAX_PFX + 1))
+    return f"""
+    WITH tf AS (
+      SELECT tok, cast(count(*) as bigint) AS freq
+      FROM {_tokens(d)} t
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    lens AS ({D.values_rel(len_rows, "t(k)", d)}),
+    pfx AS (
+      SELECT substr(tf.tok, 1, l.k) AS prefix, tf.tok, tf.freq
+      FROM tf JOIN lens l ON l.k <= length(tf.tok)
+    ),
+    ranked AS (
+      SELECT prefix, tok, freq,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY freq DESC, tok) AS rnk
+      FROM pfx
+    )
+    SELECT prefix, cast(rnk as int) AS rnk, tok AS completion, freq
+    FROM ranked WHERE rnk <= {AC_TOP_K}
+    """
+
+
+sql_template("q_autocomplete", _autocomplete,
+             "prefix-autocomplete index: top-k completions per 1..6-char "
+             "token prefix by corpus frequency, built from one corpus "
+             "pass over a vocabulary-sized table")
