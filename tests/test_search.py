@@ -311,3 +311,64 @@ def test_autocomplete_vs_brute_force(spark):
     # somewhere in the candidate list and every prefix serves <= K rows
     per_prefix = out.groupby("prefix").size()
     assert (per_prefix <= AC_TOP_K).all()
+
+
+def test_mmr_diversify_vs_brute_force(spark):
+    """q_mmr_diversify vs a Python greedy replay using the SAME
+    sequential-left-fold dot product (so doubles match bit-for-bit and
+    argmax selection is exact, not tolerance-based)."""
+    from unmixing_spark.queries.search_q import (
+        MMR_K, MMR_LAMBDA, MMR_POOL, MMR_QUERIES,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for _, r in emb.iterrows()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    exp = {}
+    for q in range(MMR_QUERIES):
+        rel = {c: cos(vecs[q], vecs[c]) for c in vecs if c != q}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
+        picked = []
+        for r in range(1, MMR_K + 1):
+            best, best_s = None, None
+            for c in pool:
+                if c in picked:
+                    continue
+                if picked:
+                    pen = max(cos(vecs[c], vecs[s]) for s in picked)
+                    s = MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * pen
+                else:
+                    s = MMR_LAMBDA * rel[c]
+                if best is None or s > best_s or (s == best_s and c < best):
+                    best, best_s = c, s
+            picked.append(best)
+            exp[(q, r)] = (best, round(best_s, 6))
+
+    out = (registry()["q_mmr_diversify"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    got = {(int(r["query_id"]), int(r["rnk"])):
+           (int(r["hit_id"]), float(r["mmr_score"]))
+           for _, r in out.iterrows()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        assert abs(got[k][1] - exp[k][1]) < 1e-9
+    # diversification actually happened: at least one query's MMR order
+    # differs from its pure-relevance order
+    changed = 0
+    for q in range(MMR_QUERIES):
+        rel = {c: cos(vecs[q], vecs[c]) for c in vecs if c != q}
+        by_rel = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_K]
+        by_mmr = [exp[(q, r)][0] for r in range(1, MMR_K + 1)]
+        changed += by_rel != by_mmr
+    assert changed >= 1

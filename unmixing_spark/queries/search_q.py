@@ -503,3 +503,109 @@ sql_template("q_autocomplete", _autocomplete,
              "prefix-autocomplete index: top-k completions per 1..6-char "
              "token prefix by corpus frequency, built from one corpus "
              "pass over a vocabulary-sized table")
+
+
+# ---- MMR result diversification -------------------------------------------------
+
+MMR_QUERIES = 3   # first N vec_ids are the query set (q_ann_topk style)
+MMR_POOL = 8      # relevance-ranked candidate pool per query
+MMR_K = 4         # results selected per query
+MMR_LAMBDA = 0.7  # relevance-vs-diversity trade-off
+
+
+def _mmr_diversify(d: str) -> str:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick K results per query maximizing
+    lambda*rel(c) - (1-lambda)*max_{s in selected} sim(c, s) — the
+    standard serving-side diversification pass over an ANN candidate
+    pool (duplicate-ish hits about the same page farm collapse to one
+    slot). The greedy loop is FIXED at K rounds and unrolled in the
+    single dual-rendered template (the q_nfindr doctrine: a bounded
+    iterative algorithm over a bounded candidate set is expressible as
+    chained CTEs in both engines).
+
+    Scale shape: the only corpus-scale work is the relevance scoring
+    that builds the per-query pool (the q_ann_cosine_topk theta-join —
+    at 10^12 docs the LSH/IVF candidate generators replace it); every
+    MMR round operates on pool-sized relations (queries x POOL rows,
+    pairwise queries x POOL^2), i.e. serving-cache scale. Floats: every
+    cosine is the shared sequential-fold dot product, every score one
+    identically-written IEEE chain, argmax ties to the smaller vec_id;
+    output scores round(6)."""
+    import textwrap
+    rel_dot = _mmr_dot(d, "q.embedding", "c.embedding")
+    nq = _mmr_dot(d, "q.embedding", "q.embedding")
+    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    rel = f"({rel_dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
+    pair_dot = _mmr_dot(d, "a.embedding", "b.embedding")
+    na = _mmr_dot(d, "a.embedding", "a.embedding")
+    nb = _mmr_dot(d, "b.embedding", "b.embedding")
+    psim = f"({pair_dot}) / nullif(sqrt({na}) * sqrt({nb}), 0)"
+    lam, one_m = D.dbl(MMR_LAMBDA), D.dbl(1.0 - MMR_LAMBDA)
+    ctes = [f"""pool AS {D.mat(d)}(
+      SELECT query_id, cand, rel, embedding FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               {rel} AS rel, c.embedding,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {rel} DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {MMR_QUERIES}) t
+      WHERE rn <= {MMR_POOL})""", f"""pair AS {D.mat(d)}(
+      SELECT a.query_id, a.cand AS c1, b.cand AS c2, {psim} AS sim
+      FROM pool a JOIN pool b
+        ON b.query_id = a.query_id AND b.cand <> a.cand)""", f"""sel1 AS {D.mat(d)}(
+      SELECT query_id, cand, {lam} * rel AS mmr FROM (
+        SELECT query_id, cand, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand) AS rn
+        FROM pool) t WHERE rn = 1)"""]
+    prev_sel = "sel1"
+    union = "SELECT query_id, cand, 1 AS rnk, mmr FROM sel1"
+    for r in range(2, MMR_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT query_id, cand FROM sel{i}" for i in range(1, r))
+        ctes.append(f"""picked{r} AS {D.mat(d)}({picked})""")
+        ctes.append(f"""sc{r} AS {D.mat(d)}(
+      SELECT p.query_id, p.cand,
+             {lam} * p.rel - {one_m} * max(pr.sim) AS mmr
+      FROM pool p
+      JOIN picked{r} k ON k.query_id = p.query_id
+      JOIN pair pr ON pr.query_id = p.query_id
+                  AND pr.c1 = p.cand AND pr.c2 = k.cand
+      WHERE NOT EXISTS (SELECT 1 FROM picked{r} x
+                        WHERE x.query_id = p.query_id
+                          AND x.cand = p.cand)
+      GROUP BY p.query_id, p.cand, p.rel)""")
+        ctes.append(f"""sel{r} AS {D.mat(d)}(
+      SELECT query_id, cand, mmr FROM (
+        SELECT query_id, cand, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, cand) AS rn
+        FROM sc{r}) t WHERE rn = 1)""")
+        union += (f" UNION ALL SELECT query_id, cand, {r} AS rnk, mmr "
+                  f"FROM sel{r}")
+        prev_sel = f"sel{r}"
+    joined = ",\n    ".join(ctes)
+    return textwrap.dedent(f"""
+    WITH {joined}
+    SELECT query_id, cast(rnk as int) AS rnk, cand AS hit_id,
+           round(mmr, 6) AS mmr_score
+    FROM ({union}) u
+    """)
+
+
+def _mmr_dot(d: str, a: str, b: str) -> str:
+    """Shared sequential-fold dot product (text_q._dot's definition,
+    re-declared here to keep search_q importable standalone)."""
+    if d == D.SPARK:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"cast(x as double) * cast(y as double)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)")
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+sql_template("q_mmr_diversify", _mmr_diversify,
+             "MMR result diversification (Carbonell-Goldstein) over the "
+             "ANN candidate pool: fixed-K greedy unrolled in one "
+             "dual-rendered template, pool-sized work per round",
+             tables=("embeddings",))
