@@ -372,3 +372,64 @@ def test_mmr_diversify_vs_brute_force(spark):
         by_mmr = [exp[(q, r)][0] for r in range(1, MMR_K + 1)]
         changed += by_rel != by_mmr
     assert changed >= 1
+
+
+def test_rrf_hybrid_vs_brute_force(spark):
+    """q_rrf_hybrid vs a Python replay: dense cosine ranks (same
+    sequential fold), lexical distinct-token-overlap ranks, fused
+    1/(K+r) sums with missing-list terms omitted."""
+    from unmixing_spark.queries.search_q import (
+        RRF_K, RRF_QUERIES, RRF_TOPK,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for _, r in emb.iterrows()}
+    toks = {int(r["doc_id"]): {t for t in re.split(r"\s+", r["text"]) if t}
+            for _, r in docs.iterrows()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    exp = {}
+    for q in range(RRF_QUERIES):
+        cos = {c: dot(vecs[q], vecs[c])
+               / (math.sqrt(dot(vecs[q], vecs[q]))
+                  * math.sqrt(dot(vecs[c], vecs[c])))
+               for c in vecs if c != q}
+        r_dense = {c: r for r, c in enumerate(
+            sorted(cos, key=lambda c: (-cos[c], c)), 1)}
+        ov = {c: len(toks[q] & toks[c])
+              for c in toks if c != q and toks[q] & toks[c]}
+        r_lex = {c: r for r, c in enumerate(
+            sorted(ov, key=lambda c: (-ov[c], c)), 1)}
+        score = {}
+        for c in set(r_dense) | set(r_lex):
+            s = 0.0
+            if c in r_dense:
+                s += 1.0 / (RRF_K + r_dense[c])
+            if c in r_lex:
+                s += 1.0 / (RRF_K + r_lex[c])
+            score[c] = s
+        top = sorted(score, key=lambda c: (-score[c], c))[:RRF_TOPK]
+        for r, c in enumerate(top, 1):
+            exp[(q, r)] = (c, round(score[c], 9),
+                           r_dense.get(c), r_lex.get(c))
+
+    out = (registry()["q_rrf_hybrid"].spark_fn(spark, SF_SMALL)
+           .toPandas())
+    got = {(int(r["query_id"]), int(r["rnk"])):
+           (int(r["hit_id"]), float(r["rrf_score"]),
+            None if pd.isna(r["r_dense"]) else int(r["r_dense"]),
+            None if pd.isna(r["r_lex"]) else int(r["r_lex"]))
+           for _, r in out.iterrows()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        assert abs(got[k][1] - exp[k][1]) < 1e-12
+        assert got[k][2] == exp[k][2]
+        assert got[k][3] == exp[k][3]

@@ -609,3 +609,90 @@ sql_template("q_mmr_diversify", _mmr_diversify,
              "ANN candidate pool: fixed-K greedy unrolled in one "
              "dual-rendered template, pool-sized work per round",
              tables=("embeddings",))
+
+
+# ---- reciprocal rank fusion (hybrid retrieval) -----------------------------------
+
+RRF_QUERIES = 3   # query-by-example: first N vec_ids, text from the
+                  # matching documents row
+RRF_K = 60        # the standard RRF damping constant (Cormack et al.)
+RRF_TOPK = 5
+
+
+def _rrf_hybrid(d: str) -> str:
+    """Hybrid retrieval fused by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009) — the standard way production search
+    combines a lexical ranking with a dense (embedding) ranking without
+    score calibration: fused(c) = sum over systems of 1/(K + rank_s(c)).
+    Query-by-example form: each query is a document (vec_id < N), its
+    dense ranking is embedding cosine, its lexical ranking is distinct-
+    token overlap. A document missing from one system's list simply
+    contributes nothing for that system (the defining RRF property —
+    rank fusion tolerates disjoint candidate sets).
+
+    Scale shape: the dense side is the ANN pool build (LSH/IVF at
+    corpus scale); the lexical side is one tok-keyed join between the
+    BROADCAST query-token table and the corpus token stream + a
+    (query, doc) count — the posting-list probe shape. Ranks are
+    integers, the fused score is a sum of exact reciprocals of
+    integers — one identically-written IEEE chain, round(9)."""
+    dot = _mmr_dot(d, "q.embedding", "c.embedding")
+    nq = _mmr_dot(d, "q.embedding", "q.embedding")
+    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    cos = f"({dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
+    one = D.dbl(1.0)
+    return f"""
+    WITH dense AS {D.mat(d)}(
+      SELECT q.vec_id AS query_id, c.vec_id AS cand,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS r_dense
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {RRF_QUERIES}
+    ),
+    qtok AS {D.mat(d)}(
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM {_tokens(d)} t WHERE doc_id < {RRF_QUERIES} AND tok <> ''
+    ),
+    ctok AS (
+      SELECT DISTINCT doc_id AS cand, tok
+      FROM {_tokens(d)} t WHERE tok <> ''
+    ),
+    lex AS {D.mat(d)}(
+      SELECT query_id, cand, r_lex FROM (
+        SELECT q.query_id, c.cand,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY count(*) DESC, c.cand) AS r_lex
+        FROM qtok q JOIN ctok c ON c.tok = q.tok
+        WHERE c.cand <> q.query_id
+        GROUP BY q.query_id, c.cand) t
+    ),
+    fused AS (
+      SELECT coalesce(dn.query_id, lx.query_id) AS query_id,
+             coalesce(dn.cand, lx.cand) AS cand,
+             CASE WHEN dn.r_dense IS NULL THEN {D.dbl(0.0)}
+                  ELSE {one} / cast({RRF_K} + dn.r_dense as double) END
+           + CASE WHEN lx.r_lex IS NULL THEN {D.dbl(0.0)}
+                  ELSE {one} / cast({RRF_K} + lx.r_lex as double) END
+               AS score,
+             dn.r_dense, lx.r_lex
+      FROM dense dn
+      FULL OUTER JOIN lex lx
+        ON lx.query_id = dn.query_id AND lx.cand = dn.cand
+    )
+    SELECT query_id, cast(rn as int) AS rnk, cand AS hit_id,
+           round(score, 9) AS rrf_score,
+           cast(r_dense as bigint) AS r_dense,
+           cast(r_lex as bigint) AS r_lex
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, cand) AS rn
+      FROM fused) t
+    WHERE rn <= {RRF_TOPK}
+    """
+
+
+sql_template("q_rrf_hybrid", _rrf_hybrid,
+             "hybrid lexical+dense retrieval fused by reciprocal rank "
+             "fusion (1/(K+rank) sums, disjoint-list tolerant) in "
+             "query-by-example form",
+             tables=("documents", "embeddings"))
