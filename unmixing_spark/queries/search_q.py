@@ -696,3 +696,90 @@ sql_template("q_rrf_hybrid", _rrf_hybrid,
              "fusion (1/(K+rank) sums, disjoint-list tolerant) in "
              "query-by-example form",
              tables=("documents", "embeddings"))
+
+
+# ---- retrieval evaluation (nDCG / MRR) --------------------------------------------
+
+RE_QUERIES = 4  # query-by-example: first N vec_ids
+RE_K = 10       # evaluation cutoff
+
+
+def _retrieval_eval(d: str) -> str:
+    """Ranking-quality evaluation of the dense retriever — nDCG@K and
+    MRR@K (Järvelin & Kekäläinen 2002; the two numbers every search
+    team tracks per release): binary relevance = same cluster label as
+    the query (the embeddings table's label column), ranking = cosine.
+    The discount constants 1/log2(r+1) and their prefix sums (the IDCG
+    ladder) are emitted as LITERAL tables computed once in Python —
+    both engines consume identical doubles, so no cross-engine libm
+    (log2) divergence can exist by construction.
+
+    Scale shape: ranking is the ANN pool build; everything downstream
+    joins rank-cutoff rows (queries x K) against two constant tables.
+    Per-query relevant-count is one label-keyed aggregate."""
+    import math as _m
+    gains = {r: 1.0 / _m.log2(r + 1) for r in range(1, RE_K + 1)}
+    cums, acc = {}, 0.0
+    for r in range(1, RE_K + 1):
+        acc += gains[r]
+        cums[r] = acc
+    gain_rows = ", ".join(f"({r}, {D.dbl(gains[r])})"
+                          for r in range(1, RE_K + 1))
+    cum_rows = ", ".join(f"({m}, {D.dbl(cums[m])})"
+                         for m in range(1, RE_K + 1))
+    dot = _mmr_dot(d, "q.embedding", "c.embedding")
+    nq = _mmr_dot(d, "q.embedding", "q.embedding")
+    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    cos = f"({dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
+    z = D.dbl(0.0)
+    return f"""
+    WITH gains AS ({D.values_rel(gain_rows, "t(r, g)", d)}),
+    idcg AS ({D.values_rel(cum_rows, "t(m, v)", d)}),
+    ranked AS {D.mat(d)}(
+      SELECT query_id, cand, rel, rn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               cast(CASE WHEN c.label = q.label THEN 1 ELSE 0 END as int)
+                 AS rel,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {RE_QUERIES}) t
+      WHERE rn <= {RE_K}
+    ),
+    nrel AS {D.mat(d)}(
+      SELECT q.vec_id AS query_id,
+             cast(sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
+                  as bigint) AS n_rel
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {RE_QUERIES}
+      GROUP BY q.vec_id
+    ),
+    peraq AS (
+      SELECT r.query_id,
+             sum(CASE WHEN r.rel = 1 THEN g.g ELSE {z} END) AS dcg,
+             cast(sum(r.rel) as bigint) AS hits_at_k,
+             min(CASE WHEN r.rel = 1 THEN r.rn END) AS first_rel
+      FROM ranked r JOIN gains g ON g.r = r.rn
+      GROUP BY r.query_id
+    )
+    SELECT p.query_id,
+           n.n_rel,
+           p.hits_at_k,
+           round(p.dcg, 9) AS dcg,
+           round(CASE WHEN n.n_rel = 0 THEN {z}
+                      ELSE p.dcg / i.v END, 9) AS ndcg,
+           round(CASE WHEN p.first_rel IS NULL THEN {z}
+                      ELSE {D.dbl(1.0)} / cast(p.first_rel as double) END,
+                 9) AS mrr,
+           cast(p.first_rel as bigint) AS first_rel_rank
+    FROM peraq p
+    JOIN nrel n ON n.query_id = p.query_id
+    LEFT JOIN idcg i ON i.m = least(cast(n.n_rel as bigint), {RE_K})
+    """
+
+
+sql_template("q_retrieval_eval", _retrieval_eval,
+             "retrieval evaluation: nDCG@10 and MRR@10 of the dense "
+             "ranking against cluster-label relevance, with literal "
+             "discount/IDCG tables for exact cross-engine parity",
+             tables=("embeddings",))
