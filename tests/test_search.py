@@ -307,8 +307,7 @@ def test_autocomplete_vs_brute_force(spark):
     got = {(r["prefix"], int(r["rnk"])): (r["completion"], int(r["freq"]))
            for _, r in out.iterrows()}
     assert got == exp
-    # structure sanity: rank-1 of a full token's own prefix includes it
-    # somewhere in the candidate list and every prefix serves <= K rows
+    # structure sanity: every prefix serves <= K rows
     per_prefix = out.groupby("prefix").size()
     assert (per_prefix <= AC_TOP_K).all()
 

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from unmixing_spark import dialect as D
 from unmixing_spark.queries import sql_template
-from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens, _tokens
+from unmixing_spark.queries.text_q import (_dot, _lead_gram, _pos_tokens,
+                                            _tokens)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -533,13 +534,13 @@ def _mmr_diversify(d: str) -> str:
     identically-written IEEE chain, argmax ties to the smaller vec_id;
     output scores round(6)."""
     import textwrap
-    rel_dot = _mmr_dot(d, "q.embedding", "c.embedding")
-    nq = _mmr_dot(d, "q.embedding", "q.embedding")
-    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    rel_dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
     rel = f"({rel_dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
-    pair_dot = _mmr_dot(d, "a.embedding", "b.embedding")
-    na = _mmr_dot(d, "a.embedding", "a.embedding")
-    nb = _mmr_dot(d, "b.embedding", "b.embedding")
+    pair_dot = _dot(d, "a.embedding", "b.embedding")
+    na = _dot(d, "a.embedding", "a.embedding")
+    nb = _dot(d, "b.embedding", "b.embedding")
     psim = f"({pair_dot}) / nullif(sqrt({na}) * sqrt({nb}), 0)"
     lam, one_m = D.dbl(MMR_LAMBDA), D.dbl(1.0 - MMR_LAMBDA)
     ctes = [f"""pool AS {D.mat(d)}(
@@ -559,7 +560,6 @@ def _mmr_diversify(d: str) -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY rel DESC, cand) AS rn
         FROM pool) t WHERE rn = 1)"""]
-    prev_sel = "sel1"
     union = "SELECT query_id, cand, 1 AS rnk, mmr FROM sel1"
     for r in range(2, MMR_K + 1):
         picked = " UNION ALL ".join(
@@ -584,7 +584,6 @@ def _mmr_diversify(d: str) -> str:
         FROM sc{r}) t WHERE rn = 1)""")
         union += (f" UNION ALL SELECT query_id, cand, {r} AS rnk, mmr "
                   f"FROM sel{r}")
-        prev_sel = f"sel{r}"
     joined = ",\n    ".join(ctes)
     return textwrap.dedent(f"""
     WITH {joined}
@@ -592,16 +591,6 @@ def _mmr_diversify(d: str) -> str:
            round(mmr, 6) AS mmr_score
     FROM ({union}) u
     """)
-
-
-def _mmr_dot(d: str, a: str, b: str) -> str:
-    """Shared sequential-fold dot product (text_q._dot's definition,
-    re-declared here to keep search_q importable standalone)."""
-    if d == D.SPARK:
-        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
-                f"cast(x as double) * cast(y as double)), "
-                f"cast(0.0 as double), (acc, v) -> acc + v)")
-    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 sql_template("q_mmr_diversify", _mmr_diversify,
@@ -636,9 +625,9 @@ def _rrf_hybrid(d: str) -> str:
     (query, doc) count — the posting-list probe shape. Ranks are
     integers, the fused score is a sum of exact reciprocals of
     integers — one identically-written IEEE chain, round(9)."""
-    dot = _mmr_dot(d, "q.embedding", "c.embedding")
-    nq = _mmr_dot(d, "q.embedding", "q.embedding")
-    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
     cos = f"({dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
     one = D.dbl(1.0)
     return f"""
@@ -727,9 +716,9 @@ def _retrieval_eval(d: str) -> str:
                           for r in range(1, RE_K + 1))
     cum_rows = ", ".join(f"({m}, {D.dbl(cums[m])})"
                          for m in range(1, RE_K + 1))
-    dot = _mmr_dot(d, "q.embedding", "c.embedding")
-    nq = _mmr_dot(d, "q.embedding", "q.embedding")
-    nc = _mmr_dot(d, "c.embedding", "c.embedding")
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
     cos = f"({dot}) / nullif(sqrt({nq}) * sqrt({nc}), 0)"
     z = D.dbl(0.0)
     return f"""
@@ -746,13 +735,14 @@ def _retrieval_eval(d: str) -> str:
         WHERE q.vec_id < {RE_QUERIES}) t
       WHERE rn <= {RE_K}
     ),
+    lab AS (
+      SELECT label, cast(count(*) as bigint) AS cnt
+      FROM embeddings GROUP BY label
+    ),
     nrel AS {D.mat(d)}(
-      SELECT q.vec_id AS query_id,
-             cast(sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
-                  as bigint) AS n_rel
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      SELECT q.vec_id AS query_id, l.cnt - 1 AS n_rel
+      FROM embeddings q JOIN lab l ON l.label = q.label
       WHERE q.vec_id < {RE_QUERIES}
-      GROUP BY q.vec_id
     ),
     peraq AS (
       SELECT r.query_id,
