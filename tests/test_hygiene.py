@@ -847,3 +847,81 @@ def test_winnow_fingerprints_match_brute_force(spark):
     hset = {did: {h for h, _ in sel} for did, sel in fps.items()}
     for a, b in pairs:
         assert hset[a] & hset[b], (a, b)
+
+
+def test_script_mix_planted_multilingual(spark, tmp_path):
+    """q_script_mix on a planted multilingual fixture: per-script counts
+    recomputed by Python codepoint classification, dominant-script
+    tie-break to the first listed range, zero-script and mixed-script
+    arms, AND DuckDB-vs-Spark parity on the same non-ASCII fixture (the
+    corpus oracle run only ever sees ASCII)."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from unmixing_spark.queries.hygiene_q import SCRIPT_RANGES
+
+    texts = [
+        "pure latin text",
+        "Привет мир",                           # cyrillic
+        "中文文本处理系统",                       # cjk
+        "مرحبا بالعالم",                         # arabic
+        "שלום עולם",                             # hebrew
+        "ひらがなとカタカナ",                     # kana
+        "한국어 텍스트",                          # hangul
+        "mixed Привет 中文 text",                # latin-dominant mix
+        "2024 12345",                            # digits only
+        "!!! ...",                               # none of the ranges
+        "νόμος ελληνικά",                        # greek
+        "हिन्दी पाठ",                             # devanagari
+        "абв abc",                               # 3-3 tie -> latin (first)
+    ]
+    docs = _docs().head(len(texts)).copy()
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    spans = {
+        "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+        "cyrillic": [(0x400, 0x4FF)],
+        "greek": [(0x370, 0x3FF)],
+        "arabic": [(0x600, 0x6FF)],
+        "hebrew": [(0x590, 0x5FF)],
+        "devanagari": [(0x900, 0x97F)],
+        "cjk": [(0x4E00, 0x9FFF)],
+        "kana": [(0x3040, 0x30FF)],
+        "hangul": [(0xAC00, 0xD7AF), (0x1100, 0x11FF)],
+        "digit": [(0x30, 0x39)],
+    }
+    order = [n for n, _ in SCRIPT_RANGES]
+
+    out = (registry()["q_script_mix"].spark_fn(spark, sf_dir)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    for i, text in enumerate(texts):
+        cnt = {s: sum(1 for ch in text
+                      if any(lo <= ord(ch) <= hi for lo, hi in spans[s]))
+               for s in order}
+        row = out.iloc[i]
+        for s in order:
+            assert int(row[f"n_{s}"]) == cnt[s], (i, s, text)
+        assert int(row["n_chars_total"]) == len(text)
+        if max(cnt.values()) == 0:
+            assert row["dominant_script"] == "none"
+            assert float(row["dominant_share"]) == 0.0
+        else:
+            best = max(cnt.values())
+            dom = next(s for s in order if cnt[s] == best)
+            assert row["dominant_script"] == dom, (i, text, dict(cnt))
+            assert abs(float(row["dominant_share"])
+                       - round(best / sum(cnt.values()), 6)) < 1e-9
+    # the planted tie resolves to the first-listed script
+    assert out.iloc[12]["dominant_script"] == "latin"
+
+    # cross-engine parity on the SAME non-ASCII fixture
+    from unmixing_spark.queries import registry as _reg
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    duck = con.sql(_reg()["q_script_mix"].oracle).df()
+    problems = compare(out, duck)
+    assert not problems, problems

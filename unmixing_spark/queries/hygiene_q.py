@@ -1323,3 +1323,77 @@ def _winnow_fp(d: str) -> str:
 sql_template("q_winnow_fingerprints", _winnow_fp,
              "winnowing (Schleimer et al. 2003): rightmost-min-of-window "
              "gram-hash fingerprints per doc + cross-doc shared counts")
+
+
+# ---- writing-system (script) mix ------------------------------------------------
+
+SCRIPT_RANGES = (
+    # (name, regex char class) — BMP ranges; order = deterministic
+    # dominant-script tie-break (first listed wins at equal counts)
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("hebrew", r"[\x{0590}-\x{05FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]"),
+    ("digit", r"[0-9]"),
+)
+
+
+def _script_mix(d: str) -> str:
+    """Per-document writing-system mix (the multilingual-corpus report
+    Dolma/FineWeb-class pipelines publish next to language ID, and the
+    cross-check that catches langid failures: a doc tagged 'en' that is
+    90% CJK is mislabeled): per-script character counts from explicit
+    BMP codepoint ranges, the dominant script by count (ties broken by
+    the fixed range order), and its coverage fraction over counted
+    (non-whitespace, non-'other') characters. Script coverage is also
+    the practical mojibake detector — encoding damage scatters
+    codepoints across ranges and drives dominant-share down.
+
+    Scale shape: one projection-only pass — every count is a
+    regexp_count against a literal char-class (JVM/RE2-side, no
+    explode, no shuffle; the only exchange is whatever the consumer
+    adds). Bit-parity: counts are exact ints from the same regex
+    ranges; the one fraction is a ratio of exact ints, round(6)."""
+    cols = ",\n           ".join(
+        f"cast({D.regexp_count('text', D.rx_lit(rx, d), d)} as bigint) "
+        f"AS n_{name}" for name, rx in SCRIPT_RANGES)
+    total = " + ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    dom_pairs = ", ".join(
+        f"(n_{name}, '{name}')" for name, _ in SCRIPT_RANGES)
+    # greatest-count argmax with first-listed tie-break: compare each
+    # count against the running best via a CASE cascade (fixed, tiny)
+    cascade = "'none'"
+    best = "cast(0 as bigint)"
+    for name, _ in reversed(SCRIPT_RANGES):
+        cascade = (f"CASE WHEN n_{name} >= {best} AND n_{name} > 0 "
+                   f"THEN '{name}' ELSE {cascade} END")
+        best = f"greatest(n_{name}, {best})"
+    return f"""
+    WITH counted AS (
+      SELECT doc_id,
+           {cols},
+           cast(length(text) as bigint) AS n_chars_total
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)},
+           n_chars_total,
+           {cascade} AS dominant_script,
+           round(CASE WHEN ({total}) = 0 THEN {D.dbl(0.0)}
+                      ELSE cast({best} as double)
+                           / cast(({total}) as double) END, 6)
+             AS dominant_share
+    FROM counted
+    """
+
+
+sql_template("q_script_mix", _script_mix,
+             "per-document writing-system mix from explicit BMP "
+             "codepoint ranges: per-script counts, dominant script "
+             "(fixed tie order), dominant share — the langid cross-check "
+             "and practical mojibake detector")
