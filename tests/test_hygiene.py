@@ -925,3 +925,74 @@ def test_script_mix_planted_multilingual(spark, tmp_path):
     duck = con.sql(_reg()["q_script_mix"].oracle).df()
     problems = compare(out, duck)
     assert not problems, problems
+
+
+def test_mojibake_planted_damage(spark, tmp_path):
+    """q_mojibake on genuinely damaged strings produced by the real
+    failure modes (utf-8 bytes decoded as latin-1 / cp1252), plus clean
+    controls including legitimate single 'A-tilde' text --- Python
+    recount of every signature AND DuckDB-vs-Spark parity on the
+    non-ASCII fixture."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from unmixing_spark.queries.hygiene_q import MOJI_MIN_DOUBLE
+
+    clean = ["plain ascii text", "caf\u00e9 na\u00efve r\u00e9sum\u00e9 \u2014 fine",
+             "\u4e2d\u6587 is fine too", "\u00c3 lone capital A-tilde word"]
+    damaged = [
+        "caf\u00e9 na\u00efve r\u00e9sum\u00e9".encode("utf-8").decode("latin-1"),
+        "curly \u2019quotes\u2019 and \u2014 dashes".encode("utf-8")
+            .decode("cp1252", "replace"),
+        "lost \ufffd chars \ufffd here",
+        "c1 control \x85 inside",
+        "bell \x07 and \x01 controls only",  # C0 only: counted, NOT flagged
+    ]
+    texts = clean + damaged
+    docs = _docs().head(len(texts)).copy()
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    out = (registry()["q_mojibake"].spark_fn(spark, sf_dir)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    def counts(t):
+        n_repl = t.count("\ufffd")
+        n_c1 = sum(1 for c in t if 0x80 <= ord(c) <= 0x9F)
+        cp1252_imgs = ("\u20ac\u201a\u0192\u201e\u2026\u2020"
+                       "\u2021\u02c6\u2030\u0160\u2039\u0152"
+                       "\u017d\u2018\u2019\u201c\u201d\u2022"
+                       "\u2013\u2014\u02dc\u2122\u0161\u203a"
+                       "\u0153\u017e\u0178")
+        n_double = len(re.findall(
+            "[\u00c2\u00c3\u00e2][\u0080-\u00bf" + cp1252_imgs + "]",
+            t))
+        n_c0 = sum(1 for c in t
+                   if ord(c) <= 0x1F and c not in "\t\n\r")
+        return n_repl, n_c1, n_double, n_c0
+
+    for i, t in enumerate(texts):
+        n_repl, n_c1, n_double, n_c0 = counts(t)
+        row = out.iloc[i]
+        assert int(row["n_replacement"]) == n_repl, (i, t)
+        assert int(row["n_c1"]) == n_c1, (i, t)
+        assert int(row["n_double_enc"]) == n_double, (i, t)
+        assert int(row["n_c0_control"]) == n_c0, (i, t)
+        exp_flag = int(n_repl > 0 or n_c1 > 0
+                       or n_double >= MOJI_MIN_DOUBLE)
+        assert int(row["is_mojibake"]) == exp_flag, (i, t)
+    # every clean doc passes, every damaged-encoding doc flags, and the
+    # C0-only doc is reported but NOT flagged
+    assert list(out["is_mojibake"][:len(clean)]) == [0] * len(clean)
+    assert list(out["is_mojibake"][len(clean):len(clean) + 4]) == [1] * 4
+    assert int(out.iloc[len(texts) - 1]["is_mojibake"]) == 0
+    assert int(out.iloc[len(texts) - 1]["n_c0_control"]) == 2
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    duck = con.sql(registry()["q_mojibake"].oracle).df()
+    problems = compare(out, duck)
+    assert not problems, problems

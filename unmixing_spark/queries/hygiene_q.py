@@ -1397,3 +1397,73 @@ sql_template("q_script_mix", _script_mix,
              "codepoint ranges: per-script counts, dominant script "
              "(fixed tie order), dominant share — the langid cross-check "
              "and practical mojibake detector")
+
+
+# ---- encoding-damage (mojibake) detection -----------------------------------------
+
+MOJI_MIN_DOUBLE = 2  # >= 2 double-encoding digraphs flags a doc (a single
+                     # 'Ã' can be legitimate text; runs of them are not)
+
+
+def _mojibake(d: str) -> str:
+    """Encoding-damage detector — the hygiene pass every Common-Crawl
+    pipeline runs before trusting `text`: counts the three classic
+    mojibake signatures per document and flags. (1) U+FFFD replacement
+    characters = the upstream decoder already gave up; (2) C1 control
+    codepoints U+0080-U+009F = cp1252/latin-1 bytes decoded as the wrong
+    8-bit map (real text never contains C1); (3) UTF-8-decoded-as-8-bit
+    digraphs — a 'Ã'/'Â' (U+00C2/U+00C3) or 'â' (U+00E2) lead followed
+    by a continuation-byte image: either the raw C1/latin-1 range
+    U+0080-U+00BF (utf-8 read as latin-1) or cp1252's PRINTABLE images
+    of bytes 0x80-0x9F (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š
+    › œ ž Ÿ — utf-8 read as cp1252, where 'â€™' contains no C1 char at
+    all; the planted-fixture test caught exactly this gap). Stray C0 controls (outside
+    tab/newline/CR) are reported as a fourth count but do not flag
+    alone. Flag rule: any replacement char, any C1, or >=
+    MOJI_MIN_DOUBLE double-encoding digraphs.
+
+    Scale shape: projection-only regexp_counts against literal classes,
+    same as q_script_mix — no explode, no shuffle. Counts exact ints;
+    the per-1k-chars rate is one rounded ratio."""
+    rx_repl = D.rx_lit(r"\x{FFFD}", d)
+    rx_c1 = D.rx_lit(r"[\x{0080}-\x{009F}]", d)
+    cp1252_imgs = (r"\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}\x{2020}"
+                   r"\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}"
+                   r"\x{017D}\x{2018}\x{2019}\x{201C}\x{201D}\x{2022}"
+                   r"\x{2013}\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}"
+                   r"\x{0153}\x{017E}\x{0178}")
+    rx_double = D.rx_lit(
+        r"[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}" + cp1252_imgs + "]",
+        d)
+    rx_c0 = D.rx_lit(
+        r"[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]", d)
+    k = D.dbl(1000.0)
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             cast({D.regexp_count('text', rx_repl, d)} as bigint)
+               AS n_replacement,
+             cast({D.regexp_count('text', rx_c1, d)} as bigint)   AS n_c1,
+             cast({D.regexp_count('text', rx_double, d)} as bigint)
+               AS n_double_enc,
+             cast({D.regexp_count('text', rx_c0, d)} as bigint)
+               AS n_c0_control,
+             cast(length(text) as bigint) AS n_chars_total
+      FROM documents
+    )
+    SELECT doc_id, n_replacement, n_c1, n_double_enc, n_c0_control,
+           n_chars_total,
+           round({k} * cast(n_replacement + n_c1 + n_double_enc as double)
+                 / cast(greatest(n_chars_total, 1) as double), 6)
+             AS moji_per_1k,
+           cast(CASE WHEN n_replacement > 0 OR n_c1 > 0
+                       OR n_double_enc >= {MOJI_MIN_DOUBLE}
+                     THEN 1 ELSE 0 END as int) AS is_mojibake
+    FROM sig
+    """
+
+
+sql_template("q_mojibake", _mojibake,
+             "encoding-damage detection: U+FFFD, C1 controls, "
+             "UTF-8-as-8-bit double-encoding digraphs, stray C0 — "
+             "per-doc counts, per-1k rate, flag")
