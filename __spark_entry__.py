@@ -6,7 +6,7 @@ with its DuckDB oracle — both renderings come from the same SQL template
 (unmixing_spark/dialect.py), so Spark and DuckDB compute the same logical
 function and the driver verifies they agree numerically.
 
-Current registry: 214 queries, 194 with full DuckDB oracles (91%); the 20
+Current registry: 215 queries, 195 with full DuckDB oracles (91%); the 20
 rows-only entries are the genuinely non-SQL pipelines (FCLS, MNF, PPI,
 SASMA-MESMA + distributed endmember interpolation, LSH/IVF/IVF-PQ ANN,
 forward-model/eigen, BPE token counting + BPE-budget packing, the

@@ -996,3 +996,50 @@ def test_mojibake_planted_damage(spark, tmp_path):
     duck = con.sql(registry()["q_mojibake"].oracle).df()
     problems = compare(out, duck)
     assert not problems, problems
+
+
+def test_readability_planted_fixture(spark, tmp_path):
+    """q_readability vs a Python replay on texts spanning the scale:
+    short simple sentences (high ease), long polysyllabic prose (low,
+    possibly negative — unclamped by design), the no-terminal-punct arm
+    (sentences floored at 1), and the empty-ish arm (words=0 -> 0.0)."""
+    import re as _re
+
+    texts = [
+        "The cat sat. The dog ran. It was fun.",
+        ("Incomprehensibility characterizes multidimensional "
+         "organizational heterogeneity notwithstanding "
+         "institutionalization of internationalization."),
+        "no terminal punctuation here at all",
+        "!!! ??? ...",
+        "Reading is easy. Words flow well. Short is sweet!",
+    ]
+    docs = _docs().head(len(texts)).copy()
+    docs["text"] = texts
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    out = (registry()["q_readability"].spark_fn(spark, sf_dir)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        words = len(_re.findall(r"[A-Za-z]+", t))
+        syll = max(len(_re.findall(r"[aeiouy]+", t.lower())), words)
+        sents = max(len(_re.findall(r"[.!?]+", t)), 1)
+        row = out.iloc[i]
+        assert int(row["words"]) == words
+        assert int(row["syllables"]) == syll
+        assert int(row["sentences"]) == sents
+        if words == 0:
+            exp = 0.0
+        else:
+            exp = round(206.835 - 1.015 * words / sents
+                        - 84.6 * syll / words, 6)
+        assert abs(float(row["flesch_ease"]) - exp) < 1e-9, (i, t)
+    ease = dict(zip(out["doc_id"], out["flesch_ease"]))
+    ids = list(out["doc_id"])
+    # ordering sanity: simple prose scores far above the polysyllabic
+    # monster, which lands negative (the unclamped arm)
+    assert ease[ids[0]] > 80
+    assert ease[ids[1]] < 0
+    assert ease[ids[3]] == 0.0

@@ -1467,3 +1467,59 @@ sql_template("q_mojibake", _mojibake,
              "encoding-damage detection: U+FFFD, C1 controls, "
              "UTF-8-as-8-bit double-encoding digraphs, stray C0 — "
              "per-doc counts, per-1k rate, flag")
+
+
+# ---- readability (Flesch) ---------------------------------------------------------
+
+
+def _readability(d: str) -> str:
+    """Flesch Reading Ease per document (Flesch 1948; the readability
+    feature quality classifiers and curriculum filters consume):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), with
+    the standard vowel-group syllable approximation (a maximal
+    [aeiouy]+ run in a lowercased word ~ one syllable; every word
+    counts at least one) and terminal-punctuation-run sentence counting
+    (at least one sentence per non-empty doc). The score is NOT clamped
+    to [0,100] — genuinely degenerate text scoring negative is signal,
+    not error (the published scale is open at both ends).
+
+    Scale shape: projection-only — three regexp_counts and one length
+    per doc, no explode, no shuffle. Bit-parity: counts exact ints;
+    the score is one identically-written IEEE chain over D.dbl
+    constants, round(6)."""
+    rx_word = D.rx_lit(r"[A-Za-z]+", d)
+    rx_syll = D.rx_lit(r"[aeiouy]+", d)
+    rx_sent = D.rx_lit(r"[.!?]+", d)
+    c0, c1, c2 = D.dbl(206.835), D.dbl(1.015), D.dbl(84.6)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             cast({D.regexp_count('text', rx_word, d)} as bigint) AS words,
+             cast({D.regexp_count('lower(text)', rx_syll, d)} as bigint)
+               AS vowel_groups,
+             cast({D.regexp_count('text', rx_sent, d)} as bigint)
+               AS sent_marks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, words,
+             greatest(vowel_groups, words) AS syllables,
+             greatest(sent_marks, 1) AS sentences
+      FROM f
+    )
+    SELECT doc_id, words, syllables, sentences,
+           round(CASE WHEN words = 0 THEN {D.dbl(0.0)}
+                      ELSE {c0}
+                           - {c1} * (cast(words as double)
+                                     / cast(sentences as double))
+                           - {c2} * (cast(syllables as double)
+                                     / cast(words as double)) END, 6)
+             AS flesch_ease
+    FROM n
+    """
+
+
+sql_template("q_readability", _readability,
+             "Flesch Reading Ease per document: vowel-group syllable "
+             "approximation, terminal-punctuation sentences, unclamped "
+             "score from exact integer counts")
