@@ -753,3 +753,114 @@ def test_bowtie_matches_python_bruteforce(spark):
     # non-degenerate: the graph has a real bowtie (giant SCC + periphery)
     assert sizes["SCC"] > n // 4
     assert len(sizes) >= 3
+
+
+def _mini_corpus(tmp_path, n: int) -> str:
+    """documents.parquet with n docs — the synthetic link graph is a pure
+    function of the doc_id set, so each n yields a structurally
+    different graph (different densities, different giant-SCC shares)."""
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["x"] * n,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": [1] * n,
+    })
+    d = str(tmp_path / f"g{n}")
+    import os
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    return d
+
+
+def _edges_for(n: int) -> list[tuple[int, int]]:
+    """Raw links rows WITH multiplicity (two fan slots can hit the same
+    target, and the SQL's degree count keeps the duplicate rows —
+    dedup only where the query itself does DISTINCT)."""
+    edges = []
+    for d in range(n):
+        for k in range(1 + d % PR_MAX_FAN):
+            h = int(hashlib.md5(f"{d}#{k}".encode()).hexdigest()[:8], 16) % n
+            edges.append((d, h))
+    return edges
+
+
+def test_label_prop_across_graph_sizes(spark, tmp_path):
+    """The adaptive LPA loop reaches the Python replay's fixpoint on
+    structurally different graphs (n = 7, 23, 64, 150 — from
+    near-degenerate to dense), not just the 500-doc corpus graph."""
+    for n in (7, 23, 64, 150):
+        sf = _mini_corpus(tmp_path, n)
+        und = {(min(u, v), max(u, v)) for u, v in _edges_for(n) if u != v}
+        adj: dict[int, list[int]] = {}
+        for u, v in und:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        lbl = {d: d for d in range(n)}
+        for _ in range(60):
+            new = {}
+            for d_ in range(n):
+                cnt = {lbl[d_]: 1}
+                for m in adj.get(d_, []):
+                    cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+                new[d_] = min(cnt, key=lambda c: (-cnt[c], c))
+            if new == lbl:
+                break
+            lbl = new
+        else:
+            raise AssertionError("python replay did not converge")
+        out = (registry()["q_label_prop"].spark_fn(spark, sf)
+               .toPandas())
+        got = dict(zip(out["doc_id"].astype(int),
+                       out["community"].astype(int)))
+        assert got == lbl, n
+        assert (out["converged"] == 1).all(), n
+
+
+def test_bowtie_across_graph_sizes(spark, tmp_path):
+    """Bowtie regions match the Python BFS replay on graphs from tiny
+    (n=7: mostly degenerate regions) to mid-density (n=150)."""
+    for n in (7, 23, 64, 150):
+        sf = _mini_corpus(tmp_path, n)
+        links = list(_edges_for(n))
+        deg: dict[int, int] = {}
+        for u, v in links:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        pivot = min(deg, key=lambda i: (-deg[i], i))
+
+        def closure(edges):
+            adj: dict[int, list[int]] = {}
+            for u, v in edges:
+                adj.setdefault(u, []).append(v)
+            seen, frontier = {pivot}, [pivot]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, []):
+                        if v not in seen:
+                            seen.add(v)
+                            nxt.append(v)
+                frontier = nxt
+            return seen
+
+        fw = closure(links)
+        bw = closure([(v, u) for u, v in links])
+        wc = closure(links + [(v, u) for u, v in links])
+        exp = {}
+        for d_ in range(n):
+            if d_ in fw and d_ in bw:
+                exp[d_] = "SCC"
+            elif d_ in bw:
+                exp[d_] = "IN"
+            elif d_ in fw:
+                exp[d_] = "OUT"
+            elif d_ in wc:
+                exp[d_] = "TENDRIL"
+            else:
+                exp[d_] = "DISCONNECTED"
+        out = (registry()["q_bowtie"].spark_fn(spark, sf).toPandas())
+        got = dict(zip(out["doc_id"].astype(int), out["region"]))
+        assert got == exp, n
+        assert (out["pivot_id"] == pivot).all(), n
+        assert (out["converged"] == 1).all(), n
