@@ -255,8 +255,8 @@ def _semdedup_tail(d: str, emb: str, asg: str) -> str:
     sim AS (
       SELECT d.a, d.b, na.d2 AS da, nb.d2 AS db,
              round(cast(d.dp as double)
-                   / (sqrt(cast(na.n2 as double))
-                      * sqrt(cast(nb.n2 as double))), 6) AS cos_ab
+                   / nullif(sqrt(cast(na.n2 as double))
+                            * sqrt(cast(nb.n2 as double)), 0), 6) AS cos_ab
       FROM dots d
       JOIN nrm na ON na.vec_id = d.a
       JOIN nrm nb ON nb.vec_id = d.b),

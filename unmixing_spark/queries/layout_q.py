@@ -429,11 +429,11 @@ def _region_edges_sql() -> str:
     """4-neighbor adjacency over occupied cells, symmetrized — two
     equi-joins on shifted keys (never a distance predicate), the shape
     that stays a pair of keyed joins at any lattice size."""
-    return """e1 AS (
+    return """e1 AS MATERIALIZED (
       SELECT a.pcell AS u, b.pcell AS v
       FROM cells a JOIN cells b ON b.px = a.px + 1 AND b.py = a.py
     ),
-    e2 AS (
+    e2 AS MATERIALIZED (
       SELECT a.pcell AS u, b.pcell AS v
       FROM cells a JOIN cells b ON b.px = a.px AND b.py = a.py + 1
     ),

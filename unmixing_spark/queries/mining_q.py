@@ -78,8 +78,8 @@ def _bitext_margin(d: str) -> str:
     ),
     fwd_avg AS (
       SELECT src_id, dst_id, cos, rn_f,
-             avg(CASE WHEN rn_f <= {k} THEN cos END)
-               OVER (PARTITION BY src_id) AS avg_f
+             round(avg(CASE WHEN rn_f <= {k} THEN cos END)
+                   OVER (PARTITION BY src_id), 9) AS avg_f
       FROM fwd
     ),
     rev AS (
@@ -90,8 +90,8 @@ def _bitext_margin(d: str) -> str:
     ),
     aug AS (
       SELECT src_id, dst_id, cos, rn_f, rn_r, avg_f,
-             avg(CASE WHEN rn_r <= {k} THEN cos END)
-               OVER (PARTITION BY dst_id) AS avg_r
+             round(avg(CASE WHEN rn_r <= {k} THEN cos END)
+                   OVER (PARTITION BY dst_id), 9) AS avg_r
       FROM rev
     )
     SELECT src_id, dst_id,
