@@ -425,19 +425,23 @@ def _region_cells(d: str) -> str:
     )"""
 
 
-def _region_edges_sql() -> str:
+def _region_edges_sql(d: str) -> str:
     """4-neighbor adjacency over occupied cells, symmetrized — two
     equi-joins on shifted keys (never a distance predicate), the shape
-    that stays a pair of keyed joins at any lattice size."""
-    return """e1 AS MATERIALIZED (
+    that stays a pair of keyed joins at any lattice size. The SINGLE
+    definition of the region graph: the DuckDB oracle renders it as
+    CTEs over the cells CTE, the Spark path renders the SAME fragment
+    over a temp view of the checkpointed cells — the two engines cannot
+    silently compute different adjacency."""
+    return f"""e1 AS {D.mat(d)}(
       SELECT a.pcell AS u, b.pcell AS v
       FROM cells a JOIN cells b ON b.px = a.px + 1 AND b.py = a.py
     ),
-    e2 AS MATERIALIZED (
+    e2 AS {D.mat(d)}(
       SELECT a.pcell AS u, b.pcell AS v
       FROM cells a JOIN cells b ON b.px = a.px AND b.py = a.py + 1
     ),
-    edges AS MATERIALIZED (
+    edges AS {D.mat(d)}(
       SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1
       UNION ALL
       SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2
@@ -467,16 +471,11 @@ def _mask_regions_spark(spark, sf_dir):
     cells = spark.sql(
         f"WITH {_region_cells(D.SPARK)} SELECT * FROM cells"
     ).localCheckpoint(eager=True)
-    a, b = cells.alias("a"), cells.alias("b")
-    e1 = a.join(b, (F.col("b.px") == F.col("a.px") + 1)
-                & (F.col("b.py") == F.col("a.py"))) \
-          .select(F.col("a.pcell").alias("u"), F.col("b.pcell").alias("v"))
-    e2 = a.join(b, (F.col("b.px") == F.col("a.px"))
-                & (F.col("b.py") == F.col("a.py") + 1)) \
-          .select(F.col("a.pcell").alias("u"), F.col("b.pcell").alias("v"))
-    edges = e1.unionAll(e1.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-              .unionAll(e2) \
-              .unionAll(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # the SAME adjacency fragment the oracle renders, over a temp view
+    # of the checkpointed cells (one definition of the region graph)
+    cells.createOrReplaceTempView("cells")
+    edges = spark.sql(
+        f"WITH {_region_edges_sql(D.SPARK)} SELECT u, v FROM edges")
     n, _rounds = cc_labels(edges)
     converged = n.agg(
         (F.lit(1) - F.coalesce(
@@ -502,7 +501,7 @@ def _mask_regions_oracle() -> str:
     {REGION_ORACLE_ROUNDS}, with the convergence check re-derived
     in-query (conv CTE) so an under-deep unroll breaks the value hash
     via converged=0 against the Spark side's proven converged=1."""
-    ctes = [_region_cells(D.DUCKDB), _region_edges_sql(),
+    ctes = [_region_cells(D.DUCKDB), _region_edges_sql(D.DUCKDB),
             "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM edges)"]
     for r in range(REGION_ORACLE_ROUNDS):
         ctes.append(f"""n{r} AS MATERIALIZED (
