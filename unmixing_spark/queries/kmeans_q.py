@@ -127,6 +127,37 @@ def _kmeans_oracle() -> str:
     """
 
 
+def _lloyd_loop(emb, cent, keys: list, rounds: int):
+    """The ONE Spark Lloyd recurrence, shared by the single quantizer
+    (keys=["vec_id"]) and PQ (keys=["vec_id", "sub"]): per round one
+    broadcast codebook join + keyed exact-integer distance aggregation +
+    argmin window (cid tie-break) + (cid, dim) centroid update with the
+    empty-cluster carry, codebook checkpointed per round. Any change to
+    the recurrence (coalesce rule, cadence, tie-break) lands in both
+    quantizers by construction. Returns (assign, prev_assign)."""
+    assign = prev_assign = None
+    for _ in range(rounds):
+        prev_assign = assign
+        d2 = (emb.join(F.broadcast(cent), "dim")
+              .groupBy(*keys, "cid")
+              .agg(F.sum((F.col("q") - F.col("c"))
+                         * (F.col("q") - F.col("c"))).alias("d2")))
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy("d2", "cid"))
+        assign = (d2.withColumn("rn", rn).filter(F.col("rn") == 1)
+                  .select(*keys, "cid", "d2"))
+        upd = (assign.join(emb, keys)
+               .groupBy("cid", "dim")
+               .agg(F.sum("q").alias("s"), F.count("*").alias("cnt")))
+        cent = (cent.alias("p")
+                .join(upd.alias("u"), ["cid", "dim"], "left")
+                .select("cid", "dim",
+                        F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
+                        .cast("bigint").alias("c"))
+                .localCheckpoint(eager=True))
+    return assign, prev_assign
+
+
 def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame,
                                                 DataFrame]:
     """Driver-loop twin of ``_lloyd_ctes``: runs the KM_ROUNDS Lloyd
@@ -145,26 +176,7 @@ def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame,
                     "dim", F.col("q").alias("c"))
             .localCheckpoint(eager=True))
 
-    assign = prev_assign = None
-    for _ in range(KM_ROUNDS):
-        prev_assign = assign
-        d2 = (emb.join(F.broadcast(cent), "dim")
-              .groupBy("vec_id", "cid")
-              .agg(F.sum((F.col("q") - F.col("c"))
-                         * (F.col("q") - F.col("c"))).alias("d2")))
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("d2", "cid"))
-        assign = (d2.withColumn("rn", rn).filter(F.col("rn") == 1)
-                  .select("vec_id", "cid", "d2"))
-        upd = (assign.join(emb, "vec_id")
-               .groupBy("cid", "dim")
-               .agg(F.sum("q").alias("s"), F.count("*").alias("cnt")))
-        cent = (cent.alias("p")
-                .join(upd.alias("u"), ["cid", "dim"], "left")
-                .select("cid", "dim",
-                        F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
-                        .cast("bigint").alias("c"))
-                .localCheckpoint(eager=True))
+    assign, prev_assign = _lloyd_loop(emb, cent, ["vec_id"], KM_ROUNDS)
     return emb, assign, prev_assign
 
 
@@ -408,26 +420,8 @@ def pq_codes_over_embeddings(spark: SparkSession) -> DataFrame:
                     "dim", F.col("q").alias("c"))
             .localCheckpoint(eager=True))
 
-    assign = prev_assign = None
-    for _ in range(PQ_ROUNDS):
-        prev_assign = assign
-        d2 = (emb.join(F.broadcast(cent), "dim")
-              .groupBy("vec_id", "sub", "cid")
-              .agg(F.sum((F.col("q") - F.col("c"))
-                         * (F.col("q") - F.col("c"))).alias("d2")))
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id", "sub").orderBy("d2", "cid"))
-        assign = (d2.withColumn("rn", rn).filter(F.col("rn") == 1)
-                  .select("vec_id", "sub", "cid", "d2"))
-        upd = (assign.join(emb, ["vec_id", "sub"])
-               .groupBy("cid", "dim")
-               .agg(F.sum("q").alias("s"), F.count("*").alias("cnt")))
-        cent = (cent.alias("p")
-                .join(upd.alias("u"), ["cid", "dim"], "left")
-                .select("cid", "dim",
-                        F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
-                        .cast("bigint").alias("c"))
-                .localCheckpoint(eager=True))
+    assign, prev_assign = _lloyd_loop(emb, cent, ["vec_id", "sub"],
+                                      PQ_ROUNDS)
 
     moved = (assign.alias("x")
              .join(prev_assign.alias("y"), ["vec_id", "sub"])
