@@ -28,10 +28,39 @@ CANONICAL_ENDMEMBERS = np.array([
 ])
 
 
+# Round-6 scan-parallelism fix (guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read"): the
+# corpus parquet files are single-row-group singletons, so a bare scan
+# yields ONE task doing real work and every CPU-heavy map stage
+# downstream (tokenize, shingle, quantize, decode) runs serially no
+# matter how many cores the session has. When the scan offers fewer
+# splits than the session's parallelism target, repartition by the
+# table's key right after the read — a one-time shuffle of the (small)
+# raw table that the whole query tree then fans out from; the HASH key
+# keeps the placement deterministic (guide §2.5's rand() warning) and
+# matches the doc_id/vec_id-keyed windows and joins downstream. On a
+# real deployment the table is many files and the scan already
+# parallelizes — the condition below then never fires.
+_REPART_KEYS = {"documents": "doc_id", "embeddings": "vec_id",
+                "events": "event_id"}
+_scan_parts_cache: dict[tuple[str, str], int] = {}
+
+
 def register_tables(spark: SparkSession, sf_dir: str,
                     tables: tuple[str, ...] = ("documents",)) -> None:
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key = _REPART_KEYS.get(t)
+        if key is not None:
+            cache_key = (sf_dir, t)
+            scan_parts = _scan_parts_cache.get(cache_key)
+            if scan_parts is None:
+                scan_parts = df.rdd.getNumPartitions()
+                _scan_parts_cache[cache_key] = scan_parts
+            if scan_parts < max(target // 4, 2):
+                df = df.repartition(target, key)
+        df.createOrReplaceTempView(t)
 
 
 def geo_pages(spark: SparkSession, sf_dir: str,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from unmixing_spark import dialect as D
 from unmixing_spark.pagegen import EPOCH_2025, pages_sql, url_expr
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 from unmixing_spark.queries.linkgraph_q import _link_ctes
 from unmixing_spark.queries.text_q import _tokens
 
@@ -200,6 +200,34 @@ def _simhash64_cte(d: str) -> str:
     )"""
 
 
+def _simhash_pairs_tail(d: str, sh: str) -> str:
+    """The banding + verification tail over an ``sh``(doc_id, lo, hi)
+    relation — factored so the Spark side can feed a once-computed,
+    checkpointed simhash table (``sh`` is referenced SIX times below;
+    as a CTE each reference re-ran the full token pass) while the
+    DuckDB oracle text renders over the materialized ``sh`` CTE,
+    byte-identical to the round-5 fingerprint."""
+    hd = (f"bit_count({D.xor_('a.lo', 'b.lo', d)}) + "
+          f"bit_count({D.xor_('a.hi', 'b.hi', d)})")
+    return f"""blk AS (
+      SELECT doc_id, 0 AS blk, (lo & 65535) AS bval FROM {sh}
+      UNION ALL SELECT doc_id, 1, ((lo >> 16) & 65535) FROM {sh}
+      UNION ALL SELECT doc_id, 2, (hi & 65535) FROM {sh}
+      UNION ALL SELECT doc_id, 3, ((hi >> 16) & 65535) FROM {sh}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blk a JOIN blk b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, cast({hd} as bigint) AS hamming
+    FROM cand c
+    JOIN {sh} a ON a.doc_id = c.doc_a
+    JOIN {sh} b ON b.doc_id = c.doc_b
+    WHERE {hd} <= {SIM64_HD_MAX}
+    """
+
+
 def _simhash_pairs(d: str) -> str:
     """Near-dup pairs at Hamming distance <= SIM64_HD_MAX over a 64-bit
     SimHash, blocked on 4x16-bit blocks (Manku et al. 2007): a pair
@@ -213,33 +241,61 @@ def _simhash_pairs(d: str) -> str:
     splits a residual hot bucket on a second block; the corpus here has
     none (the pin checks the max bucket size), so a cap would only mask
     the exactness property this operator guarantees."""
-    hd = (f"bit_count({D.xor_('a.lo', 'b.lo', d)}) + "
-          f"bit_count({D.xor_('a.hi', 'b.hi', d)})")
     return f"""
     WITH {_simhash64_cte(d)},
-    blk AS (
-      SELECT doc_id, 0 AS blk, (lo & 65535) AS bval FROM sh
-      UNION ALL SELECT doc_id, 1, ((lo >> 16) & 65535) FROM sh
-      UNION ALL SELECT doc_id, 2, (hi & 65535) FROM sh
-      UNION ALL SELECT doc_id, 3, ((hi >> 16) & 65535) FROM sh
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM blk a JOIN blk b
-        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    {_simhash_pairs_tail(d, "sh")}"""
+
+
+def _simhash_pairs_spark(spark, sf_dir):
+    """q_simhash_pairs' Spark side (round-6 optimization): the 64-bit
+    simhash table is built ONCE from vocabulary-hashed token counts and
+    checkpointed, then the banding tail runs over it.
+
+    Two measured wins vs the pure-CTE rendering (guide §2.3/§1.2):
+    (1) hash the DISTINCT vocabulary and weight the per-bit majority by
+    the (doc, tok) count — 2·sum(c·bit) > sum(c) <=> 2·#set > n, so the
+    simhash is identical bit-for-bit while md5 volume drops corpus →
+    vocabulary; (2) the tail references ``sh`` six times, and a CTE
+    reference re-executes its whole token pass (Catalyst prunes each
+    consumer differently, so ReuseExchange cannot dedupe them) — the
+    eager localCheckpoint makes all six consumers read one 50k-row
+    table. Results pinned bit-identical; DuckDB oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+
+    def wbits(h: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2 * sum(c * (({h} >> {b}) & 1)) > sum(c) "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(32))
+
+    tfq = spark.sql(
+        f"SELECT doc_id, tok, cast(count(*) as bigint) AS c "
+        f"FROM {_tokens(d)} GROUP BY doc_id, tok"
+    ).localCheckpoint(eager=True)
+    tfq.createOrReplaceTempView("sp64_tfq")
+    sh = spark.sql(f"""
+    WITH th AS (
+      SELECT tok, {D.md5_slice('tok', 1, d)} AS h1,
+             {D.md5_slice('tok', 9, d)} AS h2
+      FROM (SELECT DISTINCT tok FROM sp64_tfq)
     )
-    SELECT c.doc_a, c.doc_b, cast({hd} as bigint) AS hamming
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b
-    WHERE {hd} <= {SIM64_HD_MAX}
-    """
+    SELECT doc_id,
+           cast({wbits('h1')} as bigint) AS lo,
+           cast({wbits('h2')} as bigint) AS hi
+    FROM sp64_tfq JOIN th ON th.tok = sp64_tfq.tok GROUP BY doc_id
+    """).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("sp64_sh")
+    return spark.sql("WITH " + _simhash_pairs_tail(d, "sp64_sh"))
 
 
-sql_template("q_simhash_pairs", _simhash_pairs,
-             "64-bit SimHash near-dup pairs via 4x16-bit block banding "
-             "(Manku et al. 2007) — pigeonhole-exact for Hamming <= 3, "
-             "pinned against brute force")
+register("q_simhash_pairs", QuerySpec(
+    spark_fn=_simhash_pairs_spark, oracle=_simhash_pairs(D.DUCKDB),
+    doc="64-bit SimHash near-dup pairs via 4x16-bit block banding "
+        "(Manku et al. 2007) — pigeonhole-exact for Hamming <= 3, "
+        "pinned against brute force"))
 
 
 # ---- Bloom-filter incremental cross-crawl dedup --------------------------------

@@ -127,67 +127,204 @@ def _kmeans_oracle() -> str:
     """
 
 
-def _lloyd_loop(emb, cent, keys: list, rounds: int):
+EMB_DIM = 64   # embedding width (the embeddings table's fixed dimension)
+
+# Quantization as an array transform — the SAME per-element expression
+# the long-form _qemb_ctes posexplode applies (IEEE-exact multiply +
+# HALF_UP round + offset), so the array path is bit-identical.
+_QS_EXPR = (f"transform(embedding, v -> "
+            f"cast(round(cast(v as double) * {D.dbl(float(KM_SCALE))}) "
+            f"as bigint) + {KM_SHIFT})")
+
+
+def _batch_qmatrix(batch, dims: int):
+    """(vec_ids int64[n], Q int64[n, dims]) from a RecordBatch of
+    (vec_id, qs array<bigint>) — flat view over the Arrow list column,
+    validated against the fixed embedding width."""
+    import numpy as np
+
+    vec_ids = batch.column(0).to_numpy(zero_copy_only=False)
+    qs = batch.column(1)
+    offs = qs.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) and not (widths == dims).all():
+        raise ValueError(f"ragged embedding widths: {set(widths)}")
+    Q = (qs.flatten().to_numpy(zero_copy_only=False)
+         .astype("int64", copy=False).reshape(-1, dims))
+    return vec_ids.astype("int64", copy=False), Q
+
+
+def _assign_np(Q, cb_np: dict):
+    """Vectorized exact-int64 Lloyd assignment of the quantized rows
+    ``Q`` against the codebook {sub: (cids, C)}: d2 = sum of squared
+    bigint diffs (|diff| <= 2^22, 64 dims → < 2^50, exact in int64);
+    np.argmin returns the FIRST minimum and the cids axis is sorted
+    ascending, so ties break to the smaller cid — the identical
+    ORDER BY d2, cid rule of the unrolled oracle. Returns per sub
+    (cids_chosen int64[n], d2 int64[n])."""
+    import numpy as np
+
+    out = {}
+    for s, (cids, C) in cb_np.items():
+        lo = 0 if s is None else s * C.shape[1]
+        Qs = Q[:, lo:lo + C.shape[1]]
+        diff = Qs[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        best = d2.argmin(axis=1)
+        out[s] = (cids[best], d2[np.arange(len(best)), best])
+    return out
+
+
+def _lloyd_loop(emb_arr, cb: dict, rounds: int, dims: int):
     """The ONE Spark Lloyd recurrence, shared by the single quantizer
-    (keys=["vec_id"]) and PQ (keys=["vec_id", "sub"]): per round one
-    broadcast codebook join + keyed exact-integer distance aggregation +
-    argmin window (cid tie-break) + (cid, dim) centroid update with the
-    empty-cluster carry, codebook checkpointed per round. Any change to
-    the recurrence (coalesce rule, cadence, tie-break) lands in both
-    quantizers by construction. Returns (assign, prev_assign)."""
-    assign = prev_assign = None
+    (cb={None: ...}) and PQ (cb keyed by subspace), as a vectorized
+    Arrow kernel (round-6 optimization; guide §4.2 and this module's
+    own scale note — "production kernels pack the 64 coordinates back
+    into an array and assign via one vectorized pandas UDF pass"):
+    ``emb_arr`` is the checkpointed (vec_id, qs array<bigint>) table;
+    the codebook lives as driver-side integers {sub_or_None: [(cid,
+    [ints])]} — K x dims values, broadcast-scale metadata, the same
+    per-iteration driver aggregate pyspark.ml's KMeans collects. Per
+    round ONE mapInArrow job computes assignments AND per-cluster
+    partial sums inside the task (no shuffle at all; K rows per task
+    reach the driver), and the integer means s // cnt (non-negative →
+    Python floor-div == Spark div) build the next codebook; empty
+    clusters carry their centroid. All arithmetic is the identical
+    exact-bigint recurrence, so results stay bit-identical to the
+    unrolled DuckDB oracle (snapshot-pinned + tests). Replaces the old
+    per-round broadcast-join + argmin-window + centroid-join +
+    checkpoint (4+ stages and two wide exchanges per round). Returns
+    the final assignment DataFrame (vec_id[, sub], cid, d2, prev_cid)
+    where ``prev_cid`` is the round-(rounds-1) assignment — the
+    moved-count audit needs exactly that pair, join-free."""
+    import numpy as np
+
+    def np_cb(codebook: dict) -> dict:
+        return {s: (np.array([c for c, _ in cands], dtype="int64"),
+                    np.array([v for _, v in cands], dtype="int64"))
+                for s, cands in codebook.items()}
+
+    sub_keyed = None not in cb
+    subdims = dims if not sub_keyed else dims // len(cb)
+    part_schema = ("sub long, cid long, cnt long, "
+                   + ", ".join(f"s{i} long" for i in range(subdims)))
+
+    def update_fn(codebook: dict):
+        cbn = np_cb(codebook)
+
+        def fn(it):
+            import pyarrow as pa
+
+            acc: dict = {}
+            for batch in it:
+                _, Q = _batch_qmatrix(batch, dims)
+                chosen = _assign_np(Q, cbn)
+                for s, (cids, _) in chosen.items():
+                    lo = 0 if s is None else s * subdims
+                    Qs = Q[:, lo:lo + subdims]
+                    for cid in np.unique(cids):
+                        m = cids == cid
+                        key = (-1 if s is None else s, int(cid))
+                        ssum, cnt = acc.get(key, (0, 0))
+                        acc[key] = (ssum + Qs[m].sum(axis=0,
+                                                     dtype="int64"),
+                                    cnt + int(m.sum()))
+            if acc:
+                rows = sorted(acc.items())
+                cols = ([pa.array([s for (s, _), _ in rows], pa.int64()),
+                         pa.array([c for (_, c), _ in rows], pa.int64()),
+                         pa.array([cnt for _, (_, cnt) in rows],
+                                  pa.int64())]
+                        + [pa.array([int(ssum[i])
+                                     for _, (ssum, _) in rows],
+                                    pa.int64())
+                           for i in range(subdims)])
+                yield pa.RecordBatch.from_arrays(
+                    cols, ["sub", "cid", "cnt"]
+                    + [f"s{i}" for i in range(subdims)])
+        return fn
+
+    def assign_fn(codebook: dict, prev_codebook: dict):
+        cbn, pcbn = np_cb(codebook), np_cb(prev_codebook)
+
+        def fn(it):
+            import pyarrow as pa
+
+            for batch in it:
+                vec_ids, Q = _batch_qmatrix(batch, dims)
+                cur = _assign_np(Q, cbn)
+                prv = _assign_np(Q, pcbn)
+                for s in sorted(cur, key=lambda x: -1 if x is None else x):
+                    cids, d2 = cur[s]
+                    arrays = [pa.array(vec_ids, pa.int64())]
+                    names = ["vec_id"]
+                    if s is not None:
+                        arrays.append(pa.array(
+                            np.full(len(vec_ids), s, dtype="int64"),
+                            pa.int64()))
+                        names.append("sub")
+                    arrays += [pa.array(cids, pa.int64()),
+                               pa.array(d2, pa.int64()),
+                               pa.array(prv[s][0], pa.int64())]
+                    names += ["cid", "d2", "prev_cid"]
+                    yield pa.RecordBatch.from_arrays(arrays, names)
+        return fn
+
+    # round r's assignment a_r scores against codebook c_{r-1} and its
+    # aggregate builds c_r; the outputs score against c_{rounds-1}
+    # (final) and c_{rounds-2} (prev) — exactly the unrolled oracle's
+    cbs = [cb]
     for _ in range(rounds):
-        prev_assign = assign
-        d2 = (emb.join(F.broadcast(cent), "dim")
-              .groupBy(*keys, "cid")
-              .agg(F.sum((F.col("q") - F.col("c"))
-                         * (F.col("q") - F.col("c"))).alias("d2")))
-        rn = F.row_number().over(
-            Window.partitionBy(*keys).orderBy("d2", "cid"))
-        assign = (d2.withColumn("rn", rn).filter(F.col("rn") == 1)
-                  .select(*keys, "cid", "d2"))
-        upd = (assign.join(emb, keys)
-               .groupBy("cid", "dim")
-               .agg(F.sum("q").alias("s"), F.count("*").alias("cnt")))
-        cent = (cent.alias("p")
-                .join(upd.alias("u"), ["cid", "dim"], "left")
-                .select("cid", "dim",
-                        F.coalesce(F.expr("u.s div u.cnt"), F.col("p.c"))
-                        .cast("bigint").alias("c"))
-                .localCheckpoint(eager=True))
-    return assign, prev_assign
+        partials = (emb_arr.mapInArrow(update_fn(cbs[-1]), part_schema)
+                    .collect())
+        agg: dict = {}
+        for row in partials:
+            key = (None if row["sub"] == -1 else int(row["sub"]),
+                   int(row["cid"]))
+            ssum, cnt = agg.get(key, ([0] * subdims, 0))
+            agg[key] = ([a + int(row[f"s{i}"])
+                         for i, a in enumerate(ssum)],
+                        cnt + int(row["cnt"]))
+        new_cb = {s: dict(cands) for s, cands in cbs[-1].items()}
+        for (s, cid), (ssum, cnt) in agg.items():
+            new_cb[s][cid] = [v // cnt for v in ssum]
+        cbs.append({s: sorted(cands.items())
+                    for s, cands in new_cb.items()})
+    keys = "vec_id long, " + ("sub long, " if sub_keyed else "")
+    out_schema = keys + "cid long, d2 long, prev_cid long"
+    return emb_arr.mapInArrow(assign_fn(cbs[-2], cbs[-3]), out_schema)
 
 
-def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame,
-                                                DataFrame]:
+def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """Driver-loop twin of ``_lloyd_ctes``: runs the KM_ROUNDS Lloyd
-    iteration and returns (emb, assign, prev_assign) — the checkpointed
-    quantized coordinate stream plus the final and previous-round
-    assignments. The quantized long-form coordinate stream is
-    localCheckpoint-ed once; the K*64-row centroid table is
-    localCheckpoint-ed per round (a tiny eager job that also truncates
-    the self-referencing lineage — the standard k-means cadence, cf.
-    pyspark.ml's per-iteration action)."""
-    emb = spark.sql(
-        f"WITH {_qemb_ctes(D.SPARK)} SELECT vec_id, dim, q FROM emb"
-    ).localCheckpoint(eager=True)
-    cent = (emb.filter(F.col("vec_id") < KM_K)
-            .select(F.col("vec_id").cast("bigint").alias("cid"),
-                    "dim", F.col("q").alias("c"))
-            .localCheckpoint(eager=True))
+    iteration (Arrow-kernel form) and returns (emb, assign) where
+    ``assign`` carries (vec_id, cid, d2, prev_cid). The returned ``emb``
+    is the LONG-form (vec_id, dim, q) coordinate view the dual-rendered
+    SemDeDup tail consumes — derived lazily from the checkpointed array
+    table by one posexplode (cheap, no window), so the coordinates are
+    the same checkpointed bigints the loop used."""
+    emb_arr = (spark.table("embeddings")
+               .select("vec_id", F.expr(_QS_EXPR).alias("qs"))
+               .localCheckpoint(eager=True))
+    cb0 = {None: sorted(
+        (int(r["vec_id"]), [int(v) for v in r["qs"]])
+        for r in emb_arr.filter(F.col("vec_id") < KM_K).collect())}
 
-    assign, prev_assign = _lloyd_loop(emb, cent, ["vec_id"], KM_ROUNDS)
-    return emb, assign, prev_assign
+    assign = _lloyd_loop(emb_arr, cb0, KM_ROUNDS, EMB_DIM)
+    emb_long = (emb_arr
+                .select("vec_id", F.posexplode("qs").alias("pos0", "q"))
+                .select("vec_id", (F.col("pos0") + 1).alias("dim"), "q"))
+    return emb_long, assign
 
 
 def kmeans_over_embeddings(spark: SparkSession) -> DataFrame:
     """q_kmeans_quantizer's Spark side: the Lloyd loop plus the
-    moved-count convergence audit, mirroring ``_kmeans_oracle``."""
-    emb, assign, prev_assign = _lloyd_assign(spark)
+    moved-count convergence audit, mirroring ``_kmeans_oracle`` (the
+    kernel emits final and previous assignments side by side, so the
+    audit is a join-free filter+count)."""
+    emb, assign = _lloyd_assign(spark)
 
-    moved = (assign.alias("x")
-             .join(prev_assign.alias("y"), "vec_id")
-             .filter(F.col("x.cid") != F.col("y.cid"))
+    moved = (assign.filter(F.col("cid") != F.col("prev_cid"))
              .agg(F.count("*").alias("n_changed")))
     size = Window.partitionBy("cid")
     return (assign
@@ -306,7 +443,7 @@ def semdedup_over_embeddings(spark: SparkSession) -> DataFrame:
     temp views, so the pair pass itself is one Catalyst-optimized SQL
     (cluster-keyed joins, no driver-side work beyond the k-means
     actions)."""
-    emb, assign, _ = _lloyd_assign(spark)
+    emb, assign = _lloyd_assign(spark)
     emb.createOrReplaceTempView("sd_emb")
     assign.createOrReplaceTempView("sd_asg")
     return spark.sql("WITH " + _semdedup_tail(D.SPARK, "sd_emb", "sd_asg"))
@@ -407,25 +544,21 @@ def pq_codes_over_embeddings(spark: SparkSession) -> DataFrame:
     leg of the ANN scale path: q_ann_ivf_topk's coarse quantizer routes
     a query to a cell, PQ codes re-rank inside it from {PQ_M} bytes per
     vector instead of 64 floats — at 10^9 vectors the re-rank working
-    set drops 64x. Scale shape per round: one broadcast join + one
-    (vec_id, sub, cid) partial-aggregated sum + one argmin window + one
-    (cid, dim) aggregation — identical exchange classes to
-    q_kmeans_quantizer."""
-    emb = spark.sql(
-        f"WITH {_qemb_ctes(D.SPARK)} SELECT vec_id, dim, q FROM emb"
-    ).withColumn("sub", F.floor((F.col("dim") - 1) / PQ_SUBDIM)
-                 .cast("bigint")).localCheckpoint(eager=True)
-    cent = (emb.filter(F.col("vec_id") < PQ_K)
-            .select(F.col("vec_id").cast("bigint").alias("cid"),
-                    "dim", F.col("q").alias("c"))
-            .localCheckpoint(eager=True))
+    set drops 64x. Round shape: the SAME Arrow-kernel recurrence as
+    q_kmeans_quantizer, with the codebook dict keyed by subspace (each
+    sub's distances score the matching 16-dim slice of the row)."""
+    emb_arr = (spark.table("embeddings")
+               .select("vec_id", F.expr(_QS_EXPR).alias("qs"))
+               .localCheckpoint(eager=True))
+    first = emb_arr.filter(F.col("vec_id") < PQ_K).collect()
+    cb0 = {s: sorted(
+        (int(r["vec_id"]),
+         [int(v) for v in r["qs"]][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM])
+        for r in first) for s in range(PQ_M)}
 
-    assign, prev_assign = _lloyd_loop(emb, cent, ["vec_id", "sub"],
-                                      PQ_ROUNDS)
+    assign = _lloyd_loop(emb_arr, cb0, PQ_ROUNDS, EMB_DIM)
 
-    moved = (assign.alias("x")
-             .join(prev_assign.alias("y"), ["vec_id", "sub"])
-             .filter(F.col("x.cid") != F.col("y.cid"))
+    moved = (assign.filter(F.col("cid") != F.col("prev_cid"))
              .agg(F.count("*").alias("n_changed")))
     aggs = [F.max(F.when(F.col("sub") == m, F.col("cid")))
             .cast("bigint").alias(f"c{m}") for m in range(PQ_M)]
@@ -503,7 +636,7 @@ def _prototypes_oracle() -> str:
 
 def _prototypes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline.register_tables(spark, sf_dir, ("embeddings",))
-    _, assign, _ = _lloyd_assign(spark)
+    _, assign = _lloyd_assign(spark)
     assign.createOrReplaceTempView("pr_asg")
     return spark.sql("WITH " + _prototypes_tail(D.SPARK, "pr_asg"))
 

@@ -50,9 +50,51 @@ def _heavy_hitters(d: str) -> str:
     is the point of CMS: per-shard sketches sum cell-wise). The exact
     ``tf`` table exists only as the audit/top-k side at toy scale; a real
     deployment queries the sketch alone. Estimates join the tiny cell
-    table (broadcast-size by construction)."""
+    table (broadcast-size by construction).
+
+    The SPARK rendering builds the sketch cells from the vocabulary-sized
+    ``tf`` table instead of the raw token stream — cell = count of
+    occurrences hashing to (i, b) = sum over the tokens hashing there of
+    their exact counts, so the result is identical bigint-for-bigint
+    while the md5 volume drops from CMS_D x corpus tokens to CMS_D x
+    vocabulary (guide §2.3 "aggregate before you shuffle": the (doc-less)
+    token count map-side-combines to vocab-sized partials before any
+    hashing happens, and the two ``tf`` references share one exchange via
+    Spark's ReuseExchange). The DuckDB oracle text keeps the direct
+    stream-keyed form — the round-5 fingerprinted rendering."""
     seeds = ", ".join(f"({i})" for i in range(CMS_D))
     si = D.to_str("s.i", d)
+    if d == D.SPARK:
+        return f"""
+    WITH tf AS (
+      SELECT tok, cast(count(*) as bigint) AS c
+      FROM {_tokens(d)} GROUP BY tok
+    ),
+    seeds AS ({D.values_rel(seeds, "s(i)", d)}),
+    cells AS (
+      SELECT s.i, {_cms_bucket('f.tok', si, d)} AS b,
+             cast(sum(f.c) as bigint) AS cell
+      FROM tf f CROSS JOIN seeds s
+      GROUP BY s.i, {_cms_bucket('f.tok', si, d)}
+    ),
+    est AS (
+      SELECT f.tok, f.c, min(cl.cell) AS est
+      FROM tf f
+      CROSS JOIN seeds s
+      JOIN cells cl ON cl.i = s.i AND cl.b = {_cms_bucket('f.tok', si, d)}
+      GROUP BY f.tok, f.c
+    )
+    SELECT cast(rnk as bigint)       AS rank,
+           tok,
+           cast(c as bigint)         AS exact_cnt,
+           cast(est as bigint)       AS cms_est,
+           cast(est - c as bigint)   AS overestimate,
+           cast(CASE WHEN est >= c THEN 1 ELSE 0 END as bigint) AS ub_ok
+    FROM (SELECT tok, c, est,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rnk
+          FROM est) z
+    WHERE rnk <= {HH_TOP}
+    """
     return f"""
     WITH toks AS {D.mat(d)}(SELECT tok FROM {_tokens(d)}),
     seeds AS ({D.values_rel(seeds, "s(i)", d)}),
@@ -232,7 +274,25 @@ def _hll_scopes(d: str) -> str:
     """Two cardinality scopes per language — ``tokens`` (vocab ~31, lands
     in the linear-counting small-range branch) and ``bigrams`` (hundreds,
     lands in the raw-HLL branch) — so BOTH estimator paths are exercised
-    and auditable."""
+    and auditable.
+
+    The SPARK rendering carries ``lang`` through the explode directly
+    (no doc_id join back) and builds bigrams array-side from the split
+    token array instead of a lead() window — the same (doc-local)
+    consecutive pairs without the doc_id-keyed exchange+sort the window
+    pays (guide §2.4: remove shuffles outright). DuckDB oracle text is
+    the round-5 fingerprinted join+window form."""
+    if d == D.SPARK:
+        toks = D.ws_split("text", d)
+        bigrams = ("transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                   "(x, i) -> x || ' ' || toks[i + 1])")
+        return f"""items AS (
+      SELECT 'tokens' AS scope, lang, tok AS item
+      FROM documents LATERAL VIEW explode({toks}) t AS tok
+      UNION ALL
+      SELECT 'bigrams' AS scope, lang, gram AS item
+      FROM (SELECT lang, {toks} AS toks FROM documents)
+      LATERAL VIEW explode({bigrams}) g AS gram)"""
     return f"""items AS {D.mat(d)}(
       SELECT 'tokens' AS scope, lang, tok AS item
       FROM (SELECT dd.lang, t.tok
@@ -309,10 +369,77 @@ def _hll_distinct(d: str) -> str:
     """
 
 
-sql_template("q_hll_distinct", _hll_distinct,
-             "HyperLogLog distinct-count sketch (Flajolet et al. 2007) "
-             "vs exact count(DISTINCT): mergeable max-registers, both "
-             "estimator branches exercised, per (scope, lang)")
+def _hll_distinct_spark(spark, sf_dir):
+    """q_hll_distinct's Spark side (round-6 optimization, guide
+    §2.3/§2.4): collapse the item stream to the DISTINCT (scope, lang,
+    item) table ONCE (eager localCheckpoint — the stream has three CTE
+    consumers, and each CTE reference re-executes the explodes) and hash
+    only that. Register max over occurrences == max over distinct items
+    (rho is a function of the item), exact_nd = count(*) of the distinct
+    table, grp identical — results bit-identical, md5 volume drops
+    corpus → vocabulary, and the lead() window behind the bigram stream
+    is replaced by the _hll_scopes Spark-rendering array transform (no
+    doc_id exchange+sort). DuckDB oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+    h = D.hex2int("substr(md5(item), 1, 8)", d)
+    rest = D.idiv_i("h", str(HLL_M), d)
+    regs = ", ".join(f"({i})" for i in range(HLL_M))
+    itemd = spark.sql(
+        f"WITH {_hll_scopes(d)} "
+        f"SELECT DISTINCT scope, lang, item FROM items"
+    ).localCheckpoint(eager=True)
+    itemd.createOrReplaceTempView("hll_itemd")
+    return spark.sql(f"""
+    WITH hashed AS (
+      SELECT scope, lang, h % {HLL_M} AS idx, {rest} AS rest
+      FROM (SELECT scope, lang, {h} AS h FROM hll_itemd)
+    ),
+    reg AS (
+      SELECT scope, lang, idx,
+             max(CASE WHEN rest = 0 THEN {HLL_RMAX}
+                      ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS m
+      FROM hashed GROUP BY scope, lang, idx
+    ),
+    grp AS (SELECT DISTINCT scope, lang FROM hll_itemd),
+    full_reg AS (
+      SELECT g.scope, g.lang, r.i AS idx, coalesce(reg.m, 0) AS m
+      FROM grp g
+      CROSS JOIN ({D.values_rel(regs, "r(i)", d)}) r
+      LEFT JOIN reg ON reg.scope = g.scope AND reg.lang = g.lang
+                   AND reg.idx = r.i
+    ),
+    est AS (
+      SELECT scope, lang,
+             sum({D.dbl(1.0)} / cast(cast(1 as bigint) << m as double))
+               AS s,
+             cast(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) as bigint) AS v
+      FROM full_reg GROUP BY scope, lang
+    ),
+    ex AS (
+      SELECT scope, lang, cast(count(*) as bigint) AS exact_nd
+      FROM hll_itemd GROUP BY scope, lang
+    )
+    SELECT e.scope, e.lang, x.exact_nd,
+           cast(CASE WHEN raw <= {D.dbl(2.5)} * {HLL_M} AND e.v > 0
+                     THEN 1 ELSE 0 END as bigint) AS linear_branch,
+           round(CASE WHEN raw <= {D.dbl(2.5)} * {HLL_M} AND e.v > 0
+                      THEN {HLL_M} * (ln({HLL_M}) - ln(e.v))
+                      ELSE raw END, 6) AS est_nd
+    FROM (SELECT scope, lang, v, s,
+                 {D.dbl(HLL_ALPHA)} * {HLL_M} * {HLL_M} / s AS raw
+          FROM est) e
+    JOIN ex x ON x.scope = e.scope AND x.lang = e.lang
+    """)
+
+
+register("q_hll_distinct", QuerySpec(
+    spark_fn=_hll_distinct_spark, oracle=_hll_distinct(D.DUCKDB),
+    doc="HyperLogLog distinct-count sketch (Flajolet et al. 2007) "
+        "vs exact count(DISTINCT): mergeable max-registers, both "
+        "estimator branches exercised, per (scope, lang)"))
 
 
 # ---- MinHash Jaccard-estimate accuracy audit ----------------------------------

@@ -167,6 +167,10 @@ SIMHASH_BITS = 16
 
 
 def _simhash(d: str) -> str:
+    # (round-6 note: a vocabulary-hash rewrite like _simhash64_cte's was
+    # measured SLOWER here — the single 16-bit pass is already one
+    # explode+agg and the tfq CTE re-executes per consumer — so this
+    # template stays in its original single-pass form.)
     h = D.md5_slice("tok", 1, d)
     bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
