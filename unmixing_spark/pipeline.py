@@ -47,12 +47,13 @@ _scan_parts_cache: dict[tuple[str, str], int] = {}
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
-                    tables: tuple[str, ...] = ("documents",)) -> None:
+                    tables: tuple[str, ...] = ("documents",),
+                    repartition: bool = True) -> None:
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         key = _REPART_KEYS.get(t)
-        if key is not None:
+        if repartition and key is not None:
             cache_key = (sf_dir, t)
             scan_parts = _scan_parts_cache.get(cache_key)
             if scan_parts is None:

@@ -155,12 +155,16 @@ def _pagerank_oracle(seed_mod: int | None = None) -> str:
 
 
 def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipeline.register_tables(spark, sf_dir, ("documents",))
-    return pagerank_over_documents(spark)
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
+    # per-round rank joins read the plain sized scan (see _hits_spark)
+    return pagerank_over_documents(
+        spark, docs=spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def pagerank_over_documents(spark: SparkSession,
-                            seed_mod: int | None = None) -> DataFrame:
+                            seed_mod: int | None = None,
+                            docs: DataFrame | None = None) -> DataFrame:
     """Driver loop twin of the unrolled oracle: PR_ROUNDS exact-integer
     power-iteration rounds over DataFrames, reading whatever ``documents``
     view is registered (the scaling bench points it at a replicated
@@ -179,7 +183,8 @@ def pagerank_over_documents(spark: SparkSession,
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
     ).localCheckpoint(eager=True)
-    docs = spark.table("documents").select("doc_id")
+    docs = (docs if docs is not None
+            else spark.table("documents")).select("doc_id")
     if seed_mod is None:
         denom = docs.count()
         is_seed = None
@@ -344,8 +349,11 @@ TRUST_SEED_MOD = 50   # trusted seed set = doc_id % 50 == 0 (~2% of pages
 
 
 def _trustrank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipeline.register_tables(spark, sf_dir, ("documents",))
-    return pagerank_over_documents(spark, seed_mod=TRUST_SEED_MOD)
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
+    return pagerank_over_documents(
+        spark, seed_mod=TRUST_SEED_MOD,
+        docs=spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 register("q_trustrank", QuerySpec(
@@ -516,76 +524,165 @@ def _hb_est_col(cnt, s_int):  # type: ignore[no-untyped-def]
 
 
 def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    """Checkpointed edge list + initial register state from the SAME SQL
-    templates the oracles render — the shared loop scaffolding of the
-    HyperBall family (harmonic + neighborhood function)."""
+    """Checkpointed edge list + initial WIDE register state from the SAME
+    SQL templates the oracles render — the shared loop scaffolding of the
+    HyperBall family (harmonic + neighborhood function).
+
+    Round-6 state layout (guide §2.3 "shuffle fewer bytes" + §2.4): the
+    (node, b, rho) register ROWS become ONE row per node with the HB_M
+    registers as columns r0..r15 — s0 has exactly one register per node
+    (one hash per doc), so the widening is a plain projection. Every
+    per-round exchange then moves 16x fewer rows, the per-node
+    sufficient statistics (cnt, s_int) become shuffle-free projections
+    (absent registers hold 0, and 2^(W+1-0) is exactly the absent-
+    register indicator _POW2_33, so one uniform formula covers both),
+    and the harmonic accumulator rides in the same row instead of
+    paying a node-keyed join per round. Register values and estimator
+    doubles are bit-identical to the row form."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
-    ).localCheckpoint(eager=True)
-    state = spark.sql(
-        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0"
-    ).localCheckpoint(eager=True)
+    ).repartition(n_parts, "src").localCheckpoint(eager=True)
+    # s0 has EXACTLY one register row per node (one md5 pair per doc;
+    # the bit-length lookup ranges are disjoint), so the widening is a
+    # plain projection — no aggregation, no exchange beyond the
+    # node-keyed repartition the merge join reuses.
+    wide = [F.when(F.col("b") == b, F.col("rho")).otherwise(0)
+            .alias(f"r{b}") for b in range(HB_M)]
+    state = (spark.sql(
+        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0")
+        .repartition(n_parts, "node").select("node", *wide)
+        .localCheckpoint(eager=True))
     return links, state
 
 
-def _hb_node_stats(st: DataFrame) -> DataFrame:
-    """Per-node register sufficient statistics (cnt, exact-integer
-    s_int) — the DataFrame twin of _hb_agg_sql."""
-    shift = F.expr(f"shiftleft(cast(1 as bigint), {HB_W + 1} - rho)")
-    return st.groupBy("node").agg(
-        F.count("*").alias("cnt"),
-        (F.sum(shift)
-         + (F.lit(HB_M) - F.count("*")) * F.lit(_POW2_33))
-        .alias("s_int"))
+_HB_REGS = [f"r{b}" for b in range(HB_M)]
 
 
-def _hb_propagate(links: DataFrame, state: DataFrame) -> DataFrame:
-    """One HyperBall round: src-keyed edge join + (node, b) register-max
-    aggregation (lazy — callers decide the checkpoint cadence)."""
-    contrib = (links.join(state.withColumnRenamed("node", "src"), "src")
-               .select(F.col("dst").alias("node"), "b", "rho"))
-    return (state.unionByName(contrib)
-            .groupBy("node", "b").agg(F.max("rho").alias("rho")))
+def _hb_cnt_col():
+    """Occupied-register count over the wide row: present registers have
+    rho >= 1 (the bit-length lookup never yields 0 for a present hash),
+    so r_b > 0 <=> the (node, b) row existed in the long form."""
+    out = None
+    for b in range(HB_M):
+        t = F.when(F.col(f"r{b}") > 0, 1).otherwise(0)
+        out = t if out is None else out + t
+    return out
+
+
+def _hb_sint_col():
+    """Exact-integer register sum over the wide row: sum of 2^(W+1-rho)
+    with absent registers (rho=0) contributing 2^(W+1) — the same
+    uniform shift expression for both cases."""
+    return F.expr(" + ".join(
+        f"shiftleft(cast(1 as bigint), {HB_W + 1} - r{b})"
+        for b in range(HB_M)))
+
+
+def _hb_propagate_wide(links: DataFrame, state: DataFrame,
+                       extras: list) -> DataFrame:
+    """One HyperBall round over the wide state: src-keyed edge join,
+    node-keyed register-max aggregation of the CONTRIBUTIONS only, then
+    a node-keyed left join merging them into the state row with
+    greatest(own, coalesce(incoming, 0)) — set-wise identical to
+    unioning the state into the aggregation (a register only grows),
+    but the state rows themselves never cross an exchange: both sides
+    of the merge join arrive hash-partitioned by node (the state from
+    its checkpointed groupBy, the aggregate from its own exchange), and
+    the links side is pre-partitioned by src once at setup. The
+    accumulator columns in ``extras`` (h/prev or env/prev) stay on the
+    state row."""
+    contrib = (links
+               .join(state.select(F.col("node").alias("src"), *_HB_REGS),
+                     "src")
+               .select(F.col("dst").alias("node"), *_HB_REGS))
+    cg = contrib.groupBy("node").agg(
+        *[F.max(c).alias(f"c_{c}") for c in _HB_REGS])
+    return (state.join(cg, "node", "left")
+            .select("node",
+                    *[F.greatest(F.col(c),
+                                 F.coalesce(F.col(f"c_{c}"), F.lit(0)))
+                      .alias(c) for c in _HB_REGS],
+                    *[F.col(c).alias(f"{c}0") for c in extras]))
+
+
+def _hb_wide_round(links: DataFrame, state: DataFrame, acc_update,
+                   extras: list) -> DataFrame:
+    """Propagate + estimator + accumulator update, in layered selects so
+    cnt/s_int/e each evaluate once per row (CollapseProject is excluded
+    session-wide). ``acc_update(e)`` returns the new accumulator columns
+    from the estimator column and the carried ``{c}0`` columns."""
+    agg = _hb_propagate_wide(links, state, extras)
+    stats = agg.select("node", *_HB_REGS,
+                       *[F.col(f"{c}0") for c in extras],
+                       _hb_cnt_col().alias("cnt"),
+                       _hb_sint_col().alias("s_int"))
+    est = stats.select("node", *_HB_REGS,
+                       *[F.col(f"{c}0") for c in extras],
+                       _hb_est_col(F.col("cnt"), F.col("s_int"))
+                       .alias("e"))
+    return est.select("node", *_HB_REGS, *acc_update(F.col("e")))
+
+
+def _hb_init_acc(state: DataFrame, cols) -> DataFrame:
+    """Initial accumulator columns appended to the wide state: the
+    radius-0 estimate via the same layered cnt/s_int/e projections."""
+    stats = state.select("node", *_HB_REGS, _hb_cnt_col().alias("cnt"),
+                         _hb_sint_col().alias("s_int"))
+    est = stats.select("node", *_HB_REGS,
+                       _hb_est_col(F.col("cnt"), F.col("s_int"))
+                       .alias("e"))
+    return est.select("node", *_HB_REGS, *cols)
+
+
+def _hb_conv_col(state: DataFrame, prev_state: DataFrame):
+    """The exact convergence proof over wide states: total occupied
+    registers and total rho equal <=> register states equal (monotone
+    growth), identical to the long-form reg_stats comparison."""
+    rho_sum = F.expr(" + ".join(f"r{b}" for b in range(HB_M)))
+
+    def reg_stats(st: DataFrame, c: str, sr: str) -> DataFrame:
+        return st.agg(F.sum(_hb_cnt_col()).alias(c),
+                      F.sum(rho_sum).alias(sr))
+
+    return (reg_stats(state, "c", "sr")
+            .crossJoin(reg_stats(prev_state, "c2", "sr2"))
+            .select(((F.col("c") == F.col("c2"))
+                     & (F.col("sr") == F.col("sr2")))
+                    .cast("bigint").alias("converged")))
 
 
 def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     """Driver loop twin of the unrolled oracle, reading the registered
     ``documents`` view. The edge list and initial registers come from the
     SAME SQL templates the oracle renders (hashing bit-identical by
-    construction); each round is one src-keyed join + one (node, b)
-    register-max aggregation; the harmonic accumulator is one node-keyed
-    join per round. State and accumulator lineage truncate every
-    HB_CKPT_EVERY rounds."""
+    construction). Round-6 shape: each round is one src-keyed join + ONE
+    node-keyed register-max aggregation over wide rows, with the
+    harmonic accumulator riding in the same row (no per-round hc join);
+    estimator doubles evaluate the identical _hb_est_col expression
+    tree, so results are bit-identical to the row-form loop. Lineage
+    truncates every HB_CKPT_EVERY rounds plus the last two rounds (the
+    convergence proof reads both)."""
     links, state = _hb_setup(spark)
-    a = _hb_node_stats(state)
-    hc = a.select("node", F.lit(0.0).alias("h"),
-                  _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
+    state = _hb_init_acc(state, [F.lit(0.0).alias("h"),
+                                 F.col("e").alias("prev")])
     prev_state = state
     for r in range(1, HB_ROUNDS + 1):
         prev_state = state
-        state = _hb_propagate(links, state)
-        a = _hb_node_stats(state)
-        est = a.select("node",
-                       _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
-        hc = (hc.join(est, "node")
-              .select("node",
-                      (F.col("h")
-                       + F.greatest(F.lit(0.0), F.col("e") - F.col("prev"))
-                       / F.lit(float(r))).alias("h"),
-                      F.col("e").alias("prev")))
-        if r % HB_CKPT_EVERY == 0 and r < HB_ROUNDS:
+
+        def upd(e, _r=r):
+            return [(F.col("h0")
+                     + F.greatest(F.lit(0.0), e - F.col("prev0"))
+                     / F.lit(float(_r))).alias("h"),
+                    e.alias("prev")]
+
+        state = _hb_wide_round(links, state, upd, ["h", "prev"])
+        if r % HB_CKPT_EVERY == 0 or r >= HB_ROUNDS - 1:
             state = state.localCheckpoint(eager=True)
-            hc = hc.localCheckpoint(eager=True)
-
-    def reg_stats(st: DataFrame, c: str, sr: str) -> DataFrame:
-        return st.agg(F.count("*").alias(c), F.sum("rho").alias(sr))
-
-    conv = (reg_stats(state, "c", "sr")
-            .crossJoin(reg_stats(prev_state, "c2", "sr2"))
-            .select(((F.col("c") == F.col("c2"))
-                     & (F.col("sr") == F.col("sr2")))
-                    .cast("bigint").alias("converged")))
-    return (hc.join(a, "node")
+    conv = _hb_conv_col(state, prev_state)
+    stats = state.select("node", "h", _hb_cnt_col().alias("cnt"),
+                         _hb_sint_col().alias("s_int"))
+    return (stats
             .crossJoin(F.broadcast(conv))
             .select(F.col("node").alias("doc_id"),
                     F.round("h", 6).alias("harmonic_c"),
@@ -596,7 +693,8 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
 
 
 def _harmonic_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
     return harmonic_over_documents(spark)
 
 
@@ -699,7 +797,8 @@ def _hits_oracle() -> str:
     """
 
 
-def hits_over_documents(spark: SparkSession) -> DataFrame:
+def hits_over_documents(spark: SparkSession,
+                        docs: DataFrame | None = None) -> DataFrame:
     """Driver loop twin of the unrolled oracle, reading the registered
     ``documents`` view: HS_ROUNDS exact-integer HITS rounds; the edge
     list localCheckpoint-ed once. Each raw-sum table (ar/hr, one row per
@@ -716,7 +815,8 @@ def hits_over_documents(spark: SparkSession) -> DataFrame:
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
     ).localCheckpoint(eager=True)
-    docs = spark.table("documents").select("doc_id")
+    docs = (docs if docs is not None
+            else spark.table("documents")).select("doc_id")
     n = docs.count()
     h = docs.select(
         "doc_id", F.lit(HS_SCALE // n).cast("bigint").alias("h"))
@@ -763,8 +863,14 @@ def hits_over_documents(spark: SparkSession) -> DataFrame:
 
 
 def _hits_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipeline.register_tables(spark, sf_dir, ("documents",))
-    return hits_over_documents(spark)
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
+    # the per-round rank joins fare best against the plain sized scan
+    # (A/B-measured: raw+broadcast 12.0s vs checkpointed 12.9s vs the
+    # repartitioned view re-scanned per round 19.8s at sf1.0) — the
+    # repartitioned view still feeds the one-shot link build above
+    return hits_over_documents(
+        spark, docs=spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 register("q_hits_scores", QuerySpec(
@@ -839,38 +945,35 @@ def _nf_oracle() -> str:
 
 def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
     """Driver loop twin of the unrolled NF oracle: the harmonic loop's
-    register propagation with the envelope accumulator; state, envelope,
-    and the 1-row per-round NF sum are checkpointed every round (the
-    CC/HITS cadence — each round's NF row is consumed immediately, so
-    lazy accumulation would re-run the chain per row)."""
+    wide-state register propagation with the envelope accumulator. Each
+    round's global NF sum is read through an Observation attached to the
+    state checkpoint job (the cc_labels pattern — zero extra Spark
+    jobs), and the 13-row (r, nf) table is assembled from those
+    Spark-computed doubles; the values round-trip bit-exactly through
+    the driver (Python float IS an IEEE double), so the tail arithmetic
+    matches the oracle as before."""
     links, state = _hb_setup(spark)
-    a = _hb_node_stats(state)
-    env = a.select("node",
-                   _hb_est_col(F.col("cnt"), F.col("s_int")).alias("env"),
-                   _hb_est_col(F.col("cnt"), F.col("s_int")).alias("prev"))
-
-    def nf_row(r: int, e: DataFrame) -> DataFrame:
-        return (e.agg(F.round(F.sum("env"), 6).alias("nf"))
-                .select(F.lit(r).cast("bigint").alias("r"), "nf")
-                .localCheckpoint(eager=True))
-
-    rows = [nf_row(0, env)]
+    state = _hb_init_acc(state, [F.col("e").alias("env"),
+                                 F.col("e").alias("prev")])
+    obs0 = Observation()
+    state = (state.observe(obs0, F.round(F.sum("env"), 6).alias("nf"))
+             .localCheckpoint(eager=True))
+    nf_vals = [(0, float(obs0.get["nf"]))]
     for r in range(1, HB_ROUNDS + 1):
-        state = _hb_propagate(links, state).localCheckpoint(eager=True)
-        est = _hb_node_stats(state).select(
-            "node", _hb_est_col(F.col("cnt"), F.col("s_int")).alias("e"))
-        env = (env.join(est, "node")
-               .select("node",
-                       (F.col("env")
-                        + F.greatest(F.lit(0.0),
-                                     F.col("e") - F.col("prev")))
-                       .alias("env"),
-                       F.col("e").alias("prev"))
-               .localCheckpoint(eager=True))
-        rows.append(nf_row(r, env))
-    nf = rows[0]
-    for more in rows[1:]:
-        nf = nf.unionByName(more)
+
+        def upd(e):
+            return [(F.col("env0")
+                     + F.greatest(F.lit(0.0), e - F.col("prev0")))
+                    .alias("env"),
+                    e.alias("prev")]
+
+        state = _hb_wide_round(links, state, upd, ["env", "prev"])
+        obs = Observation()
+        state = (state.observe(obs, F.round(F.sum("env"), 6).alias("nf"))
+                 .localCheckpoint(eager=True))
+        nf_vals.append((r, float(obs.get["nf"])))
+    nf = spark.createDataFrame(
+        [(int(r), v) for r, v in nf_vals], "r bigint, nf double")
     from pyspark.sql.window import Window
     nfl = (nf.filter(F.col("r") == HB_ROUNDS)
            .select(F.col("nf").alias("nfl")))
@@ -883,7 +986,8 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
 
 
 def _nf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
     return neighborhood_function_over_documents(spark)
 
 
@@ -1184,7 +1288,8 @@ def _kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same style of in-query proof as q_neardup_components:
     recomputed from the checkpointed final degree table when the result
     executes, not a literal."""
-    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
     edges = spark.sql(_kcore_edges_sql(D.SPARK))
     deg, _rounds = kcore_alive(edges)
     converged = deg.agg(
@@ -1310,7 +1415,8 @@ def _label_prop_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoints are stable, so the fixed LP_ORACLE_ROUNDS-deep DuckDB
     unroll lands on the identical labeling whenever its depth >= the
     observed rounds (6-8 across 500-20,000 nodes)."""
-    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
     und = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT DISTINCT least(src, dst) AS u, "
         "greatest(src, dst) AS v FROM links WHERE src <> dst")
@@ -1592,7 +1698,8 @@ def _bowtie_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for distance DISTRIBUTIONS; the bowtie needs only set membership,
     which is exactly computable at web scale this way — Broder ran it
     on 200M pages in 2000)."""
-    pipeline.register_tables(spark, sf_dir, ("documents",))
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
     ).localCheckpoint(eager=True)

@@ -684,13 +684,28 @@ def _neardup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     it aggregates the final neighbor-min table's (lbl, prev) comparison
     that the loop exit was decided on — recomputed lazily from
     checkpointed blocks when the result executes, not a literal."""
-    from unmixing_spark.queries.text_q import _minhash_lsh
+    from unmixing_spark.queries.text_q import minhash_lsh_views
 
     pipeline.register_tables(spark, sf_dir, ("documents",))
-    pairs = spark.sql(_minhash_lsh(D.SPARK)).select("doc_a", "doc_b")
-    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-             .unionAll(pairs.select(F.col("doc_b").alias("u"),
-                                    F.col("doc_a").alias("v"))))
+    _, capped = minhash_lsh_views(spark)
+    # Round-6: the label loop runs over per-bucket STAR edges (every
+    # member <-> the bucket's minimum member) instead of the enumerated
+    # candidate pairs — the standard small-star contraction (Kiveris et
+    # al. 2014, "Connected Components in MapReduce and Beyond"). Within
+    # a bucket all members are pairwise candidates, so star connectivity
+    # == pair connectivity and the component minima (the labels) are
+    # IDENTICAL; docs alone in all their buckets self-loop to themselves
+    # and keep their own label, exactly as the pairless docs did via the
+    # final coalesce. What changes is cost: |capped| edges instead of
+    # the quadratic-in-bucket-size pair list, and no pair-enumeration
+    # self-join at all (q_minhash_lsh_pairs still declares/prices that
+    # enumeration; this query only needs its transitive closure).
+    cap = spark.table(capped)
+    mins = cap.groupBy("bh").agg(F.min("doc_id").alias("m"))
+    star = (cap.join(mins, "bh")
+            .select(F.col("doc_id").alias("u"), F.col("m").alias("v")))
+    edges = star.unionAll(star.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
     n, _rounds = cc_labels(edges)
     converged = n.agg(
         (F.lit(1) - F.coalesce(

@@ -525,25 +525,17 @@ def _mh_audit_spark(spark, sf_dir):
     doc-keyed probes) — never a bare shingle-keyed self-join, which a
     31-token vocabulary (or real boilerplate) would send quadratic."""
     from unmixing_spark import pipeline
-    from unmixing_spark.queries.text_q import _lsh_buckets_cte, _shingles
+    from unmixing_spark.queries.text_q import _shingles, minhash_lsh_views
 
     pipeline.register_tables(spark, sf_dir, ("documents",))
     d = D.SPARK
-    chain = spark.sql(
-        f"WITH {_lsh_buckets_cte(d)} "
-        f"SELECT s.*, c.bh FROM sig s JOIN capped c ON c.doc_id = s.doc_id"
-    ).localCheckpoint(eager=True)
-    chain.createOrReplaceTempView("mh_chain")
-    spark.sql("SELECT DISTINCT * EXCEPT (bh) FROM mh_chain") \
-         .createOrReplaceTempView("mh_sig")
-    spark.sql("SELECT doc_id, bh FROM mh_chain") \
-         .createOrReplaceTempView("mh_capped")
+    sig_v, capped_v = minhash_lsh_views(spark)
     shs = spark.sql(
         f"SELECT DISTINCT doc_id, sh FROM {_shingles(d)}"
     ).localCheckpoint(eager=True)
     shs.createOrReplaceTempView("mh_shs")
     return spark.sql(
-        "WITH " + _mh_audit_tail(d, "mh_sig", "mh_capped", "mh_shs"))
+        "WITH " + _mh_audit_tail(d, sig_v, capped_v, "mh_shs"))
 
 
 register("q_minhash_est_audit", QuerySpec(

@@ -110,12 +110,13 @@ HOT_BUCKET_CAP = 64  # degenerate-bucket guard: a band bucket larger than
 # the self-join; such buckets carry no near-dup signal and are dropped.
 
 
-def _lsh_buckets_cte(d: str) -> str:
-    """CTE chain sig → banded → buckets → capped. ``capped`` is the
-    (doc_id, bh) bucket membership with hot buckets removed — every
-    LSH-blocked candidate generator joins on it, so candidate counts stay
-    O(docs · bands), never O(docs²) (band hash = md5 of the concatenated
-    per-band minima; Broder 1997 / MMDS ch.3)."""
+def _lsh_bucket_tail(d: str, sig_rel: str) -> str:
+    """The banded → buckets → capped CTE chain over a ``sig_rel``
+    signature relation — factored so the Spark side can feed a
+    once-computed checkpointed signature table (``banded`` has BANDS
+    union consumers; as a CTE each re-executed the full shingle pass)
+    while the oracle text renders over the sig CTE, byte-identical to
+    the round-5 fingerprint."""
     band_exprs = []
     for b in range(BANDS):
         cols = " || '_' || ".join(
@@ -125,9 +126,7 @@ def _lsh_buckets_cte(d: str) -> str:
     bands_select = ", ".join(band_exprs)
     union = " UNION ALL ".join(
         f"SELECT doc_id, band{b} AS bh FROM banded" for b in range(BANDS))
-    return f"""
-    {_minhash_sig(d)},
-    banded AS (SELECT doc_id, {bands_select} FROM sig),
+    return f"""banded AS (SELECT doc_id, {bands_select} FROM {sig_rel}),
     buckets AS ({union}),
     capped AS (
       SELECT doc_id, bh FROM (
@@ -138,19 +137,72 @@ def _lsh_buckets_cte(d: str) -> str:
     """
 
 
-def _minhash_lsh(d: str) -> str:
+def _lsh_buckets_cte(d: str) -> str:
+    """CTE chain sig → banded → buckets → capped. ``capped`` is the
+    (doc_id, bh) bucket membership with hot buckets removed — every
+    LSH-blocked candidate generator joins on it, so candidate counts stay
+    O(docs · bands), never O(docs²) (band hash = md5 of the concatenated
+    per-band minima; Broder 1997 / MMDS ch.3)."""
     return f"""
-    WITH {_lsh_buckets_cte(d)}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    {_minhash_sig(d)},
+    {_lsh_bucket_tail(d, "sig")}"""
+
+
+def minhash_lsh_views(spark) -> tuple[str, str]:
+    """Build the MinHash signature and capped-bucket tables ONCE each
+    (eager localCheckpoint) and register them as temp views — the
+    round-6 fix for the chain's CTE re-execution (banded feeds BANDS
+    union branches plus the capped window plus every candidate join;
+    each CTE reference re-ran the full 8-gram shingle+md5 pass, measured
+    +5.2 s at sf1.0 over the sig pass itself). Returns the view names
+    (sig, capped) for the per-query tails; same bit-identical chain, so
+    every consumer's results are unchanged."""
+    d = D.SPARK
+    sig = spark.sql(
+        f"WITH {_minhash_sig(d)} SELECT * FROM sig"
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("mh_sig_v")
+    capped = spark.sql(
+        f"WITH {_lsh_bucket_tail(d, 'mh_sig_v')} "
+        f"SELECT doc_id, bh FROM capped"
+    ).localCheckpoint(eager=True)
+    capped.createOrReplaceTempView("mh_capped_v")
+    return "mh_sig_v", "mh_capped_v"
+
+
+def _minhash_pairs_tail(capped: str) -> str:
+    """The candidate-pair self-join over a capped-bucket relation —
+    shared by the oracle rendering (over the CTE) and the Spark side
+    (over the checkpointed view)."""
+    return f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(count(*) as bigint) AS shared_bands
-    FROM capped a JOIN capped b
+    FROM {capped} a JOIN {capped} b
       ON a.bh = b.bh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """
 
 
-sql_template("q_minhash_lsh_pairs", _minhash_lsh,
-             "MinHash(8) + LSH(4 bands) near-dup candidate pairs — bucket join, no cross join")
+def _minhash_lsh(d: str) -> str:
+    return f"""
+    WITH {_lsh_buckets_cte(d)}
+    {_minhash_pairs_tail("capped")}"""
+
+
+def _minhash_lsh_spark(spark, sf_dir):
+    """q_minhash_lsh_pairs' Spark side: the checkpointed sig/capped
+    views (minhash_lsh_views — one shingle pass total) plus the pair
+    self-join tail. Results bit-identical; oracle text unchanged."""
+    from unmixing_spark.pipeline import register_tables
+
+    register_tables(spark, sf_dir, ("documents",))
+    _, capped = minhash_lsh_views(spark)
+    return spark.sql(_minhash_pairs_tail(capped))
+
+
+register("q_minhash_lsh_pairs", QuerySpec(
+    spark_fn=_minhash_lsh_spark, oracle=_minhash_lsh(D.DUCKDB),
+    doc="MinHash(8) + LSH(4 bands) near-dup candidate pairs — bucket "
+        "join, no cross join"))
 
 
 def _minhash_signatures(d: str) -> str:
