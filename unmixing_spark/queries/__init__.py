@@ -32,16 +32,21 @@ def register(name: str, spec: QuerySpec) -> None:
 
 
 def sql_template(name: str, template: Callable[[str], str], doc: str = "",
-                 tables: tuple[str, ...] = ("documents",)) -> None:
+                 tables: tuple[str, ...] = ("documents",),
+                 repartition: bool = True) -> None:
     """Register a dual-dialect SQL template. ``template(dialect)`` must
     reference only pre-registered view names (region nation customer
-    supplier part orders lineitem events documents embeddings)."""
+    supplier part orders lineitem events documents embeddings).
+    ``repartition=False`` opts the Spark rendering out of the
+    single-split scan fan-out (pipeline.register_tables) — right for
+    light projection/window queries where the extra exchange is pure
+    tax (round-6 measurements)."""
     from unmixing_spark import dialect as D
     from unmixing_spark.pipeline import register_tables
 
     def spark_fn(spark: SparkSession, sf_dir: str,
                  _t=template, _tabs=tables) -> DataFrame:
-        register_tables(spark, sf_dir, _tabs)
+        register_tables(spark, sf_dir, _tabs, repartition=repartition)
         return spark.sql(_t(D.SPARK))
 
     register(name, QuerySpec(spark_fn=spark_fn, oracle=template(D.DUCKDB), doc=doc))

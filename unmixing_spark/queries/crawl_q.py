@@ -137,7 +137,8 @@ sql_template("q_extract_links", _extract_links,
              "href extraction from page html + url resolution (incl. "
              "protocol-relative) joined against the page table, with an "
              "in-query proof the recovered edges equal the synthetic "
-             "link graph the centrality queries run on")
+             "link graph the centrality queries run on",
+             repartition=False)
 
 
 def _anchor_text(d: str) -> str:
@@ -288,7 +289,29 @@ def _simhash_pairs_spark(spark, sf_dir):
     FROM sp64_tfq JOIN th ON th.tok = sp64_tfq.tok GROUP BY doc_id
     """).localCheckpoint(eager=True)
     sh.createOrReplaceTempView("sp64_sh")
-    return spark.sql("WITH " + _simhash_pairs_tail(d, "sp64_sh"))
+    # Spark-side tail: block rows carry (lo, hi) so the Hamming filter
+    # runs INSIDE the self-join stage, before any exchange — the
+    # correlated-bit skew of a small vocabulary makes block values hot
+    # (19M candidate doc pairs at sf1.0), and the original tail shuffled
+    # all of them through a DISTINCT and re-joined sh twice; filtering
+    # first leaves ~14k rows for the DISTINCT. Same rows out: the
+    # hamming value is a function of the pair, so dedup-after-filter ==
+    # filter-after-dedup. Oracle text unchanged.
+    hd = (f"bit_count({D.xor_('a.lo', 'b.lo', d)}) + "
+          f"bit_count({D.xor_('a.hi', 'b.hi', d)})")
+    return spark.sql(f"""
+    WITH blk AS (
+      SELECT doc_id, lo, hi, 0 AS blk, (lo & 65535) AS bval FROM sp64_sh
+      UNION ALL SELECT doc_id, lo, hi, 1, ((lo >> 16) & 65535) FROM sp64_sh
+      UNION ALL SELECT doc_id, lo, hi, 2, (hi & 65535) FROM sp64_sh
+      UNION ALL SELECT doc_id, lo, hi, 3, ((hi >> 16) & 65535) FROM sp64_sh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast({hd} as bigint) AS hamming
+    FROM blk a JOIN blk b
+      ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE {hd} <= {SIM64_HD_MAX}
+    """)
 
 
 register("q_simhash_pairs", QuerySpec(
@@ -373,10 +396,74 @@ def _bloom_crossdedup(d: str) -> str:
     """
 
 
-sql_template("q_bloom_crossdedup", _bloom_crossdedup,
-             "incremental cross-crawl dedup: Bloom filter over the "
-             "previous crawl's text digests probes the new crawl, with "
-             "exact-join ground truth making false positives auditable")
+def _bloom_crossdedup_spark(spark, sf_dir):
+    """q_bloom_crossdedup's Spark side (round-6): the digest table ``sp``
+    is computed ONCE and checkpointed — as a CTE it was re-executed by
+    each of its four consumers (old keys, probe stream, and the two
+    ground-truth joins), each re-run re-deriving the synthetic page
+    table and re-hashing every text. The tail SQL is the template's own
+    text over the checkpointed views; results bit-identical, DuckDB
+    oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
+    d = D.SPARK
+    pow2_rows = ", ".join(f"({n}, {1 << n})" for n in range(32))
+
+    def pos_union(src: str, cols: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {cols}, ({D.hex2int(f'substr(tk, {o}, 8)', d)}) "
+            f"% {BLOOM_M} AS p FROM {src}"
+            for o in (1, 9, 17))
+
+    w = D.idiv_i("p", "32", d)
+    sp = spark.sql(f"""
+    WITH pg AS (SELECT * FROM ({pages_sql(d)}) q)
+    SELECT url, md5(text) AS tk,
+           CASE WHEN {D.ts_to_epoch('warc_ts', d)} < {BLOOM_CUTOFF}
+                THEN 0 ELSE 1 END AS is_new
+    FROM pg
+    """).localCheckpoint(eager=True)
+    sp.createOrReplaceTempView("bl_sp")
+    return spark.sql(f"""
+    WITH pow2 AS ({D.values_rel(pow2_rows, "t(n, p)", d)}),
+    oldk AS (SELECT DISTINCT tk FROM bl_sp WHERE is_new = 0),
+    opos AS ({pos_union('oldk', 'tk')}),
+    obits AS (SELECT DISTINCT {w} AS w, p % 32 AS b FROM opos),
+    bloom AS (
+      SELECT w, cast(sum(p2.p) as bigint) AS wd
+      FROM obits JOIN pow2 p2 ON p2.n = b
+      GROUP BY w
+    ),
+    probe AS (SELECT url, tk FROM bl_sp WHERE is_new = 1),
+    ppos AS ({pos_union('probe', 'url')}),
+    hits AS (
+      SELECT pp.url,
+             min(CASE WHEN f.wd IS NOT NULL AND (f.wd & p2.p) <> 0
+                      THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ppos pp
+      JOIN pow2 p2 ON p2.n = pp.p % 32
+      LEFT JOIN bloom f ON f.w = {D.idiv_i('pp.p', '32', d)}
+      GROUP BY pp.url
+    )
+    SELECT pr.url,
+           cast(h.bloom_hit as bigint) AS bloom_hit,
+           cast(CASE WHEN o.tk IS NOT NULL THEN 1 ELSE 0 END as bigint)
+             AS exact_dup,
+           cast(CASE WHEN h.bloom_hit = 1 AND o.tk IS NULL
+                     THEN 1 ELSE 0 END as bigint) AS false_pos
+    FROM probe pr
+    JOIN hits h ON h.url = pr.url
+    LEFT JOIN oldk o ON o.tk = pr.tk
+    """)
+
+
+register("q_bloom_crossdedup", QuerySpec(
+    spark_fn=_bloom_crossdedup_spark, oracle=_bloom_crossdedup(D.DUCKDB),
+    doc="incremental cross-crawl dedup: Bloom filter over the "
+        "previous crawl's text digests probes the new crawl, with "
+        "exact-join ground truth making false positives auditable"))
 
 
 # ---- CDX capture index ----------------------------------------------------------

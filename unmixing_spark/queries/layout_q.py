@@ -168,7 +168,8 @@ def _zorder_layout(d: str) -> str:
 
 sql_template("q_zorder_layout", _zorder_layout,
              "Z-order vs ingest file layout: per-probe min/max-pruned "
-             "files touched, rows scanned, scan amplification")
+             "files touched, rows scanned, scan amplification",
+             repartition=False)
 
 
 # ---- small-file compaction planning ---------------------------------------

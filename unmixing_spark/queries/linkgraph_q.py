@@ -1080,11 +1080,83 @@ def _triangle_clustering(d: str) -> str:
     """
 
 
-sql_template("q_triangle_clustering", _triangle_clustering,
-             "per-node triangle counts + local clustering coefficient "
-             "via degree-ordered oriented wedges (Suri-Vassilvitskii / "
-             "Latapy shape, skew-bounded) over the undirected simple "
-             "link graph")
+def _triangle_clustering_spark(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """q_triangle_clustering's Spark side (round-6): the edge list,
+    degree table, oriented-edge table and triangle list are each
+    checkpointed once — as CTEs, ``o`` had three consumers and ``tri``
+    four, and every reference re-ran the whole synthetic-link chain.
+    Same text fragments over the views; results bit-identical; DuckDB
+    oracle text unchanged."""
+    pipeline.register_tables(spark, sf_dir, ("documents",),
+                             repartition=False)
+    d = D.SPARK
+    edges = spark.sql(
+        f"WITH {_link_ctes(d)} "
+        f"SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM links WHERE src <> dst").localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("tc_edges")
+    deg = spark.sql("""
+      SELECT node, cast(count(*) as bigint) AS deg
+      FROM (SELECT u AS node FROM tc_edges
+            UNION ALL
+            SELECT v AS node FROM tc_edges) both_ends
+      GROUP BY node""").localCheckpoint(eager=True)
+    deg.createOrReplaceTempView("tc_deg")
+    lex = "t.u_deg < t.v_deg OR (t.u_deg = t.v_deg AND t.u < t.v)"
+    o = spark.sql(f"""
+      SELECT CASE WHEN {lex} THEN t.u ELSE t.v END       AS a,
+             CASE WHEN {lex} THEN t.v ELSE t.u END       AS b,
+             CASE WHEN {lex} THEN t.v_deg ELSE t.u_deg END AS b_deg
+      FROM (
+        SELECT e.u, e.v, du.deg AS u_deg, dv.deg AS v_deg
+        FROM tc_edges e
+        JOIN tc_deg du ON du.node = e.u
+        JOIN tc_deg dv ON dv.node = e.v
+      ) t""").localCheckpoint(eager=True)
+    o.createOrReplaceTempView("tc_o")
+    tri = spark.sql("""
+      SELECT w.a AS x, w.b1 AS y, w.b2 AS z
+      FROM (
+        SELECT o1.a, o1.b AS b1, o2.b AS b2
+        FROM tc_o o1
+        JOIN tc_o o2 ON o2.a = o1.a
+        WHERE o1.b_deg < o2.b_deg
+           OR (o1.b_deg = o2.b_deg AND o1.b < o2.b)
+      ) w
+      JOIN tc_o e ON e.a = w.b1 AND e.b = w.b2
+      """).localCheckpoint(eager=True)
+    tri.createOrReplaceTempView("tc_tri")
+    return spark.sql("""
+    WITH nt AS (
+      SELECT node, cast(count(*) as bigint) AS triangles
+      FROM (SELECT x AS node FROM tc_tri
+            UNION ALL SELECT y AS node FROM tc_tri
+            UNION ALL SELECT z AS node FROM tc_tri) corners
+      GROUP BY node
+    ),
+    tot AS (SELECT cast(count(*) as bigint) AS n_tri FROM tc_tri)
+    SELECT dg.node                                    AS doc_id,
+           dg.deg                                     AS degree,
+           cast(coalesce(nt.triangles, 0) as bigint)  AS triangles,
+           round(CASE WHEN dg.deg >= 2
+                      THEN cast(2 * coalesce(nt.triangles, 0) as double)
+                           / cast(dg.deg * (dg.deg - 1) as double)
+                      ELSE cast(0 as double) END, 6)  AS clustering,
+           tot.n_tri                                  AS total_triangles
+    FROM tc_deg dg
+    LEFT JOIN nt ON nt.node = dg.node
+    CROSS JOIN tot
+    """)
+
+
+register("q_triangle_clustering", QuerySpec(
+    spark_fn=_triangle_clustering_spark,
+    oracle=_triangle_clustering(D.DUCKDB),
+    doc="per-node triangle counts + local clustering coefficient "
+        "via degree-ordered oriented wedges (Suri-Vassilvitskii / "
+        "Latapy shape, skew-bounded) over the undirected simple "
+        "link graph"))
 
 
 def _degree_assortativity(d: str) -> str:
@@ -1275,8 +1347,10 @@ def kcore_alive(edges: DataFrame, k: int = KC_K,
             raise RuntimeError(
                 f"kcore_alive: no fixpoint after {max_rounds} peel rounds "
                 "— refusing to return a stale k-core shell")
-        alive = deg.filter(F.col("deg") >= k).select("id") \
-                   .localCheckpoint(eager=True)
+        # lazy: a trivial filter over the checkpointed degree table —
+        # both next-round references re-run it from checkpoint blocks
+        # for less than the eager checkpoint job it replaced (round-6)
+        alive = deg.filter(F.col("deg") >= k).select("id")
 
 
 def _kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -236,7 +236,8 @@ def _posting_lists(d: str) -> str:
 sql_template("q_posting_lists", _posting_lists,
              "inverted-index posting lists: per term df/cf + the "
              "delta-encoded (gap:tf) posting string in doc order, "
-             "SHA-256 pinned")
+             "SHA-256 pinned",
+             repartition=False)
 
 
 CONT_N = 4        # token shingle length for containment

@@ -525,17 +525,59 @@ def _mh_audit_spark(spark, sf_dir):
     doc-keyed probes) — never a bare shingle-keyed self-join, which a
     31-token vocabulary (or real boilerplate) would send quadratic."""
     from unmixing_spark import pipeline
-    from unmixing_spark.queries.text_q import _shingles, minhash_lsh_views
+    from unmixing_spark.queries.text_q import (N_HASHES, SHINGLE,
+                                               minhash_lsh_views)
 
     pipeline.register_tables(spark, sf_dir, ("documents",))
     d = D.SPARK
     sig_v, capped_v = minhash_lsh_views(spark)
-    shs = spark.sql(
-        f"SELECT DISTINCT doc_id, sh FROM {_shingles(d)}"
+    # Round-6 exact side (guide §2.3/§2.4): a document's DISTINCT
+    # shingle set is a pure function of its own text, so it is computed
+    # as ONE per-row array expression — no shingle explode, no
+    # (doc, sh) distinct exchange (13.6M rows at sf1.0) — and the exact
+    # intersections become array_intersect sizes on the pair join
+    # (|A∩B| and |A|/|B| are identical set quantities). The fixed-point
+    # arithmetic below is byte-for-byte the shared _mh_audit_tail
+    # rendering; the DuckDB oracle text is unchanged.
+    arr = spark.sql(
+        f"SELECT doc_id, array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {SHINGLE} + 1, 1)), "
+        f"i -> substr(text, i, {SHINGLE}))) AS shs FROM documents"
     ).localCheckpoint(eager=True)
-    shs.createOrReplaceTempView("mh_shs")
-    return spark.sql(
-        "WITH " + _mh_audit_tail(d, sig_v, capped_v, "mh_shs"))
+    arr.createOrReplaceTempView("mh_sharr")
+    matches = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(N_HASHES))
+    return spark.sql(f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM {capped_v} a JOIN {capped_v} b
+        ON b.bh = a.bh AND b.doc_id > a.doc_id
+    ),
+    ji AS (
+      SELECT p.da, p.db,
+             cast(size(array_intersect(x.shs, y.shs)) as bigint) AS i,
+             cast(size(x.shs) as bigint) AS na,
+             cast(size(y.shs) as bigint) AS nb,
+             cast(({matches}) as bigint) AS matched
+      FROM pairs p
+      JOIN mh_sharr x ON x.doc_id = p.da
+      JOIN mh_sharr y ON y.doc_id = p.db
+      JOIN {sig_v} sa ON sa.doc_id = p.da
+      JOIN {sig_v} sb ON sb.doc_id = p.db
+    )
+    SELECT doc_a, doc_b, matched_hashes,
+           cast(est_u as double) / {D.dbl(1e6)}            AS est_jaccard,
+           cast(ex_u as double) / {D.dbl(1e6)}             AS exact_jaccard,
+           cast(abs(est_u - ex_u) as double) / {D.dbl(1e6)} AS abs_err
+    FROM (
+      SELECT da AS doc_a, db AS doc_b,
+             matched AS matched_hashes,
+             matched * {1000000 // N_HASHES} AS est_u,
+             {D.idiv_i('2000000 * i + (na + nb - i)',
+                       '2 * (na + nb - i)', d)} AS ex_u
+      FROM ji) z
+    """)
 
 
 register("q_minhash_est_audit", QuerySpec(
