@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from unmixing_spark import dialect as D
 from unmixing_spark.pagegen import url_expr
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 from unmixing_spark.queries.text_q import _lead_gram, _pos_tokens
 
 # ---- substring-level duplicated spans ---------------------------------------
@@ -1322,9 +1322,62 @@ def _winnow_fp(d: str) -> str:
     """
 
 
-sql_template("q_winnow_fingerprints", _winnow_fp,
-             "winnowing (Schleimer et al. 2003): rightmost-min-of-window "
-             "gram-hash fingerprints per doc + cross-doc shared counts")
+def _winnow_fp_spark(spark, sf_dir):
+    """q_winnow_fingerprints' Spark side (round-6 optimization, guide
+    §2.4 "remove shuffles outright" / §5 localCheckpoint): Catalyst
+    inlines the template's CTEs, so ``g`` (token explode + 4-gram md5)
+    executes 3x — once under each ``sel`` consumer and once under ``ng``
+    — and the window-min + DISTINCT behind ``sel`` executes 2x. The
+    gram table and the fingerprint selection are each materialized ONCE
+    (eager localCheckpoint); the tail aggregations read the
+    checkpointed tables. Expressions are the template's own renderings
+    — results bit-identical, DuckDB oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+    h = D.hex2int("substr(md5(gram), 1, 8)", d)
+    g = spark.sql(f"""
+      SELECT doc_id, pos, ({h}) * {_WIN_HB} + ({_WIN_PB} - pos) AS cmb
+      FROM (SELECT doc_id, pos, {_lead_gram(WIN_K)} AS gram
+            FROM {_pos_tokens(d)} WINDOW w AS (PARTITION BY doc_id
+                                               ORDER BY pos))
+      WHERE gram IS NOT NULL""").localCheckpoint(eager=True)
+    g.createOrReplaceTempView("win_g")
+    sel = spark.sql(f"""
+      SELECT DISTINCT doc_id,
+             {D.idiv_i('m', str(_WIN_HB), d)} AS fp_h,
+             {_WIN_PB} - (m % {_WIN_HB}) AS fp_pos
+      FROM (
+        SELECT doc_id,
+               min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN {WIN_W - 1} PRECEDING
+                              AND CURRENT ROW) AS m
+        FROM win_g)""").localCheckpoint(eager=True)
+    sel.createOrReplaceTempView("win_sel")
+    return spark.sql("""
+    WITH shared AS (
+      SELECT fp_h, cast(count(DISTINCT doc_id) as bigint) AS nd
+      FROM win_sel GROUP BY fp_h
+    ),
+    ng AS (SELECT doc_id, cast(count(*) as bigint) AS n_grams
+           FROM win_g GROUP BY doc_id)
+    SELECT s.doc_id,
+           max(n.n_grams)                 AS n_grams,
+           cast(count(*) as bigint)       AS n_fp,
+           cast(sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS n_shared_fp
+    FROM win_sel s
+    JOIN shared sh ON sh.fp_h = s.fp_h
+    JOIN ng n ON n.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """)
+
+
+register("q_winnow_fingerprints", QuerySpec(
+    spark_fn=_winnow_fp_spark, oracle=_winnow_fp(D.DUCKDB),
+    doc="winnowing (Schleimer et al. 2003): rightmost-min-of-window "
+        "gram-hash fingerprints per doc + cross-doc shared counts"))
 
 
 # ---- writing-system (script) mix ------------------------------------------------

@@ -820,31 +820,53 @@ def hits_over_documents(spark: SparkSession,
     n = docs.count()
     h = docs.select(
         "doc_id", F.lit(HS_SCALE // n).cast("bigint").alias("h"))
+    # Round-6 loop shape (guide §2.3 "shuffle fewer bytes" + §1.2): the
+    # in-loop vectors stay SPARSE — only pages with a non-zero raw sum
+    # carry a row. Pages absent from ar/hr held exactly
+    # (0 * HS_SCALE) div t = 0 in the dense form, and zero-score pages
+    # contribute nothing to the next half-step's sums (s and t are
+    # unchanged when 0-rows drop out), so the fixed-point trajectory is
+    # bit-identical; the docs left-join that densified every half-step
+    # (24 extra scans + joins) happens ONCE at the end. The L1 total t
+    # rides an Observation evaluated by the same checkpoint job that
+    # materializes the raw sums — the per-half-step 1-row aggregation
+    # job and its broadcast disappear; t embeds as an exact int literal.
     a = prev_h = prev_a = None
     for r in range(1, HS_ROUNDS + 1):
         prev_h, prev_a = h, a
+        obs_a = Observation()
         ar = (links.join(h.withColumnRenamed("doc_id", "src"), "src")
               .groupBy("dst").agg(F.sum("h").alias("s"))
+              .observe(obs_a, F.sum("s").alias("t"))
               .localCheckpoint(eager=True))
-        at = ar.agg(F.sum("s").alias("t"))
-        a = (docs.join(ar, docs["doc_id"] == ar["dst"], "left")
-             .crossJoin(F.broadcast(at))
-             .select(docs["doc_id"],
-                     F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
-                     .cast("bigint").alias("a")))
+        ta = int(obs_a.get["t"])
+        a = ar.select(F.col("dst").alias("doc_id"),
+                      F.expr(f"(s * {HS_SCALE}) div {ta}")
+                      .cast("bigint").alias("a"))
+        obs_h = Observation()
         hr = (links.join(a.withColumnRenamed("doc_id", "dst"), "dst")
               .groupBy("src").agg(F.sum("a").alias("s"))
+              .observe(obs_h, F.sum("s").alias("t"))
               .localCheckpoint(eager=True))
-        ht = hr.agg(F.sum("s").alias("t"))
-        h = (docs.join(hr, docs["doc_id"] == hr["src"], "left")
-             .crossJoin(F.broadcast(ht))
-             .select(docs["doc_id"],
-                     F.expr(f"(coalesce(s, 0L) * {HS_SCALE}) div t")
-                     .cast("bigint").alias("h")))
+        th = int(obs_h.get["t"])
+        h = hr.select(F.col("src").alias("doc_id"),
+                      F.expr(f"(s * {HS_SCALE}) div {th}")
+                      .cast("bigint").alias("h"))
+
+    def _dense(vec: DataFrame, col: str) -> DataFrame:
+        # the dense form the residual/output contract expects: absent
+        # pages hold the exact 0 the dense recurrence computed for them
+        return (docs.join(vec, "doc_id", "left")
+                .select(docs["doc_id"],
+                        F.coalesce(F.col(col), F.lit(0).cast("bigint"))
+                        .alias(col)))
+
     # final vectors feed the output join plus a residual each —
     # materialize once so neither consumer re-runs the chain
-    h = h.localCheckpoint(eager=True)
-    a = a.localCheckpoint(eager=True)
+    h = _dense(h, "h").localCheckpoint(eager=True)
+    a = _dense(a, "a").localCheckpoint(eager=True)
+    prev_h = _dense(prev_h, "h")
+    prev_a = _dense(prev_a, "a")
     dh = (h.withColumnRenamed("h", "x")
           .join(prev_h.withColumnRenamed("h", "y"), "doc_id")
           .agg(F.max(F.abs(F.col("x") - F.col("y"))).alias("dh")))

@@ -22,7 +22,7 @@ both renderings before ranking.
 from __future__ import annotations
 
 from unmixing_spark import dialect as D
-from unmixing_spark.queries import sql_template
+from unmixing_spark.queries import QuerySpec, register, sql_template
 from unmixing_spark.queries.text_q import (_dot, _lead_gram, _pos_tokens,
                                             _tokens)
 
@@ -149,10 +149,95 @@ def _bm25_topk(d: str) -> str:
     """
 
 
-sql_template("q_bm25_topk", _bm25_topk,
-             "Okapi BM25 ranked retrieval: top-10 docs per synthetic "
-             "query over the corpus posting lists (integer-ln idf, "
-             "fixed-order per-term sums)")
+def _bm25_topk_spark(spark, sf_dir):
+    """q_bm25_topk's Spark side (round-6 optimization, guide §2.4/§5):
+    Catalyst inlines the template's CTEs, so the token explode behind
+    ``toks`` ran twice (under ``tf`` and ``dl``) and ``tf`` itself ran
+    twice (under ``lex`` and ``contribs``). The (doc, tok, tf) posting
+    table is materialized ONCE (eager localCheckpoint); ``dl`` is
+    derived from it as sum(tf) — identical to count(*) over the token
+    stream by construction — and lex/stats/scorer read the checkpointed
+    postings. Same scoring expressions as the template — bit-identical
+    results, DuckDB oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+    tf = spark.sql(
+        f"SELECT doc_id, tok, cast(count(*) as bigint) AS tf "
+        f"FROM (SELECT doc_id, tok FROM {_tokens(d)}) toks "
+        f"GROUP BY doc_id, tok").localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("bm25_tf")
+    k1 = D.dbl(BM25_K1)
+    b = D.dbl(BM25_B)
+    qkey = f"'qt' || {D.to_str('q.qid', d)} || ':' || l.tok"
+    idf = ("ln(cast(2 * s.n_docs + 2 as double)) - "
+           "ln(cast(2 * qt.df + 1 as double))")
+    tfnorm = (f"(cast(t.tf as double) * ({k1} + {D.dbl(1.0)})) / "
+              f"(cast(t.tf as double) + {k1} * ({D.dbl(1.0)} - {b} + "
+              f"{b} * cast(g.dl as double) / s.avgdl))")
+    qid_rows = ", ".join(f"({q})" for q in range(BM25_QUERIES))
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN rn = {r} THEN contrib END), {D.dbl(0.0)})"
+        for r in range(1, BM25_QLEN + 1))
+    nhit = " + ".join(
+        f"max(CASE WHEN rn = {r} THEN 1 ELSE 0 END)"
+        for r in range(1, BM25_QLEN + 1))
+    return spark.sql(f"""
+    WITH dl AS (
+      SELECT doc_id, cast(sum(tf) as bigint) AS dl
+      FROM bm25_tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT cast(count(*) as bigint) AS n_docs,
+             cast(sum(dl) as double) / cast(count(*) as double) AS avgdl
+      FROM dl
+    ),
+    lex AS (
+      SELECT tok, cast(count(*) as bigint) AS df
+      FROM bm25_tf GROUP BY tok
+    ),
+    qids AS ({D.values_rel(qid_rows, "t(qid)", d)}),
+    qcand AS (
+      SELECT q.qid, l.tok, l.df,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY md5({qkey})) AS rn
+      FROM lex l CROSS JOIN qids q
+      WHERE l.df >= {BM25_MIN_DF}
+    ),
+    qterms AS (
+      SELECT qid, tok, df, rn FROM qcand WHERE rn <= {BM25_QLEN}
+    ),
+    contribs AS (
+      SELECT qt.qid, t.doc_id, qt.rn,
+             ({idf}) * ({tfnorm}) AS contrib
+      FROM qterms qt
+      JOIN bm25_tf t ON t.tok = qt.tok
+      JOIN dl g ON g.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             round({pivot}, 6) AS score,
+             cast({nhit} as bigint) AS n_hit_terms
+      FROM contribs GROUP BY qid, doc_id
+    )
+    SELECT qid, cast(rnk as bigint) AS rank, doc_id, score, n_hit_terms
+    FROM (
+      SELECT qid, doc_id, score, n_hit_terms,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) r
+    WHERE rnk <= {BM25_TOPK}
+    """)
+
+
+register("q_bm25_topk", QuerySpec(
+    spark_fn=_bm25_topk_spark, oracle=_bm25_topk(D.DUCKDB),
+    doc="Okapi BM25 ranked retrieval: top-10 docs per synthetic "
+        "query over the corpus posting lists (integer-ln idf, "
+        "fixed-order per-term sums)"))
 
 
 def _tfidf_keywords(d: str) -> str:

@@ -256,10 +256,75 @@ def _cdc_chunks(d: str) -> str:
     """
 
 
-sql_template("q_cdc_chunks", _cdc_chunks,
-             "content-defined chunking (LBFS/FastCDC family) at token "
-             "granularity: rolling-hash boundaries, chunk-level dedup "
-             "accounting per doc")
+def _cdc_chunks_spark(spark, sf_dir):
+    """q_cdc_chunks' Spark side (round-6 optimization, guide §2.4/§5):
+    the template's ``chunks`` CTE has two consumers (``dup`` and the
+    final join), and Catalyst inlines CTEs — so the whole token-window
+    chain (posexplode + 3 doc-keyed window passes + ordered string_agg)
+    executed twice. Materialize ``chunks`` ONCE (eager localCheckpoint)
+    and run the dup/report tail over it. Same expressions as the
+    template — bit-identical results, DuckDB oracle text unchanged."""
+    from unmixing_spark import pipeline
+
+    pipeline.register_tables(spark, sf_dir, ("documents",))
+    d = D.SPARK
+    gram = " || ' ' || ".join(
+        [f"lag(tok, {k}) OVER w" for k in range(CDC_W - 1, 0, -1)] + ["tok"])
+    h = D.hex2int("substr(md5(gram), 1, 8)", d)
+    chunks = spark.sql(f"""
+    WITH pos AS (SELECT doc_id, pos, tok FROM {_pos_tokens(d)}),
+    rh AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN gram IS NOT NULL AND ({h}) % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS cuts_after
+      FROM (SELECT doc_id, pos, tok, {gram} AS gram
+            FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+    ),
+    st AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN lag(pos) OVER w2 IS NULL
+                       OR lag(cuts_after) OVER w2 = 1
+                  THEN 1 ELSE 0 END AS starts
+      FROM rh WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ch AS (
+      SELECT doc_id, pos, tok,
+             sum(starts) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM st
+    )
+    SELECT doc_id, chunk_idx,
+           cast(count(*) as bigint) AS n_toks,
+           md5({D.ordered_string_agg('tok', 'pos', "' '", d)})
+             AS chunk_md5
+    FROM ch GROUP BY doc_id, chunk_idx""").localCheckpoint(eager=True)
+    chunks.createOrReplaceTempView("cdc_chunks_t")
+    return spark.sql("""
+    WITH dup AS (
+      SELECT chunk_md5,
+             cast(count(*) as bigint) AS copies,
+             cast(count(DISTINCT doc_id) as bigint) AS nd
+      FROM cdc_chunks_t GROUP BY chunk_md5
+    )
+    SELECT c.doc_id,
+           cast(count(*) as bigint)      AS n_chunks,
+           cast(sum(c.n_toks) as bigint) AS n_toks,
+           cast(sum(CASE WHEN u.copies >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS dup_chunks,
+           cast(sum(CASE WHEN u.copies >= 2 THEN c.n_toks ELSE 0 END)
+                as bigint) AS dup_toks,
+           cast(sum(CASE WHEN u.nd >= 2 THEN c.n_toks ELSE 0 END)
+                as bigint) AS crossdoc_dup_toks
+    FROM cdc_chunks_t c JOIN dup u ON u.chunk_md5 = c.chunk_md5
+    GROUP BY c.doc_id
+    """)
+
+
+register("q_cdc_chunks", QuerySpec(
+    spark_fn=_cdc_chunks_spark, oracle=_cdc_chunks(D.DUCKDB),
+    doc="content-defined chunking (LBFS/FastCDC family) at token "
+        "granularity: rolling-hash boundaries, chunk-level dedup "
+        "accounting per doc"))
 
 
 # ---- HyperLogLog distinct-count audit ----------------------------------------
