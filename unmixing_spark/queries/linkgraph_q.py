@@ -49,7 +49,12 @@ PR_ROUNDS = 20        # truncated power iteration depth (both renderings):
 PR_DAMP_NUM = 85      # damping factor 0.85 as an exact integer ratio
 PR_DAMP_DEN = 100
 PR_MAX_FAN = 4        # out-degree = 1 + doc_id % PR_MAX_FAN in [1, 4]
-PR_CKPT_EVERY = 8     # Spark-side lineage truncation cadence (rounds).
+PR_CKPT_EVERY = 4     # Spark-side lineage truncation cadence (rounds).
+                      # r6 re-sweep after the self-carried-state rework
+                      # (warm, 10x replica): every=2 6.6s, every=4 6.1s,
+                      # every=8 9.0s — shallower windows now win because
+                      # each round is one exchange, so the job-count tax
+                      # is smaller than the deep-plan analysis tax.
                       # Measured warm at sf0.001/sf0.1 (single action):
                       # no truncation ~9-20 s (the residual + output joins
                       # consume the rank chain 3x and Catalyst re-analyzes
@@ -180,13 +185,18 @@ def pagerank_over_documents(spark: SparkSession,
     seeds {doc_id % seed_mod = 0}; the loop body is IDENTICAL — the
     seed count replaces N in the two integer bases, and the per-node
     base is masked by seed membership."""
-    links = spark.sql(
-        f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
-    ).localCheckpoint(eager=True)
     docs = (docs if docs is not None
             else spark.table("documents")).select("doc_id")
+    n_docs = docs.count()
+    # loop partitioning sized from the edge count (~2.5 N), see
+    # _loop_nparts; links carry their src hash layout into every round
+    k = _loop_nparts(spark, 3 * n_docs, row_bytes=24)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    links = spark.sql(
+        f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
+    ).repartition(k, "src").localCheckpoint(eager=True).repartition(k, "src")
     if seed_mod is None:
-        denom = docs.count()
+        denom = n_docs
         is_seed = None
     else:
         denom = docs.filter(F.col("doc_id") % seed_mod == 0).count()
@@ -197,21 +207,34 @@ def pagerank_over_documents(spark: SparkSession,
     if is_seed is not None:
         init = F.when(is_seed, init).otherwise(F.lit(0))
         base_col = F.when(is_seed, base_col).otherwise(F.lit(0))
-    pr = docs.select("doc_id", init.cast("bigint").alias("pr"))
+    # Round-6 loop shape (guide §2.4): the rank vector carries the FULL
+    # node set through the rounds (it is dense by construction — every
+    # page holds at least the teleport base), so the per-round docs
+    # re-scan + left join against a fresh parquet read is replaced by a
+    # self-join of the rank state with the contribution sums. With the
+    # state hash-partitioned by doc_id and links by src, each round is
+    # ONE exchange (the dst-keyed contribution sum) — the rank side and
+    # the merge join move nothing.
+    pr = (docs.select("doc_id", init.cast("bigint").alias("pr"))
+          .repartition(k, "doc_id"))
     prev = pr
     for r in range(PR_ROUNDS):
         prev = pr
-        inc = (links.join(pr.withColumnRenamed("doc_id", "src"), "src")
-               .select("dst", F.expr("pr div outdeg").alias("c"))
-               .groupBy("dst").agg(F.sum("c").alias("s")))
-        pr = (docs.join(inc, docs["doc_id"] == inc["dst"], "left")
-              .select(docs["doc_id"],
+        inc = (links.join(pr.withColumnRenamed("doc_id", "src")
+                          .hint("SHUFFLE_HASH"), "src")
+               .select("dst", F.expr("pr div outdeg").alias("c")))
+        if k < cap:
+            inc = inc.repartition(k, "dst")
+        inc = inc.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (pr.join(inc.hint("SHUFFLE_HASH"),
+                      pr["doc_id"] == inc["dst"], "left")
+              .select(pr["doc_id"],
                       (base_col + F.expr(
                           f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
                           f"div {PR_DAMP_DEN}"))
                       .cast("bigint").alias("pr")))
         if (r + 1) % PR_CKPT_EVERY == 0 and r + 1 < PR_ROUNDS:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.localCheckpoint(eager=True).repartition(k, "doc_id")
     # final ranks feed three consumers (output join, residual, and the
     # residual's broadcast) — materialize once so none re-runs the chain
     pr = pr.localCheckpoint(eager=True)
@@ -402,7 +425,11 @@ register("q_trustrank", QuerySpec(
 HB_M = 16            # HLL buckets (b=4 index bits): rel. std err ~1.04/4
 HB_W = 32            # hash bits feeding rho (md5_slice width)
 HB_ROUNDS = 12       # fixed ball radius, both renderings (see docstring)
-HB_CKPT_EVERY = 4    # Spark-side lineage truncation cadence (rounds)
+HB_CKPT_EVERY = 2    # Spark-side lineage truncation cadence (rounds):
+                     # r6 sweep at the 10x replica — every=4 22.7/28.7 s,
+                     # every=2 18.7/17.4 s, every=1 22.7/16.9 s; deeper
+                     # fused windows compile larger codegen units per
+                     # stage and lose more to a retry/noise hit
 HB_ALPHA = 0.673     # published alpha_16 (Flajolet et al. 2007, Fig. 3)
 HB_LC_CUT = 2.5 * HB_M          # linear-counting cutoff (= 40.0, exact)
 # alpha * m^2 * 2^(W+1): the raw-estimator numerator as ONE double literal
@@ -539,10 +566,14 @@ def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     and the harmonic accumulator rides in the same row instead of
     paying a node-keyed join per round. Register values and estimator
     doubles are bit-identical to the row form."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # out-degree is 1 + doc_id % PR_MAX_FAN, so |links| ~ 2.5 N — size
+    # the loop's exchanges from that (guide §2.2) instead of the
+    # session constant; the documents count is a parquet-footer action
+    n_docs = spark.table("documents").count()
+    k = _loop_nparts(spark, 3 * n_docs)
     links = spark.sql(
         f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
-    ).repartition(n_parts, "src").localCheckpoint(eager=True)
+    ).repartition(k, "src").localCheckpoint(eager=True)
     # s0 has EXACTLY one register row per node (one md5 pair per doc;
     # the bit-length lookup ranges are disjoint), so the widening is a
     # plain projection — no aggregation, no exchange beyond the
@@ -551,12 +582,36 @@ def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
             .alias(f"r{b}") for b in range(HB_M)]
     state = (spark.sql(
         f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0")
-        .repartition(n_parts, "node").select("node", *wide)
+        .repartition(k, "node").select("node", *wide)
         .localCheckpoint(eager=True))
-    return links, state
+    # A checkpointed DataFrame is a Scan ExistingRDD: its hash layout
+    # survives physically but the PLANNER forgets it, so every round
+    # re-exchanged links AND state and sorted both for a merge join
+    # (measured: 4 Exchange + 2 SortMergeJoin per round). The lazy
+    # repartition wrappers re-assert the partitioning in-plan — one
+    # exchange per checkpoint job, reused across all rounds inside the
+    # job via ReusedExchange — so the per-round join and the register
+    # aggregation meet already-partitioned inputs (guide §2.4).
+    return (links.repartition(k, "src"),
+            state.repartition(k, "node"), k)
 
 
 _HB_REGS = [f"r{b}" for b in range(HB_M)]
+
+
+def _loop_nparts(spark: SparkSession, n_rows: int,
+                 row_bytes: int = 160) -> int:
+    """Scale-adaptive partition count for the iterative-loop exchanges
+    (guide §2.2 "fewer, larger reduce partitions" / §2.5): size the
+    per-round shuffles by BYTES (~64 MB targets), floored at 1 and
+    capped at the session's shuffle parallelism — the cluster-scale
+    value. A fixed 32-way exchange over a 50k-row state is pure
+    task-scheduling tax (32 sub-ms tasks per stage, ~12 stages per
+    checkpoint job); at 10^12 pages the same formula saturates the
+    configured parallelism."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(cap, (n_rows * row_bytes + (64 << 20) - 1)
+                      >> 26))
 
 
 def _hb_cnt_col():
@@ -580,7 +635,7 @@ def _hb_sint_col():
 
 
 def _hb_propagate_wide(links: DataFrame, state: DataFrame,
-                       extras: list) -> DataFrame:
+                       extras: list, k: int, cap: int) -> DataFrame:
     """One HyperBall round over the wide state: src-keyed edge join,
     node-keyed register-max aggregation of the CONTRIBUTIONS only, then
     a node-keyed left join merging them into the state row with
@@ -592,13 +647,25 @@ def _hb_propagate_wide(links: DataFrame, state: DataFrame,
     the links side is pre-partitioned by src once at setup. The
     accumulator columns in ``extras`` (h/prev or env/prev) stay on the
     state row."""
+    # SHUFFLE_HASH on the state sides: both joins meet co-partitioned
+    # inputs (see _hb_setup), so the hint only swaps the per-round
+    # merge-join SORTS for hash tables over <= |nodes| rows — no new
+    # exchange, no sort (guide §3.1: shuffled hash beats sort-merge
+    # when the build side fits per-partition memory).
     contrib = (links
-               .join(state.select(F.col("node").alias("src"), *_HB_REGS),
-                     "src")
+               .join(state.select(F.col("node").alias("src"), *_HB_REGS)
+                     .hint("SHUFFLE_HASH"), "src")
                .select(F.col("dst").alias("node"), *_HB_REGS))
+    # when the loop's size-derived partition count is below the session
+    # parallelism, pre-repartition so the register aggregation runs on
+    # k partitions (no second exchange — the groupBy's clustering
+    # requirement is already met); at cluster scale (k == cap) keep the
+    # plain groupBy so the map-side partial max is planned as usual
+    if k < cap:
+        contrib = contrib.repartition(k, "node")
     cg = contrib.groupBy("node").agg(
         *[F.max(c).alias(f"c_{c}") for c in _HB_REGS])
-    return (state.join(cg, "node", "left")
+    return (state.join(cg.hint("SHUFFLE_HASH"), "node", "left")
             .select("node",
                     *[F.greatest(F.col(c),
                                  F.coalesce(F.col(f"c_{c}"), F.lit(0)))
@@ -607,12 +674,12 @@ def _hb_propagate_wide(links: DataFrame, state: DataFrame,
 
 
 def _hb_wide_round(links: DataFrame, state: DataFrame, acc_update,
-                   extras: list) -> DataFrame:
+                   extras: list, k: int, cap: int) -> DataFrame:
     """Propagate + estimator + accumulator update, in layered selects so
     cnt/s_int/e each evaluate once per row (CollapseProject is excluded
     session-wide). ``acc_update(e)`` returns the new accumulator columns
     from the estimator column and the carried ``{c}0`` columns."""
-    agg = _hb_propagate_wide(links, state, extras)
+    agg = _hb_propagate_wide(links, state, extras, k, cap)
     stats = agg.select("node", *_HB_REGS,
                        *[F.col(f"{c}0") for c in extras],
                        _hb_cnt_col().alias("cnt"),
@@ -663,7 +730,8 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     tree, so results are bit-identical to the row-form loop. Lineage
     truncates every HB_CKPT_EVERY rounds plus the last two rounds (the
     convergence proof reads both)."""
-    links, state = _hb_setup(spark)
+    links, state, k = _hb_setup(spark)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     state = _hb_init_acc(state, [F.lit(0.0).alias("h"),
                                  F.col("e").alias("prev")])
     prev_state = state
@@ -676,9 +744,13 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
                      / F.lit(float(_r))).alias("h"),
                     e.alias("prev")]
 
-        state = _hb_wide_round(links, state, upd, ["h", "prev"])
+        state = _hb_wide_round(links, state, upd, ["h", "prev"], k, cap)
         if r % HB_CKPT_EVERY == 0 or r >= HB_ROUNDS - 1:
-            state = state.localCheckpoint(eager=True)
+            # re-assert the node hash layout the checkpoint erases from
+            # the plan (see _hb_setup) — data does not move again until
+            # the next checkpoint job's single head exchange
+            state = (state.localCheckpoint(eager=True)
+                     .repartition(k, "node"))
     conv = _hb_conv_col(state, prev_state)
     stats = state.select("node", "h", _hb_cnt_col().alias("cnt"),
                          _hb_sint_col().alias("s_int"))
@@ -974,12 +1046,14 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
     Spark-computed doubles; the values round-trip bit-exactly through
     the driver (Python float IS an IEEE double), so the tail arithmetic
     matches the oracle as before."""
-    links, state = _hb_setup(spark)
+    links, state, k = _hb_setup(spark)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     state = _hb_init_acc(state, [F.col("e").alias("env"),
                                  F.col("e").alias("prev")])
     obs0 = Observation()
     state = (state.observe(obs0, F.round(F.sum("env"), 6).alias("nf"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=True)
+             .repartition(k, "node"))
     nf_vals = [(0, float(obs0.get["nf"]))]
     for r in range(1, HB_ROUNDS + 1):
 
@@ -989,10 +1063,11 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
                     .alias("env"),
                     e.alias("prev")]
 
-        state = _hb_wide_round(links, state, upd, ["env", "prev"])
+        state = _hb_wide_round(links, state, upd, ["env", "prev"], k, cap)
         obs = Observation()
         state = (state.observe(obs, F.round(F.sum("env"), 6).alias("nf"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=True)
+                 .repartition(k, "node"))
         nf_vals.append((r, float(obs.get["nf"])))
     nf = spark.createDataFrame(
         [(int(r), v) for r, v in nf_vals], "r bigint, nf double")
