@@ -303,14 +303,27 @@ def _lloyd_assign(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     SemDeDup tail consumes — derived lazily from the checkpointed array
     table by one posexplode (cheap, no window), so the coordinates are
     the same checkpointed bigints the loop used."""
-    emb_arr = (spark.table("embeddings")
+    emb_tbl = spark.table("embeddings")
+    # loop partitioning sized from the table (guide §2.2 — ~520 B per
+    # (vec_id, qs) row): each Lloyd round is one mapInArrow job whose
+    # task count otherwise inherits the session constant, paying ~32
+    # Python task dispatches per round for sub-ms of kernel work; at
+    # cluster scale the formula saturates the configured parallelism
+    from unmixing_spark.queries.linkgraph_q import _loop_nparts
+    k = _loop_nparts(spark, emb_tbl.count(), row_bytes=520)
+    emb_arr = (emb_tbl
                .select("vec_id", F.expr(_QS_EXPR).alias("qs"))
-               .localCheckpoint(eager=True))
+               .repartition(k, "vec_id").localCheckpoint(eager=True))
     cb0 = {None: sorted(
         (int(r["vec_id"]), [int(v) for v in r["qs"]])
         for r in emb_arr.filter(F.col("vec_id") < KM_K).collect())}
 
-    assign = _lloyd_loop(emb_arr, cb0, KM_ROUNDS, EMB_DIM)
+    # the final assignment pass crosses the Python boundary — landed
+    # once (eager localCheckpoint): its consumers (moved-count audit +
+    # output in the quantizer; the SemDeDup/PQ tails) each re-executed
+    # the Arrow kernel otherwise
+    assign = _lloyd_loop(emb_arr, cb0, KM_ROUNDS,
+                         EMB_DIM).localCheckpoint(eager=True)
     emb_long = (emb_arr
                 .select("vec_id", F.posexplode("qs").alias("pos0", "q"))
                 .select("vec_id", (F.col("pos0") + 1).alias("dim"), "q"))
