@@ -58,6 +58,17 @@ from unmixing_spark.queries import QuerySpec, register
 N_DOCS = 96
 
 
+def _media_parts(spark: SparkSession) -> int:
+    """Fan-out for the Python codec stages (round-6, guide §2.5 input
+    skew): N_DOCS synthetic payloads are the work units — spread them
+    over the session's full parallelism instead of a fixed 8-way split
+    that idled 3/4 of the cores through the heaviest Python stage.
+    Capped by the work-unit count; scales with the session, not the
+    host."""
+    return max(1, min(N_DOCS // 2,
+                      spark.sparkContext.defaultParallelism))
+
+
 def render_page_image(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
     """Deterministic smooth RGB image for a doc: three low-frequency
     sinusoid planes (frequency/phase drawn from a doc-keyed RNG). Smooth
@@ -100,7 +111,7 @@ def _image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     base = (spark.table("documents")
             .select("doc_id").orderBy("doc_id").limit(N_DOCS)
-            .repartition(8, "doc_id"))
+            .repartition(_media_parts(spark), "doc_id"))
     frames = base.mapInPandas(_gen_images, "id long, image binary")
     pairs = dhash_pairs(image_dhash(frames), max_hamming=7, n_bands=8)
     return (pairs
@@ -169,7 +180,7 @@ def _audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     base = (spark.table("documents")
             .select("doc_id").orderBy("doc_id").limit(N_DOCS)
-            .repartition(8, "doc_id"))
+            .repartition(_media_parts(spark), "doc_id"))
     clips = base.mapInPandas(_gen_clips, "id long, audio binary")
     pairs = dhash_pairs(audio_fingerprints(clips), hash_col="fp",
                         max_hamming=7, n_bands=8)
@@ -264,7 +275,7 @@ def _video_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     base = (spark.table("documents")
             .select("doc_id").orderBy("doc_id").limit(N_DOCS)
-            .repartition(8, "doc_id"))
+            .repartition(_media_parts(spark), "doc_id"))
     videos = base.mapInPandas(_gen_videos, "id long, video binary")
     sigs = video_signatures(videos, every_n=2)
     pairs = dhash_pairs(sigs, hash_col="vhash", max_hamming=7, n_bands=8)

@@ -21,7 +21,9 @@ from unmixing_spark.queries import QuerySpec, register, sql_template
 def _mnf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unmixing_spark.functions.mnf import (mnf_fit_distributed,
                                               mnf_transform_distributed)
-    cells = pipeline.cell_raster(spark, sf_dir)
+    # eager checkpoint: the fit's single action has two aggregate
+    # branches over this chain and the transform re-reads it (round-6)
+    cells = pipeline.cell_raster(spark, sf_dir).localCheckpoint(eager=True)
     R, mu, snr = mnf_fit_distributed(cells, list(BAND_NAMES))
     out = mnf_transform_distributed(cells, list(BAND_NAMES), R, mu)
     return out.select("cell_id",
@@ -337,13 +339,18 @@ def _lsma_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unmixing_spark.lsma.mapper import unmix_cells
     from unmixing_spark.lsma.ppi import ppi_distributed
 
-    cells = pipeline.cell_raster(spark, sf_dir).cache()
+    # eager localCheckpoint, not lazy cache (round-6, guide §5): the MNF
+    # fit's one action evaluates TWO aggregate branches over this table —
+    # with a cold lazy cache both branches race to compute the
+    # md5-geocode chain; the checkpoint pays it exactly once
+    cells = pipeline.cell_raster(spark, sf_dir).localCheckpoint(eager=True)
     bands = list(BAND_NAMES)
     # mask: density-slice analogue — drop cells failing the QA predicate
     masked = cells.filter((F.col("b2") > 0.0) & (F.col("b1") >= 1.0))
     # MNF rotation (two-pass)
     R, mu, snr = mnf_fit_distributed(masked, bands)
-    mnf = mnf_transform_distributed(masked, bands, R, mu).cache()
+    mnf = (mnf_transform_distributed(masked, bands, R, mu)
+           .localCheckpoint(eager=True))
     mnf_cols = [f"mnf{i+1}" for i in range(len(bands))]
     # endmember induction: PPI top-3 in MNF space. The top-k ids and their
     # MNF spectra are gathered in ONE driver action: broadcast the 3-row

@@ -74,7 +74,15 @@ def point_in_polygon_join(points: DataFrame, polygons: list[tuple[str, np.ndarra
                 out[idx] = name
         return pd.Series(out)
 
-    return (pruned.withColumn("aoi", match(F.col(lon_col), F.col(lat_col)))
+    # withColumn(udf) + filter on its output makes Catalyst push the
+    # filter BELOW the projection and evaluate the UDF twice (one
+    # ArrowEvalPython under the filter, one above — the guide §4.4
+    # duplication); marking it non-deterministic pins a single
+    # evaluation. The function is pure — the marker only constrains
+    # the optimizer, values are unchanged.
+    match_nd = match.asNondeterministic()
+    return (pruned.withColumn("aoi", match_nd(F.col(lon_col),
+                                              F.col(lat_col)))
             .filter(F.col("aoi").isNotNull()))
 
 
