@@ -903,11 +903,20 @@ def hits_over_documents(spark: SparkSession,
     # rides an Observation evaluated by the same checkpoint job that
     # materializes the raw sums — the per-half-step 1-row aggregation
     # job and its broadcast disappear; t embeds as an exact int literal.
+    # score vectors are <= N 16-byte rows; when that fits the session's
+    # broadcast threshold, ship THEM to the (static, never-shuffled)
+    # edge table instead of letting the planner fall back to a
+    # sort-merge join — the checkpointed vectors come back as bare RDD
+    # scans with unknown size, so the auto-broadcast never fires after
+    # round 1 and links re-shuffled every half-step (guide §3.1)
+    bcast_ok = n * 16 < int(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", str(10 << 20)))
+    side = F.broadcast if bcast_ok else (lambda df: df)
     a = prev_h = prev_a = None
     for r in range(1, HS_ROUNDS + 1):
         prev_h, prev_a = h, a
         obs_a = Observation()
-        ar = (links.join(h.withColumnRenamed("doc_id", "src"), "src")
+        ar = (links.join(side(h.withColumnRenamed("doc_id", "src")), "src")
               .groupBy("dst").agg(F.sum("h").alias("s"))
               .observe(obs_a, F.sum("s").alias("t"))
               .localCheckpoint(eager=True))
@@ -916,7 +925,7 @@ def hits_over_documents(spark: SparkSession,
                       F.expr(f"(s * {HS_SCALE}) div {ta}")
                       .cast("bigint").alias("a"))
         obs_h = Observation()
-        hr = (links.join(a.withColumnRenamed("doc_id", "dst"), "dst")
+        hr = (links.join(side(a.withColumnRenamed("doc_id", "dst")), "dst")
               .groupBy("src").agg(F.sum("a").alias("s"))
               .observe(obs_h, F.sum("s").alias("t"))
               .localCheckpoint(eager=True))
