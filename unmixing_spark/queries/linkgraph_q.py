@@ -608,9 +608,14 @@ def _loop_nparts(spark: SparkSession, n_rows: int,
     value. A fixed 32-way exchange over a 50k-row state is pure
     task-scheduling tax (32 sub-ms tasks per stage, ~12 stages per
     checkpoint job); at 10^12 pages the same formula saturates the
-    configured parallelism."""
+    configured parallelism. Floor 2, not 1: ``repartition(1, key)``
+    plans as SinglePartition, which does NOT satisfy the hash
+    clustering the loop joins/aggregations require, so
+    EnsureRequirements stacks a full-width hash exchange on top of it
+    (seen in the executed plan) — hashpartitioning(key, 2) is the
+    smallest layout every downstream operator can reuse."""
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return max(1, min(cap, (n_rows * row_bytes + (64 << 20) - 1)
+    return max(2, min(cap, (n_rows * row_bytes + (64 << 20) - 1)
                       >> 26))
 
 
