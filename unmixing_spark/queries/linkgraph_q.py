@@ -33,6 +33,7 @@ the per-round re-shuffle of the static edge side entirely.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -192,9 +193,13 @@ def pagerank_over_documents(spark: SparkSession,
     # _loop_nparts; links carry their src hash layout into every round
     k = _loop_nparts(spark, 3 * n_docs, row_bytes=24)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    links = spark.sql(
-        f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst FROM links"
-    ).repartition(k, "src").localCheckpoint(eager=True).repartition(k, "src")
+    small = k < cap
+    with _interpreted_loop(spark, small):
+        links = (spark.sql(
+            f"WITH {_link_ctes(D.SPARK)} SELECT src, outdeg, dst "
+            "FROM links")
+            .repartition(k, "src").localCheckpoint(eager=True)
+            .repartition(k, "src"))
     if seed_mod is None:
         denom = n_docs
         is_seed = None
@@ -218,26 +223,29 @@ def pagerank_over_documents(spark: SparkSession,
     pr = (docs.select("doc_id", init.cast("bigint").alias("pr"))
           .repartition(k, "doc_id"))
     prev = pr
-    for r in range(PR_ROUNDS):
-        prev = pr
-        inc = (links.join(pr.withColumnRenamed("doc_id", "src")
-                          .hint("SHUFFLE_HASH"), "src")
-               .select("dst", F.expr("pr div outdeg").alias("c")))
-        if k < cap:
-            inc = inc.repartition(k, "dst")
-        inc = inc.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (pr.join(inc.hint("SHUFFLE_HASH"),
-                      pr["doc_id"] == inc["dst"], "left")
-              .select(pr["doc_id"],
-                      (base_col + F.expr(
-                          f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
-                          f"div {PR_DAMP_DEN}"))
-                      .cast("bigint").alias("pr")))
-        if (r + 1) % PR_CKPT_EVERY == 0 and r + 1 < PR_ROUNDS:
-            pr = pr.localCheckpoint(eager=True).repartition(k, "doc_id")
-    # final ranks feed three consumers (output join, residual, and the
-    # residual's broadcast) — materialize once so none re-runs the chain
-    pr = pr.localCheckpoint(eager=True)
+    with _interpreted_loop(spark, small):
+        for r in range(PR_ROUNDS):
+            prev = pr
+            inc = (links.join(pr.withColumnRenamed("doc_id", "src")
+                              .hint("SHUFFLE_HASH"), "src")
+                   .select("dst", F.expr("pr div outdeg").alias("c")))
+            if k < cap:
+                inc = inc.repartition(k, "dst")
+            inc = inc.groupBy("dst").agg(F.sum("c").alias("s"))
+            pr = (pr.join(inc.hint("SHUFFLE_HASH"),
+                          pr["doc_id"] == inc["dst"], "left")
+                  .select(pr["doc_id"],
+                          (base_col + F.expr(
+                              f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
+                              f"div {PR_DAMP_DEN}"))
+                          .cast("bigint").alias("pr")))
+            if (r + 1) % PR_CKPT_EVERY == 0 and r + 1 < PR_ROUNDS:
+                pr = (pr.localCheckpoint(eager=True)
+                      .repartition(k, "doc_id"))
+        # final ranks feed three consumers (output join, residual, and
+        # the residual's broadcast) — materialize once so none re-runs
+        # the chain
+        pr = pr.localCheckpoint(eager=True)
     delta = (pr.withColumnRenamed("pr", "a")
              .join(prev.withColumnRenamed("pr", "b"), "doc_id")
              .agg(F.max(F.abs(F.col("a") - F.col("b"))).alias("max_delta")))
@@ -571,19 +579,21 @@ def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     # session constant; the documents count is a parquet-footer action
     n_docs = spark.table("documents").count()
     k = _loop_nparts(spark, 3 * n_docs)
-    links = spark.sql(
-        f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
-    ).repartition(k, "src").localCheckpoint(eager=True)
-    # s0 has EXACTLY one register row per node (one md5 pair per doc;
-    # the bit-length lookup ranges are disjoint), so the widening is a
-    # plain projection — no aggregation, no exchange beyond the
-    # node-keyed repartition the merge join reuses.
-    wide = [F.when(F.col("b") == b, F.col("rho")).otherwise(0)
-            .alias(f"r{b}") for b in range(HB_M)]
-    state = (spark.sql(
-        f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0")
-        .repartition(k, "node").select("node", *wide)
-        .localCheckpoint(eager=True))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with _interpreted_loop(spark, k < cap):
+        links = spark.sql(
+            f"WITH {_link_ctes(D.SPARK)} SELECT src, dst FROM links"
+        ).repartition(k, "src").localCheckpoint(eager=True)
+        # s0 has EXACTLY one register row per node (one md5 pair per
+        # doc; the bit-length lookup ranges are disjoint), so the
+        # widening is a plain projection — no aggregation, no exchange
+        # beyond the node-keyed repartition the merge join reuses.
+        wide = [F.when(F.col("b") == b, F.col("rho")).otherwise(0)
+                .alias(f"r{b}") for b in range(HB_M)]
+        state = (spark.sql(
+            f"WITH {_hb_base_ctes(D.SPARK)} SELECT node, b, rho FROM s0")
+            .repartition(k, "node").select("node", *wide)
+            .localCheckpoint(eager=True))
     # A checkpointed DataFrame is a Scan ExistingRDD: its hash layout
     # survives physically but the PLANNER forgets it, so every round
     # re-exchanged links AND state and sorted both for a merge join
@@ -597,6 +607,32 @@ def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
 
 
 _HB_REGS = [f"r{b}" for b in range(HB_M)]
+
+
+@contextmanager
+def _interpreted_loop(spark: SparkSession, small: bool):
+    """Whole-stage-codegen OFF for the loop's eager jobs in the
+    SMALL-data regime only (round-6, measured): each round's 16-column
+    register expressions compile fresh generated classes per stage (the
+    per-round accumulator literal defeats the source-text cache), and
+    at ~50k state rows janino compilation dominates execution —
+    interpreted evaluation of the identical expression trees is 1.5-2x
+    faster end-to-end (HyperBall 15-20 s -> 9-10 s A/B at the 10x
+    replica). ``small`` is the same size-derived signal as the loop
+    partitioning (k < cap), so at cluster scale — where compilation
+    amortizes over billions of rows — codegen stays on. Evaluation mode
+    does not change expression semantics; outputs stay bit-identical
+    (snapshot-gated). The previous value is restored before the lazy
+    output tail is planned."""
+    if not small:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
 
 def _loop_nparts(spark: SparkSession, n_rows: int,
@@ -740,22 +776,24 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     state = _hb_init_acc(state, [F.lit(0.0).alias("h"),
                                  F.col("e").alias("prev")])
     prev_state = state
-    for r in range(1, HB_ROUNDS + 1):
-        prev_state = state
+    with _interpreted_loop(spark, k < cap):
+        for r in range(1, HB_ROUNDS + 1):
+            prev_state = state
 
-        def upd(e, _r=r):
-            return [(F.col("h0")
-                     + F.greatest(F.lit(0.0), e - F.col("prev0"))
-                     / F.lit(float(_r))).alias("h"),
-                    e.alias("prev")]
+            def upd(e, _r=r):
+                return [(F.col("h0")
+                         + F.greatest(F.lit(0.0), e - F.col("prev0"))
+                         / F.lit(float(_r))).alias("h"),
+                        e.alias("prev")]
 
-        state = _hb_wide_round(links, state, upd, ["h", "prev"], k, cap)
-        if r % HB_CKPT_EVERY == 0 or r >= HB_ROUNDS - 1:
-            # re-assert the node hash layout the checkpoint erases from
-            # the plan (see _hb_setup) — data does not move again until
-            # the next checkpoint job's single head exchange
-            state = (state.localCheckpoint(eager=True)
-                     .repartition(k, "node"))
+            state = _hb_wide_round(links, state, upd, ["h", "prev"],
+                                   k, cap)
+            if r % HB_CKPT_EVERY == 0 or r >= HB_ROUNDS - 1:
+                # re-assert the node hash layout the checkpoint erases
+                # from the plan (see _hb_setup) — data does not move
+                # again until the next checkpoint job's head exchange
+                state = (state.localCheckpoint(eager=True)
+                         .repartition(k, "node"))
     conv = _hb_conv_col(state, prev_state)
     stats = state.select("node", "h", _hb_cnt_col().alias("cnt"),
                          _hb_sint_col().alias("s_int"))
@@ -1064,25 +1102,29 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     state = _hb_init_acc(state, [F.col("e").alias("env"),
                                  F.col("e").alias("prev")])
-    obs0 = Observation()
-    state = (state.observe(obs0, F.round(F.sum("env"), 6).alias("nf"))
-             .localCheckpoint(eager=True)
-             .repartition(k, "node"))
-    nf_vals = [(0, float(obs0.get["nf"]))]
-    for r in range(1, HB_ROUNDS + 1):
-
-        def upd(e):
-            return [(F.col("env0")
-                     + F.greatest(F.lit(0.0), e - F.col("prev0")))
-                    .alias("env"),
-                    e.alias("prev")]
-
-        state = _hb_wide_round(links, state, upd, ["env", "prev"], k, cap)
-        obs = Observation()
-        state = (state.observe(obs, F.round(F.sum("env"), 6).alias("nf"))
+    nf_vals = []
+    with _interpreted_loop(spark, k < cap):
+        obs0 = Observation()
+        state = (state.observe(obs0, F.round(F.sum("env"), 6).alias("nf"))
                  .localCheckpoint(eager=True)
                  .repartition(k, "node"))
-        nf_vals.append((r, float(obs.get["nf"])))
+        nf_vals.append((0, float(obs0.get["nf"])))
+        for r in range(1, HB_ROUNDS + 1):
+
+            def upd(e):
+                return [(F.col("env0")
+                         + F.greatest(F.lit(0.0), e - F.col("prev0")))
+                        .alias("env"),
+                        e.alias("prev")]
+
+            state = _hb_wide_round(links, state, upd, ["env", "prev"],
+                                   k, cap)
+            obs = Observation()
+            state = (state.observe(obs,
+                                   F.round(F.sum("env"), 6).alias("nf"))
+                     .localCheckpoint(eager=True)
+                     .repartition(k, "node"))
+            nf_vals.append((r, float(obs.get["nf"])))
     nf = spark.createDataFrame(
         [(int(r), v) for r, v in nf_vals], "r bigint, nf double")
     from pyspark.sql.window import Window
