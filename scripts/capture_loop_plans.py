@@ -50,13 +50,10 @@ def main() -> None:
     if len(setup) == 3:            # round-6 shape: (links, state, k)
         links, state, k = setup
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        state = L._hb_init_acc(state, [F.lit(0.0).alias("h"),
-                                       F.col("e").alias("prev")])
-
-        def upd(e):
-            return [(F.col("h0") + F.greatest(F.lit(0.0), e - F.col("prev0"))
-                     / F.lit(1.0)).alias("h"), e.alias("prev")]
-
+        from unmixing_spark import dialect as DD
+        state = L._hb_init_acc(state, [f"{DD.dbl(0.0)} AS h", "e AS prev"])
+        upd = [f"(h0 + greatest({DD.dbl(0.0)}, e - prev0) / {DD.dbl(1.0)}) AS h",
+               "e AS prev"]
         write("hyperball_round",
               L._hb_wide_round(links, state, upd, ["h", "prev"], k, cap))
     else:                          # round-start shape

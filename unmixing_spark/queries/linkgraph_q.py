@@ -608,6 +608,35 @@ def _hb_setup(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
 
 _HB_REGS = [f"r{b}" for b in range(HB_M)]
 
+# Round-6: the per-round projections are PRE-RENDERED SQL strings fed
+# to selectExpr — one py4j round-trip per select instead of ~200 Column
+# constructor calls per round (measured ~0.45 s/round of driver-side
+# build time at 12 rounds). Every expression is the exact SQL form of
+# the Column tree it replaces (double literals via D.dbl — F.lit(x)
+# and cast('repr(x)' as double) produce the identical IEEE double;
+# bare decimals would parse as DECIMAL), so results are bit-identical.
+_HB_MERGE_EXPRS = [f"greatest(r{b}, coalesce(c_r{b}, 0)) AS r{b}"
+                   for b in range(HB_M)]
+_HB_CNT_EXPR = " + ".join(
+    f"(CASE WHEN r{b} > 0 THEN 1 ELSE 0 END)"
+    for b in range(HB_M)) + " AS cnt"
+_HB_SINT_EXPR = " + ".join(
+    f"shiftleft(cast(1 as bigint), {HB_W + 1} - r{b})"
+    for b in range(HB_M)) + " AS s_int"
+
+
+def _hb_est_expr() -> str:
+    """selectExpr twin of _hb_est_col over (cnt, s_int) columns: same
+    literals, same branch order (lc chain cnt = 15 .. 1)."""
+    raw = f"{D.dbl(HB_NUM)} / cast(s_int as double)"
+    chain = " ".join(f"WHEN cnt = {HB_M - v} THEN {D.dbl(HB_LC_EST[v])}"
+                     for v in range(1, HB_M))
+    return (f"CASE WHEN ({raw}) <= {D.dbl(HB_LC_CUT)} AND cnt < {HB_M} "
+            f"THEN (CASE {chain} END) ELSE ({raw}) END AS e")
+
+
+_HB_EST_EXPR = _hb_est_expr()
+
 
 @contextmanager
 def _interpreted_loop(spark: SparkSession, small: bool):
@@ -694,9 +723,9 @@ def _hb_propagate_wide(links: DataFrame, state: DataFrame,
     # exchange, no sort (guide §3.1: shuffled hash beats sort-merge
     # when the build side fits per-partition memory).
     contrib = (links
-               .join(state.select(F.col("node").alias("src"), *_HB_REGS)
+               .join(state.selectExpr("node AS src", *_HB_REGS)
                      .hint("SHUFFLE_HASH"), "src")
-               .select(F.col("dst").alias("node"), *_HB_REGS))
+               .selectExpr("dst AS node", *_HB_REGS))
     # when the loop's size-derived partition count is below the session
     # parallelism, pre-repartition so the register aggregation runs on
     # k partitions (no second exchange — the groupBy's clustering
@@ -707,40 +736,32 @@ def _hb_propagate_wide(links: DataFrame, state: DataFrame,
     cg = contrib.groupBy("node").agg(
         *[F.max(c).alias(f"c_{c}") for c in _HB_REGS])
     return (state.join(cg.hint("SHUFFLE_HASH"), "node", "left")
-            .select("node",
-                    *[F.greatest(F.col(c),
-                                 F.coalesce(F.col(f"c_{c}"), F.lit(0)))
-                      .alias(c) for c in _HB_REGS],
-                    *[F.col(c).alias(f"{c}0") for c in extras]))
+            .selectExpr("node", *_HB_MERGE_EXPRS,
+                        *[f"{c} AS {c}0" for c in extras]))
 
 
-def _hb_wide_round(links: DataFrame, state: DataFrame, acc_update,
+def _hb_wide_round(links: DataFrame, state: DataFrame, acc_exprs: list,
                    extras: list, k: int, cap: int) -> DataFrame:
     """Propagate + estimator + accumulator update, in layered selects so
     cnt/s_int/e each evaluate once per row (CollapseProject is excluded
-    session-wide). ``acc_update(e)`` returns the new accumulator columns
-    from the estimator column and the carried ``{c}0`` columns."""
+    session-wide). ``acc_exprs`` are the new accumulator columns as SQL
+    strings over the estimator column ``e`` and the carried ``{c}0``
+    columns."""
     agg = _hb_propagate_wide(links, state, extras, k, cap)
-    stats = agg.select("node", *_HB_REGS,
-                       *[F.col(f"{c}0") for c in extras],
-                       _hb_cnt_col().alias("cnt"),
-                       _hb_sint_col().alias("s_int"))
-    est = stats.select("node", *_HB_REGS,
-                       *[F.col(f"{c}0") for c in extras],
-                       _hb_est_col(F.col("cnt"), F.col("s_int"))
-                       .alias("e"))
-    return est.select("node", *_HB_REGS, *acc_update(F.col("e")))
+    extras0 = [f"{c}0" for c in extras]
+    stats = agg.selectExpr("node", *_HB_REGS, *extras0,
+                           _HB_CNT_EXPR, _HB_SINT_EXPR)
+    est = stats.selectExpr("node", *_HB_REGS, *extras0, _HB_EST_EXPR)
+    return est.selectExpr("node", *_HB_REGS, *acc_exprs)
 
 
-def _hb_init_acc(state: DataFrame, cols) -> DataFrame:
+def _hb_init_acc(state: DataFrame, acc_exprs: list) -> DataFrame:
     """Initial accumulator columns appended to the wide state: the
     radius-0 estimate via the same layered cnt/s_int/e projections."""
-    stats = state.select("node", *_HB_REGS, _hb_cnt_col().alias("cnt"),
-                         _hb_sint_col().alias("s_int"))
-    est = stats.select("node", *_HB_REGS,
-                       _hb_est_col(F.col("cnt"), F.col("s_int"))
-                       .alias("e"))
-    return est.select("node", *_HB_REGS, *cols)
+    stats = state.selectExpr("node", *_HB_REGS,
+                             _HB_CNT_EXPR, _HB_SINT_EXPR)
+    est = stats.selectExpr("node", *_HB_REGS, _HB_EST_EXPR)
+    return est.selectExpr("node", *_HB_REGS, *acc_exprs)
 
 
 def _hb_conv_col(state: DataFrame, prev_state: DataFrame):
@@ -773,19 +794,14 @@ def harmonic_over_documents(spark: SparkSession) -> DataFrame:
     convergence proof reads both)."""
     links, state, k = _hb_setup(spark)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    state = _hb_init_acc(state, [F.lit(0.0).alias("h"),
-                                 F.col("e").alias("prev")])
+    state = _hb_init_acc(state, [f"{D.dbl(0.0)} AS h", "e AS prev"])
     prev_state = state
     with _interpreted_loop(spark, k < cap):
         for r in range(1, HB_ROUNDS + 1):
             prev_state = state
-
-            def upd(e, _r=r):
-                return [(F.col("h0")
-                         + F.greatest(F.lit(0.0), e - F.col("prev0"))
-                         / F.lit(float(_r))).alias("h"),
-                        e.alias("prev")]
-
+            upd = [f"(h0 + greatest({D.dbl(0.0)}, e - prev0) "
+                   f"/ {D.dbl(float(r))}) AS h",
+                   "e AS prev"]
             state = _hb_wide_round(links, state, upd, ["h", "prev"],
                                    k, cap)
             if r % HB_CKPT_EVERY == 0 or r >= HB_ROUNDS - 1:
@@ -1100,8 +1116,7 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
     matches the oracle as before."""
     links, state, k = _hb_setup(spark)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    state = _hb_init_acc(state, [F.col("e").alias("env"),
-                                 F.col("e").alias("prev")])
+    state = _hb_init_acc(state, ["e AS env", "e AS prev"])
     nf_vals = []
     with _interpreted_loop(spark, k < cap):
         obs0 = Observation()
@@ -1109,14 +1124,9 @@ def neighborhood_function_over_documents(spark: SparkSession) -> DataFrame:
                  .localCheckpoint(eager=True)
                  .repartition(k, "node"))
         nf_vals.append((0, float(obs0.get["nf"])))
+        upd = [f"(env0 + greatest({D.dbl(0.0)}, e - prev0)) AS env",
+               "e AS prev"]
         for r in range(1, HB_ROUNDS + 1):
-
-            def upd(e):
-                return [(F.col("env0")
-                         + F.greatest(F.lit(0.0), e - F.col("prev0")))
-                        .alias("env"),
-                        e.alias("prev")]
-
             state = _hb_wide_round(links, state, upd, ["env", "prev"],
                                    k, cap)
             obs = Observation()
