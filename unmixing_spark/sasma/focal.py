@@ -152,7 +152,10 @@ def _pin_group_partitions(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
-BLOCK_T = 2   # tiles per block edge for the block-grouped fan-out
+BLOCK_T = 4   # tiles per block edge for the block-grouped fan-out —
+              # r6 sweep at the 10x replica (warm): B=2 4.3s, B=3 3.7s,
+              # B=4 3.6-4.0s, B=6/8 flat; block count n_tiles/16 still
+              # dwarfs any core count at web scale
 
 
 def _block_dest_expr(grid: GridSpec, rings: int, B: int):
