@@ -1966,7 +1966,13 @@ def _bowtie_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id").agg(F.count(F.lit(1)).alias("dg")))
     piv = degs.agg(F.max(F.struct(F.col("dg"), (-F.col("id")).alias("ni")))
                    .alias("m")).select((-F.col("m.ni")).alias("id"))
-    pivot_id = int(piv.collect()[0]["id"])  # 1-row sanctioned aggregate
+    piv_row = piv.collect()[0]  # 1-row sanctioned aggregate
+    if piv_row["id"] is None:   # edgeless corpus: max(struct) is NULL
+        raise ValueError(
+            "q_bowtie: link graph has no edges — bow-tie decomposition "
+            "is undefined without a pivot (every page would be "
+            "DISCONNECTED)")
+    pivot_id = int(piv_row["id"])
     pivot_df = spark.createDataFrame([(pivot_id,)], "id bigint")
     rev = links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     sym = links.unionAll(rev).localCheckpoint(eager=True)
