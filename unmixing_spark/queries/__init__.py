@@ -40,7 +40,18 @@ def sql_template(name: str, template: Callable[[str], str], doc: str = "",
     ``repartition=False`` opts the Spark rendering out of the
     single-split scan fan-out (pipeline.register_tables) — right for
     light projection/window queries where the extra exchange is pure
-    tax (round-6 measurements)."""
+    tax (round-6 measurements).
+
+    Round-6 note on multi-consumer CTEs in templates: a Spark-side
+    checkpoint-the-shared-subquery variant (textual substitution of the
+    rendered subquery by a materialized view) was built and measured on
+    the raster family — it REGRESSED q_tasseled_cap/q_bilinear_regrid
+    and tied q_ledaps_modal_keep, because under the frozen bench's
+    count() timing Catalyst prunes each inlined duplicate chain to the
+    few columns its consumer needs, which beats an eager all-column
+    checkpoint. CTE materialization only pays when the duplicated work
+    survives pruning (the winnow/cdc/bm25/main_content conversions in
+    their own spark_fns)."""
     from unmixing_spark import dialect as D
     from unmixing_spark.pipeline import register_tables
 

@@ -190,6 +190,11 @@ def _bilinear_regrid(d: str) -> str:
     """
 
 
+# round-6 note: cells feeds BOTH the coarse aggregation and the frac
+# projection, but materialize= REGRESSED here (0.85 -> 1.17 s at the
+# 10x replica) — the coarse branch only reads (cell_id, b2) and the
+# frac branch only cell_id, so the pruned duplicate chains beat an
+# eager all-column checkpoint. Left inlined.
 sql_template("q_bilinear_regrid", _bilinear_regrid,
              "grid-to-grid join with bilinear resampling (intersect_rasters, utils.py:676-731)")
 
@@ -279,6 +284,11 @@ def _ledaps_modal_keep(d: str) -> str:
     """
 
 
+# round-6 note: cells feeds BOTH the modal row and the stamp; an eager
+# cells checkpoint measured dead even with the inlined form (1.31/1.55
+# vs 1.31/1.52 s interleaved at the 10x replica) — the mode branch
+# prunes to b1 only under count() timing, so the duplicate chain is
+# cheap. Left inlined.
 sql_template("q_ledaps_modal_keep", _ledaps_modal_keep,
              "LEDAPS QA modal-keep: mode -> join-back NoData stamp (utils.py:796-845)")
 

@@ -288,6 +288,11 @@ def _tasseled_cap(d: str) -> str:
     """
 
 
+# round-6 note: cells feeds BOTH the rng min/max row and the norm
+# projection, but materialize= REGRESSED here (0.8 -> 1.3 s at the 10x
+# replica): under count() timing Catalyst prunes the duplicated chain
+# to the few columns each consumer needs, which is cheaper than an
+# eager all-column checkpoint. Left inlined.
 sql_template("q_tasseled_cap", _tasseled_cap,
              "fixed-matrix linear transform rt @ X (transform.py:17-43, 121-217)")
 
