@@ -73,7 +73,14 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", F.col("keep").alias("label")))
     feats = spark.sql(_hashed_bigram_counts_sql())
 
-    @F.udf(VectorUDT())
+    # round-6 (guide §4.3): Arrow serialization for the one remaining
+    # scalar UDF — pyspark.ml's VectorUDT has no SQL constructor and
+    # HashingTF would change the feature hash (results are frozen), so
+    # the assembly stays Python, but batches now cross the boundary as
+    # Arrow (ArrowEvalPython) instead of pickled rows. Construction is
+    # exact integer/double copying; the declared type matches the
+    # returned value, so Arrow's stricter coercion changes nothing.
+    @F.udf(VectorUDT(), useArrow=True)
     def to_vec(pairs):  # pairs: sorted array<struct<b:int, c:double>>
         return SparseVector(DSIR_B, [p["b"] for p in pairs],
                             [p["c"] for p in pairs])
