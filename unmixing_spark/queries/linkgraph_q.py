@@ -189,7 +189,18 @@ def pagerank_over_documents(spark: SparkSession,
     base is masked by seed membership."""
     docs = (docs if docs is not None
             else spark.table("documents")).select("doc_id")
-    n_docs = docs.count()
+    if seed_mod is None:
+        n_docs = docs.count()   # parquet-footer-only action
+        n_seeds = None
+    else:
+        # round-6: one doc_id scan yields BOTH totals — the TrustRank
+        # path previously paid a separate filter+count job for the
+        # seed-set size on top of the corpus count
+        row = docs.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_id") % seed_mod == 0).cast("long"))
+            .alias("ns")).collect()[0]
+        n_docs, n_seeds = int(row["n"]), int(row["ns"] or 0)
     # loop partitioning sized from the edge count (~2.5 N), see
     # _loop_nparts; links carry their src hash layout into every round
     k = _loop_nparts(spark, 3 * n_docs, row_bytes=24)
@@ -205,7 +216,7 @@ def pagerank_over_documents(spark: SparkSession,
         denom = n_docs
         is_seed = None
     else:
-        denom = docs.filter(F.col("doc_id") % seed_mod == 0).count()
+        denom = n_seeds
         is_seed = (F.col("doc_id") % seed_mod == 0)
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * denom)
     init = F.lit(PR_SCALE // denom)
